@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Headline benchmark: particle-pushes/sec on a 3D uniform-plasma PIC step.
+
+Runs the full explicit EM PIC step (order-1 gather + Boris push + Esirkepov
+deposition + Yee field update) on the available accelerator in single
+precision, mirroring the reference's headline 3D LWFA-class workload
+(BASELINE.md: particle-pushes/sec/chip target).
+
+The baseline constant below is the WarpX-on-A100 ballpark for 3D FDTD PIC at
+order 1-3 (~1e9 particle-pushes/sec/GPU, from the WarpX SC22 Gordon Bell paper
+class of measurements; the repo itself publishes no numbers — see BASELINE.md).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+A100_REFERENCE_PUSHES_PER_SEC = 1.0e9
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from warpx_tpu.core.config import SimConfig, SpeciesConfig
+    from warpx_tpu.core.grid import Geometry
+    from warpx_tpu.core.simulation import Simulation
+
+    n = int(os.environ.get("BENCH_NCELL", 96))
+    ppc = int(os.environ.get("BENCH_PPC", 2))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+
+    lx = 40e-6
+    geom = Geometry(
+        ndim=3,
+        n_cell=(n, n, n),
+        prob_lo=(-lx / 2,) * 3,
+        prob_hi=(lx / 2,) * 3,
+        periodic=(True,) * 3,
+    )
+    from warpx_tpu.solvers.yee import compute_dt_yee
+
+    species = tuple(
+        SpeciesConfig(
+            name=nm,
+            charge=q,
+            mass=9.1093837015e-31,
+            injection_style="nuniformpercell",
+            num_particles_per_cell_each_dim=(ppc, 1, 1),
+            profile="constant",
+            density=2.0e24,
+            momentum_distribution="gaussian",
+            ux_th=0.01,
+            uy_th=0.01,
+            uz_th=0.01,
+        )
+        for nm, q in (("electrons", -1.602176634e-19), ("ions", 1.602176634e-19))
+    )
+    cfg = SimConfig(
+        geometry=geom,
+        max_step=10**9,
+        dt=compute_dt_yee(geom, 0.999),
+        particle_shape=1,
+        species=species,
+    )
+    sim = Simulation(cfg, dtype=jax.numpy.float32)
+    state = sim.init()
+    n_particles = sum(
+        int(np.asarray(state.species[s.name].alive).sum()) for s in cfg.species
+    )
+
+    # warmup/compile
+    state = sim._step(state)
+    jax.block_until_ready(state.fields.Ex)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state = sim._step(state)
+    jax.block_until_ready(state.fields.Ex)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = steps / elapsed
+    pushes_per_sec = n_particles * steps_per_sec
+    print(
+        json.dumps(
+            {
+                "metric": "particle_pushes_per_sec_per_chip",
+                "value": pushes_per_sec,
+                "unit": "pushes/s",
+                "vs_baseline": pushes_per_sec / A100_REFERENCE_PUSHES_PER_SEC,
+                "detail": {
+                    "n_cell": n,
+                    "n_particles": n_particles,
+                    "steps_per_sec": steps_per_sec,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

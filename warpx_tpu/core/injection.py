@@ -1,0 +1,185 @@
+"""Plasma injection: per-cell particle placement, weights, momentum sampling.
+
+Reimplements the AddPlasma path (reference: Source/Particles/
+PhysicalParticleContainer.cpp:925-1334 with InjectorPosition/Density/Momentum,
+Source/Initialization/InjectorPosition.H:67-107 regular layout,
+Source/Particles/AddPlasmaUtilities.H:73 volume scale factor).
+
+Runs host-side at initialization (NumPy), producing the fixed-capacity device
+arrays; weights are density(x) * dV / ppc_total.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+
+from .. import constants
+from ..utils.expression import compile_expression
+from .config import SpeciesConfig
+from .grid import Geometry
+from .state import ParticleState
+
+__all__ = ["inject_species"]
+
+
+def _regular_unit_positions(ppc: Tuple[int, ...], ndim: int) -> np.ndarray:
+    """Unit-cell offsets for NUniformPerCell, ordered like the reference
+    (InjectorPosition.H:100-107: i_part decomposes as x-major, then z, then y)."""
+    if ndim == 3:
+        nx, ny, nz = ppc
+    elif ndim == 2:
+        nx, nz = ppc
+        ny = 1
+    else:
+        (nz,) = ppc
+        nx = ny = 1
+    n_tot = nx * ny * nz
+    out = np.zeros((n_tot, 3))
+    for i_part in range(n_tot):
+        ix = i_part // (ny * nz)
+        iz = (i_part - ix * (ny * nz)) // ny
+        iy = (i_part - ix * (ny * nz)) - ny * iz
+        out[i_part] = [(0.5 + ix) / nx, (0.5 + iy) / ny, (0.5 + iz) / nz]
+    return out
+
+
+def inject_species(
+    sp: SpeciesConfig,
+    geom: Geometry,
+    dtype,
+    rng: np.random.Generator,
+    capacity: int | None = None,
+) -> ParticleState:
+    ndim = geom.ndim
+    if sp.injection_style not in ("nuniformpercell", "nrandompercell"):
+        # empty container
+        cap = capacity or 0
+        zeros = np.zeros(cap, dtype=dtype)
+        ps = ParticleState(
+            w=zeros,
+            ux=zeros.copy(),
+            uy=zeros.copy(),
+            uz=zeros.copy(),
+            alive=np.zeros(cap, dtype=bool),
+        )
+        return ps.with_positions(ndim, [zeros.copy() for _ in range(ndim)])
+
+    # --- per-cell offsets (unit box, full xyz triple)
+    if sp.injection_style == "nuniformpercell":
+        unit = _regular_unit_positions(sp.num_particles_per_cell_each_dim, ndim)
+    else:
+        n = sp.num_particles_per_cell
+        unit = rng.random((n, 3))
+    ppc_tot = unit.shape[0]
+
+    # --- cell grid
+    mesh_axes = [
+        geom.prob_lo[d] + np.arange(geom.n_cell[d]) * geom.dx[d]
+        for d in range(ndim)
+    ]
+    cell_lo = np.meshgrid(*mesh_axes, indexing="ij")
+    cell_lo = np.stack([m.reshape(-1) for m in cell_lo], axis=-1)  # (ncells, ndim)
+
+    # positions: (ncells, ppc, ndim) -> flatten
+    if ndim == 3:
+        unit_active = unit
+    elif ndim == 2:
+        unit_active = unit[:, [0, 2]]
+    else:
+        unit_active = unit[:, [2]]
+    dx = np.array(geom.dx)
+    pos = cell_lo[:, None, :] + unit_active[None, :, :] * dx[None, None, :]
+    pos = pos.reshape(-1, ndim).astype(dtype)
+
+    # --- injection bounds (reference: PhysicalParticleContainer xmin..zmax)
+    mask = np.ones(pos.shape[0], dtype=bool)
+    if sp.bounds_lo:
+        for d in range(ndim):
+            mask &= (pos[:, d] >= sp.bounds_lo[d]) & (pos[:, d] <= sp.bounds_hi[d])
+
+    # full xyz coordinates for profile evaluation (inactive axes = 0)
+    xyz = np.zeros((pos.shape[0], 3), dtype=dtype)
+    if ndim == 3:
+        xyz[:] = pos
+    elif ndim == 2:
+        xyz[:, 0] = pos[:, 0]
+        xyz[:, 2] = pos[:, 1]
+    else:
+        xyz[:, 2] = pos[:, 0]
+
+    # --- density -> weight
+    scale_fac = geom.cell_volume / ppc_tot
+    if sp.profile == "constant":
+        dens = np.full(pos.shape[0], sp.density, dtype=dtype)
+    elif sp.profile in ("parse", "parse_density_function"):
+        fn = compile_expression(
+            sp.density_expr, ["x", "y", "z"], dict(sp.user_constants)
+        )
+        dens = np.asarray(fn(xyz[:, 0], xyz[:, 1], xyz[:, 2]), dtype=dtype)
+    else:
+        raise NotImplementedError(f"density profile {sp.profile}")
+    w = np.where(mask, dens * scale_fac, 0.0).astype(dtype)
+    mask &= w > 0
+
+    # --- momentum (units of gamma*beta; stored as u = c * value, m/s)
+    n = pos.shape[0]
+    if sp.momentum_distribution in ("at_rest", "none"):
+        ux = np.zeros(n, dtype=dtype)
+        uy = np.zeros(n, dtype=dtype)
+        uz = np.zeros(n, dtype=dtype)
+    elif sp.momentum_distribution == "constant":
+        ux = np.full(n, sp.ux, dtype=dtype)
+        uy = np.full(n, sp.uy, dtype=dtype)
+        uz = np.full(n, sp.uz, dtype=dtype)
+    elif sp.momentum_distribution == "gaussian":
+        ux = rng.normal(sp.ux, sp.ux_th or 0.0, n).astype(dtype)
+        uy = rng.normal(sp.uy, sp.uy_th or 0.0, n).astype(dtype)
+        uz = rng.normal(sp.uz, sp.uz_th or 0.0, n).astype(dtype)
+    elif sp.momentum_distribution == "parse_momentum_function":
+        fns = [
+            compile_expression(e, ["x", "y", "z"], dict(sp.user_constants))
+            for e in sp.momentum_exprs
+        ]
+        ux = np.asarray(fns[0](xyz[:, 0], xyz[:, 1], xyz[:, 2]), dtype=dtype)
+        uy = np.asarray(fns[1](xyz[:, 0], xyz[:, 1], xyz[:, 2]), dtype=dtype)
+        uz = np.asarray(fns[2](xyz[:, 0], xyz[:, 1], xyz[:, 2]), dtype=dtype)
+    else:
+        raise NotImplementedError(
+            f"momentum distribution {sp.momentum_distribution}"
+        )
+    ux = (ux * constants.c).astype(dtype)
+    uy = (uy * constants.c).astype(dtype)
+    uz = (uz * constants.c).astype(dtype)
+
+    # --- compact to alive-first layout, pad to capacity
+    keep = np.nonzero(mask)[0]
+    count = keep.size
+    cap = capacity or count
+    if cap < count:
+        raise ValueError(f"capacity {cap} < injected count {count}")
+
+    def _pad(a, fill=0.0):
+        out = np.full(cap, fill, dtype=a.dtype)
+        out[:count] = a[keep]
+        return out
+
+    alive = np.zeros(cap, dtype=bool)
+    alive[:count] = True
+    ps = ParticleState(
+        w=_pad(w),
+        ux=_pad(ux),
+        uy=_pad(uy),
+        uz=_pad(uz),
+        alive=alive,
+    )
+    # dead-slot positions parked at the domain center (harmless for mod-index)
+    centers = [
+        0.5 * (geom.prob_lo[d] + geom.prob_hi[d]) for d in range(ndim)
+    ]
+    return ps.with_positions(
+        ndim,
+        [_pad(pos[:, d].astype(dtype), fill=centers[d]) for d in range(ndim)],
+    )

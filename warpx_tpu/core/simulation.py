@@ -1,0 +1,156 @@
+"""Simulation driver: init, evolve loop, synchronization bookkeeping.
+
+The host-side orchestration that the reference does in WarpX::Evolve
+(Source/Evolve/WarpXEvolve.cpp:94-350): the per-step physics is a single
+jitted pure function; the host loop only handles cadences (diagnostics,
+synchronization) exactly like the reference's is_synchronized logic
+(WarpXEvolve.cpp:222-229, :485-506).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.parser import Deck
+from .config import SimConfig
+from .deck import config_from_deck
+from .grid import collocated_staggering, yee_staggering
+from .injection import inject_species
+from .state import FieldState, SimState
+from .step import pic_step, push_momenta_half
+
+__all__ = ["Simulation"]
+
+
+class Simulation:
+    def __init__(self, cfg: SimConfig, dtype=None):
+        self.cfg = cfg
+        self.dtype = dtype or (
+            jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        )
+        self.staggering = (
+            collocated_staggering(cfg.geometry.ndim)
+            if cfg.grid_type == "collocated"
+            else yee_staggering(cfg.geometry.ndim)
+        )
+        self.state: SimState | None = None
+        self.is_synchronized = True
+        # jitted kernels with static config closed over
+        self._step = jax.jit(
+            functools.partial(pic_step, cfg=cfg, staggering=self.staggering)
+        )
+        self._half_push = jax.jit(
+            functools.partial(
+                push_momenta_half, cfg=cfg, staggering=self.staggering
+            ),
+            static_argnames=("dt_half",),
+        )
+
+    # ------------------------------------------------------------------ setup
+    @classmethod
+    def from_deck(cls, deck: Deck | str, overrides=(), dtype=None) -> "Simulation":
+        if isinstance(deck, str):
+            deck = Deck.from_file(deck, overrides)
+        sim = cls(config_from_deck(deck), dtype=dtype)
+        sim.deck = deck
+        return sim
+
+    def init(self, seed: int | None = None) -> SimState:
+        cfg = self.cfg
+        geom = cfg.geometry
+        np_dtype = np.dtype(jnp.zeros((), self.dtype).dtype.name)
+        rng = np.random.default_rng(seed if seed is not None else cfg.seed)
+
+        shape = geom.n_cell
+        zeros = lambda: jnp.zeros(shape, dtype=self.dtype)  # noqa: E731
+        fields = FieldState(
+            Ex=zeros(), Ey=zeros(), Ez=zeros(),
+            Bx=zeros(), By=zeros(), Bz=zeros(),
+            jx=zeros(), jy=zeros(), jz=zeros(),
+        )
+        species = {}
+        for sp_cfg in cfg.species:
+            ps = inject_species(sp_cfg, geom, np_dtype, rng)
+            species[sp_cfg.name] = jax.tree_util.tree_map(jnp.asarray, ps)
+        self.state = SimState(
+            fields=fields,
+            species=species,
+            step=jnp.zeros((), jnp.int32),
+            time=jnp.zeros((), self.dtype),
+            rng=jax.random.PRNGKey(cfg.seed),
+        )
+        self.is_synchronized = True
+        return self.state
+
+    # ----------------------------------------------------------------- evolve
+    def evolve(self, numsteps: int = -1) -> SimState:
+        """Advance ``numsteps`` steps (or to max_step), mirroring
+        WarpX::Evolve's synchronization pattern."""
+        if self.state is None:
+            self.init()
+        cfg = self.cfg
+        start = int(self.state.step)
+        stop = cfg.max_step if numsteps < 0 else min(start + numsteps, cfg.max_step)
+        for step in range(start, stop):
+            if self.is_synchronized:
+                # push velocity backward half step (WarpXEvolve.cpp:493-505)
+                self.state = self._half_push(self.state, dt_half=-0.5 * cfg.dt)
+                self.is_synchronized = False
+            self.state = self._step(self.state)
+            if step == cfg.max_step - 1:
+                # synchronize: forward half push with the new fields
+                # (WarpXEvolve.cpp:222-229 -> Synchronize :65)
+                self.state = self._half_push(self.state, dt_half=0.5 * cfg.dt)
+                self.is_synchronized = True
+        return self.state
+
+    # ------------------------------------------------------------ diagnostics
+    def field_diagnostics(self) -> Dict[str, np.ndarray]:
+        from ..diagnostics.fields import cell_centered_output
+
+        return cell_centered_output(
+            self.state, self.cfg, self.staggering
+        )
+
+    def checksums(self) -> Dict[str, Dict[str, float]]:
+        from ..diagnostics.checksum import compute_checksums
+
+        return compute_checksums(self.state, self.cfg, self.staggering)
+
+
+class DistSimulation(Simulation):
+    """Multi-chip simulation: the step runs under shard_map on a SpatialMesh.
+
+    The single-chip Simulation is the parity reference; this class is the
+    production path (same physics; halos/redistribution as ICI collectives).
+    """
+
+    def __init__(self, cfg: SimConfig, mesh_shape: Dict[str, int], dtype=None,
+                 headroom: float = 1.5):
+        super().__init__(cfg, dtype=dtype)
+        from ..parallel.topology import SpatialMesh
+        from .sharded_step import make_sharded_half_push, make_sharded_step
+
+        self.smesh = SpatialMesh.create(mesh_shape)
+        self.headroom = headroom
+        self._step = make_sharded_step(cfg, self.staggering, self.smesh)
+        self._half_push_fn = make_sharded_half_push(
+            cfg, self.staggering, self.smesh
+        )
+        self._half_push = lambda state, dt_half: self._half_push_fn(
+            state, jnp.asarray(dt_half, self.dtype)
+        )
+
+    def init(self, seed: int | None = None) -> SimState:
+        from ..parallel.distribute import distribute_state
+
+        state = super().init(seed)
+        self.state = distribute_state(
+            state, self.cfg.geometry, self.smesh, self.headroom
+        )
+        return self.state

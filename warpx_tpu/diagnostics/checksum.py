@@ -1,0 +1,90 @@
+"""Checksum computation and comparison against reference golden JSONs.
+
+The reference's correctness contract: per output quantity Q, checksum =
+sum(abs(Q)) over the cell-centered field (or over all particles), compared at
+rtol 1e-9 double / 2e-6 single (reference: Regression/Checksum/checksum.py:
+read_output_file `np.sum(np.abs(Q))`; tolerances checksumAPI.py:38-46).
+Computing the sums directly from device arrays avoids any I/O dependency while
+matching the reference definition exactly.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict
+
+import numpy as np
+
+from ..core.config import SimConfig
+from ..core.state import SimState
+from .fields import cell_centered_output
+
+__all__ = ["compute_checksums", "compare_checksums"]
+
+
+def compute_checksums(
+    state: SimState, cfg: SimConfig, staggering: Dict
+) -> Dict[str, Dict[str, float]]:
+    data: Dict[str, Dict[str, float]] = {}
+    fields = cell_centered_output(state, cfg, staggering)
+    data["lev=0"] = {
+        name: float(np.sum(np.abs(arr))) for name, arr in fields.items()
+    }
+
+    ndim = cfg.geometry.ndim
+    for sp_cfg in cfg.species:
+        sp = state.species[sp_cfg.name]
+        if sp.capacity == 0:
+            continue
+        alive = np.asarray(sp.alive)
+        entry: Dict[str, float] = {}
+        # plotfile convention: the active dims are always recorded as x(,y(,z))
+        # (1D z -> "x", 2D x,z -> "x","y"), as in the golden JSONs
+        pos_names = {1: ["x"], 2: ["x", "y"], 3: ["x", "y", "z"]}[ndim]
+        for nm, arr in zip(pos_names, sp.positions(ndim)):
+            entry[f"particle_position_{nm}"] = float(
+                np.sum(np.abs(np.asarray(arr)[alive]))
+            )
+        m = sp_cfg.mass
+        for nm, arr in (("x", sp.ux), ("y", sp.uy), ("z", sp.uz)):
+            entry[f"particle_momentum_{nm}"] = float(
+                np.sum(np.abs(m * np.asarray(arr)[alive]))
+            )
+        entry["particle_weight"] = float(np.sum(np.abs(np.asarray(sp.w)[alive])))
+        data[sp_cfg.name] = entry
+    return data
+
+
+def compare_checksums(
+    computed: Dict[str, Dict[str, float]],
+    golden_path: str,
+    rtol: float = 1e-9,
+    atol: float = 1e-40,
+) -> Dict[str, float]:
+    """Compare against a reference benchmarks_json file.
+
+    Only keys present in the golden file are compared (the reference outputs a
+    deck-selected subset).  Returns {key: relative error} for all compared
+    entries; raises AssertionError listing failures beyond tolerance.
+    """
+    with open(golden_path) as fh:
+        golden = json.load(fh)
+    rel_errors: Dict[str, float] = {}
+    failures = []
+    for group, entries in golden.items():
+        for key, ref_val in entries.items():
+            if group not in computed or key not in computed[group]:
+                failures.append(f"missing {group}/{key}")
+                continue
+            val = computed[group][key]
+            denom = max(abs(ref_val), atol)
+            rel = abs(val - ref_val) / denom
+            rel_errors[f"{group}/{key}"] = rel
+            if not (abs(val - ref_val) <= atol + rtol * abs(ref_val)):
+                failures.append(
+                    f"{group}/{key}: computed {val:.12e} vs golden {ref_val:.12e}"
+                    f" (rel {rel:.3e})"
+                )
+    if failures:
+        raise AssertionError("checksum mismatches:\n  " + "\n  ".join(failures))
+    return rel_errors

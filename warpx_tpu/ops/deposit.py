@@ -1,0 +1,338 @@
+"""Charge and current deposition (particles -> grid), vectorized scatter-add.
+
+Esirkepov charge-conserving current deposition reimplements
+doEsirkepovDepositionShapeN (reference: Source/Particles/Deposition/
+CurrentDeposition.H:643-900) on the periodic torus: the per-particle
+(order+3)-point window weights become tap arrays, the in-direction running sum
+becomes a cumsum, and the atomicAdd becomes an XLA scatter-add with modular
+indices (the SumBoundary guard-cell fold is implicit in the wrap).
+
+Direct (non-charge-conserving) deposition follows doDepositionShapeN
+(CurrentDeposition.H:274) — J at the staggered Yee sites from the
+time-midpoint position.  Charge deposition follows doChargeDepositionShapeN
+(Source/Particles/Deposition/ChargeDeposition.H) — nodal rho.
+
+Deposition dtype is kept in f64 spirit by the caller's global precision; the
+reference similarly forces double for shifted shape factors
+(CurrentDeposition.H:720 "Keep these double").
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+from ..constants import c as _c
+from .shapes import esirkepov_weights, shape_weights
+
+__all__ = [
+    "deposit_rho",
+    "deposit_current_esirkepov",
+    "deposit_current_direct",
+    "count_particles_per_cell",
+]
+
+_inv_c2 = 1.0 / (_c * _c)
+
+
+def _scatter_add(target: jnp.ndarray, idx_per_dim, values: jnp.ndarray):
+    """target.at[ravel(idx)].add(values) with C-order linearization."""
+    n = target.shape
+    lin = idx_per_dim[0]
+    for d in range(1, len(n)):
+        lin = lin * n[d] + idx_per_dim[d]
+    flat = target.reshape(-1).at[lin.reshape(-1)].add(values.reshape(-1))
+    return flat.reshape(n)
+
+
+def _gaminv(ux, uy, uz):
+    return 1.0 / jnp.sqrt(
+        1.0 + (ux * ux + uy * uy + uz * uz) * _inv_c2
+    )
+
+
+def _tap_idx(i0, T, n, wrap, offset):
+    idx = i0[:, None] + jnp.arange(T) + offset
+    return jnp.mod(idx, n) if wrap else idx
+
+
+def deposit_rho(
+    positions: Sequence[jnp.ndarray],
+    w: jnp.ndarray,
+    q: float,
+    geom,
+    order: int,
+    out: jnp.ndarray | None = None,
+    origin=None,
+    wrap: bool = True,
+    offset: int = 0,
+    out_shape=None,
+) -> jnp.ndarray:
+    """Deposit nodal charge density rho [C/m^3] (ChargeDeposition.H shape-N)."""
+    ndim = geom.ndim
+    n_cell = geom.n_cell
+    shape = out_shape or n_cell
+    invvol = 1.0 / geom.cell_volume
+    lo = origin if origin is not None else geom.prob_lo
+    coords = [
+        (positions[d] - lo[d]) / geom.dx[d] for d in range(ndim)
+    ]
+    starts, weights = [], []
+    for d in range(ndim):
+        i0, ws = shape_weights(coords[d], order)
+        starts.append(i0)
+        weights.append(ws)
+    wq = q * w * invvol
+    rho = jnp.zeros(shape, dtype=w.dtype) if out is None else out
+    vals, idxs = [], []
+    for taps in itertools.product(*[range(order + 1)] * ndim):
+        val = wq
+        for d in range(ndim):
+            val = val * weights[d][taps[d]]
+        vals.append(val)
+        if wrap:
+            idxs.append(
+                [jnp.mod(starts[d] + taps[d] + offset, n_cell[d]) for d in range(ndim)]
+            )
+        else:
+            idxs.append([starts[d] + taps[d] + offset for d in range(ndim)])
+    values = jnp.stack(vals, axis=-1)
+    idx_per_dim = [
+        jnp.stack([ix[d] for ix in idxs], axis=-1) for d in range(ndim)
+    ]
+    return _scatter_add(rho, idx_per_dim, values)
+
+
+def count_particles_per_cell(positions, alive, geom) -> jnp.ndarray:
+    """Particle count per cell (diag 'part_per_cell')."""
+    ndim = geom.ndim
+    idx = [
+        jnp.clip(
+            jnp.floor(
+                (positions[d] - geom.prob_lo[d]) / geom.dx[d]
+            ).astype(jnp.int32),
+            0,
+            geom.n_cell[d] - 1,
+        )
+        for d in range(ndim)
+    ]
+    target = jnp.zeros(geom.n_cell, dtype=positions[0].dtype)
+    return _scatter_add(target, idx, alive.astype(target.dtype))
+
+
+def _tap_arrays(x_new, x_old, order):
+    """Stacked Esirkepov tap weights: (i0, SN, SO) with SN/SO of shape (np, T)."""
+    i0, s_new, s_old = esirkepov_weights(x_new, x_old, order)
+    return i0, jnp.stack(s_new, axis=-1), jnp.stack(s_old, axis=-1)
+
+
+def deposit_current_esirkepov(
+    positions: Sequence[jnp.ndarray],
+    ux, uy, uz, w,
+    q: float,
+    geom,
+    dt: float,
+    order: int,
+    relative_time: float | None = None,
+    origin=None,
+    wrap: bool = True,
+    offset: int = 0,
+    out_shape=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Charge-conserving current deposition.
+
+    ``positions`` are the already-pushed x^{n+1}; with the default
+    relative_time = -dt/2 the old position x^n is reconstructed as
+    x^{n+1} - dt*v (CurrentDeposition.H:725-738), and the deposited J is the
+    Yee-staggered J^{n+1/2}.
+    """
+    if relative_time is None:
+        relative_time = -0.5 * dt
+    ndim = geom.ndim
+    n_cell = geom.n_cell
+    shape = out_shape or n_cell
+    lo_corner = origin if origin is not None else geom.prob_lo
+    gaminv = _gaminv(ux, uy, uz)
+    wq = q * w
+    dtype = w.dtype
+    T = order + 3
+
+    if ndim == 3:
+        dxs = geom.dx
+        invdtd = (
+            1.0 / (dt * dxs[1] * dxs[2]),
+            1.0 / (dt * dxs[0] * dxs[2]),
+            1.0 / (dt * dxs[0] * dxs[1]),
+        )
+        vel = (ux * gaminv, uy * gaminv, uz * gaminv)
+        new_g, old_g = [], []
+        for d in range(3):
+            xn = (
+                positions[d] - lo_corner[d] + (relative_time + 0.5 * dt) * vel[d]
+            ) / dxs[d]
+            xo = xn - dt / dxs[d] * vel[d]
+            new_g.append(xn)
+            old_g.append(xo)
+        i0x, SNx, SOx = _tap_arrays(new_g[0], old_g[0], order)
+        i0y, SNy, SOy = _tap_arrays(new_g[1], old_g[1], order)
+        i0z, SNz, SOz = _tap_arrays(new_g[2], old_g[2], order)
+        CUMx = jnp.cumsum(SOx - SNx, axis=-1)
+        CUMy = jnp.cumsum(SOy - SNy, axis=-1)
+        CUMz = jnp.cumsum(SOz - SNz, axis=-1)
+
+        def tmix(SA_n, SA_o, SB_n, SB_o):
+            # (np, T, T): 1/3(SnA SnB + SoA SoB) + 1/6(SnA SoB + SoA SnB)
+            return (
+                (SA_n[:, :, None] * SB_n[:, None, :] + SA_o[:, :, None] * SB_o[:, None, :])
+                / 3.0
+                + (SA_n[:, :, None] * SB_o[:, None, :] + SA_o[:, :, None] * SB_n[:, None, :])
+                / 6.0
+            )
+
+        Tyz = tmix(SNy, SOy, SNz, SOz)
+        Txz = tmix(SNx, SOx, SNz, SOz)
+        Txy = tmix(SNx, SOx, SNy, SOy)
+
+        valx = (wq * invdtd[0])[:, None, None, None] * CUMx[:, :, None, None] * Tyz[:, None, :, :]
+        valy = (wq * invdtd[1])[:, None, None, None] * CUMy[:, None, :, None] * Txz[:, :, None, :]
+        valz = (wq * invdtd[2])[:, None, None, None] * CUMz[:, None, None, :] * Txy[:, :, :, None]
+
+        ix = _tap_idx(i0x, T, n_cell[0], wrap, offset)
+        iy = _tap_idx(i0y, T, n_cell[1], wrap, offset)
+        iz = _tap_idx(i0z, T, n_cell[2], wrap, offset)
+        IX = jnp.broadcast_to(ix[:, :, None, None], valx.shape)
+        IY = jnp.broadcast_to(iy[:, None, :, None], valx.shape)
+        IZ = jnp.broadcast_to(iz[:, None, None, :], valx.shape)
+
+        jx = _scatter_add(jnp.zeros(shape, dtype), [IX, IY, IZ], valx)
+        jy = _scatter_add(jnp.zeros(shape, dtype), [IX, IY, IZ], valy)
+        jz = _scatter_add(jnp.zeros(shape, dtype), [IX, IY, IZ], valz)
+        return jx, jy, jz
+
+    if ndim == 2:  # XZ plane; reference CellSize maps (dx, 1, dz)
+        dxs = (geom.dx[0], geom.dx[1])
+        invvol = 1.0 / (dxs[0] * dxs[1])
+        invdtd_x = 1.0 / (dt * dxs[1])
+        invdtd_z = 1.0 / (dt * dxs[0])
+        vx = ux * gaminv
+        vy = uy * gaminv
+        vz = uz * gaminv
+        xn = (positions[0] - lo_corner[0] + (relative_time + 0.5 * dt) * vx) / dxs[0]
+        xo = xn - dt / dxs[0] * vx
+        zn = (positions[1] - lo_corner[1] + (relative_time + 0.5 * dt) * vz) / dxs[1]
+        zo = zn - dt / dxs[1] * vz
+        i0x, SNx, SOx = _tap_arrays(xn, xo, order)
+        i0z, SNz, SOz = _tap_arrays(zn, zo, order)
+        CUMx = jnp.cumsum(SOx - SNx, axis=-1)
+        CUMz = jnp.cumsum(SOz - SNz, axis=-1)
+
+        mixxz = (
+            (SNx[:, :, None] * SNz[:, None, :] + SOx[:, :, None] * SOz[:, None, :]) / 3.0
+            + (SNx[:, :, None] * SOz[:, None, :] + SOx[:, :, None] * SNz[:, None, :]) / 6.0
+        )
+        valx = (wq * invdtd_x)[:, None, None] * CUMx[:, :, None] * (
+            0.5 * (SNz + SOz)
+        )[:, None, :]
+        valy = (wq * vy * invvol)[:, None, None] * mixxz
+        valz = (wq * invdtd_z)[:, None, None] * CUMz[:, None, :] * (
+            0.5 * (SNx + SOx)
+        )[:, :, None]
+
+        ix = _tap_idx(i0x, T, n_cell[0], wrap, offset)
+        iz = _tap_idx(i0z, T, n_cell[1], wrap, offset)
+        IX = jnp.broadcast_to(ix[:, :, None], valx.shape)
+        IZ = jnp.broadcast_to(iz[:, None, :], valx.shape)
+        jx = _scatter_add(jnp.zeros(shape, dtype), [IX, IZ], valx)
+        jy = _scatter_add(jnp.zeros(shape, dtype), [IX, IZ], valy)
+        jz = _scatter_add(jnp.zeros(shape, dtype), [IX, IZ], valz)
+        return jx, jy, jz
+
+    # 1D (z): transverse currents are direct, Jz is charge-conserving
+    dz = geom.dx[0]
+    invvol = 1.0 / dz
+    vx = ux * gaminv
+    vy = uy * gaminv
+    vz = uz * gaminv
+    zn = (positions[0] - lo_corner[0] + (relative_time + 0.5 * dt) * vz) / dz
+    zo = zn - dt / dz * vz
+    i0z, SNz, SOz = _tap_arrays(zn, zo, order)
+    CUMz = jnp.cumsum(SOz - SNz, axis=-1)
+    valx = (wq * vx * invvol)[:, None] * 0.5 * (SOz + SNz)
+    valy = (wq * vy * invvol)[:, None] * 0.5 * (SOz + SNz)
+    valz = (wq / dt)[:, None] * CUMz
+    iz = _tap_idx(i0z, T, n_cell[0], wrap, offset)
+    jx = _scatter_add(jnp.zeros(shape, dtype), [iz], valx)
+    jy = _scatter_add(jnp.zeros(shape, dtype), [iz], valy)
+    jz = _scatter_add(jnp.zeros(shape, dtype), [iz], valz)
+    return jx, jy, jz
+
+
+def deposit_current_direct(
+    positions: Sequence[jnp.ndarray],
+    ux, uy, uz, w,
+    q: float,
+    geom,
+    staggering: dict,
+    dt: float,
+    order: int,
+    relative_time: float | None = None,
+    origin=None,
+    wrap: bool = True,
+    offset: int = 0,
+    out_shape=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Direct deposition of J = q*w*v at the time-midpoint position onto the
+    staggered Yee J sites (CurrentDeposition.H:274: deposit at
+    x + relative_time*v with relative_time = -dt/2 after the push)."""
+    if relative_time is None:
+        relative_time = -0.5 * dt
+    ndim = geom.ndim
+    n_cell = geom.n_cell
+    shape = out_shape or n_cell
+    lo_corner = origin if origin is not None else geom.prob_lo
+    gaminv = _gaminv(ux, uy, uz)
+    invvol = 1.0 / geom.cell_volume
+    vels = (ux * gaminv, uy * gaminv, uz * gaminv)
+    # active-axis velocity per dim for the midpoint shift
+    if ndim == 3:
+        active_v = vels
+    elif ndim == 2:
+        active_v = (vels[0], vels[2])
+    else:
+        active_v = (vels[2],)
+    coords = [
+        (positions[d] - lo_corner[d] + relative_time * active_v[d]) / geom.dx[d]
+        for d in range(ndim)
+    ]
+    out = []
+    for comp, vcomp in (("jx", vels[0]), ("jy", vels[1]), ("jz", vels[2])):
+        flags = staggering[comp]
+        starts, weights = [], []
+        for d in range(ndim):
+            xd = coords[d] - 0.5 if flags[d] == 0 else coords[d]
+            i0, ws = shape_weights(xd, order)
+            starts.append(i0)
+            weights.append(ws)
+        wqv = q * w * vcomp * invvol
+        vals, idxs = [], []
+        for taps in itertools.product(*[range(order + 1)] * ndim):
+            val = wqv
+            for d in range(ndim):
+                val = val * weights[d][taps[d]]
+            vals.append(val)
+            if wrap:
+                idxs.append(
+                    [jnp.mod(starts[d] + taps[d] + offset, n_cell[d]) for d in range(ndim)]
+                )
+            else:
+                idxs.append([starts[d] + taps[d] + offset for d in range(ndim)])
+        values = jnp.stack(vals, axis=-1)
+        idx_per_dim = [
+            jnp.stack([ix[d] for ix in idxs], axis=-1) for d in range(ndim)
+        ]
+        out.append(
+            _scatter_add(jnp.zeros(shape, dtype=w.dtype), idx_per_dim, values)
+        )
+    return tuple(out)
