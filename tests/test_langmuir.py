@@ -45,3 +45,24 @@ def test_3d_langmuir_multi():
     # Bx/By/Bz are roundoff-level quantities here (analytically zero);
     # 1e-8 keeps them meaningful without demanding bitwise-identical arithmetic
     run_and_check("test_3d_langmuir_multi", rtol=1e-8)
+
+
+def test_1d_laser_acceleration():
+    """Full 1D LWFA: moving window + PEC + laser antenna + continuous
+    injection + bilinear filter + runtime attributes (reference deck
+    Examples/Physics_applications/laser_acceleration/inputs_test_1d_laser_acceleration)."""
+    sim_dir = os.path.join(
+        REFERENCE, "Examples/Physics_applications/laser_acceleration"
+    )
+    from warpx_tpu.core.simulation import Simulation as _Sim
+
+    sim = _Sim.from_deck(
+        os.path.join(sim_dir, "inputs_test_1d_laser_acceleration")
+    )
+    sim.init()
+    sim.evolve()
+    compare_checksums(
+        sim.checksums(),
+        os.path.join(GOLDEN, "test_1d_laser_acceleration.json"),
+        rtol=1e-9,
+    )

@@ -1,0 +1,631 @@
+"""PIC step on bounded (non-periodic) domains with moving window.
+
+Extends the periodic step to the full Evolve semantics of the reference
+(Source/Evolve/WarpXEvolve.cpp + Source/Utils/WarpXMovingWindow.cpp):
+
+* per-face field boundaries (periodic | pec) as guard fills on ng-padded
+  blocks (WarpX_PEC.cpp mirror rules, core/boundaries.py);
+* AMReX-faithful nodal layout: a component NODAL in a bounded dimension
+  stores n+1 valid values including both wall nodes;
+* deposition guards at non-periodic faces are DROPPED like the reference's
+  explicit EM path (SumBoundary folds only the periodic directions,
+  WarpXComm.cpp:1552; ApplyJfieldBoundary image folds are hybrid-only);
+* bilinear filtering of J before the field solve (WarpXComm.cpp:1357);
+* laser antennas as prescribed-motion particle species depositing current
+  (LaserParticleContainer::Evolve);
+* moving window: traced-cell-count shift of all field arrays, incrementally
+  accumulated domain edges, continuous plasma injection into newly uncovered
+  cells (WarpXMovingWindow.cpp:139-479);
+* absorbing/reflecting particle boundaries.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import c as _c
+from ..constants import mu0 as _mu0
+from ..ops.deposit import deposit_current_direct, deposit_current_esirkepov
+from ..ops.gather import gather_eb
+from ..ops.push import PUSHERS, position_step
+from ..solvers.filter import bilinear_filter_padded
+from ..utils.expression import compile_expression
+from .boundaries import fill_guards_pec, is_tangential
+from .config import SimConfig
+from .laser import update_antenna
+from .state import SimState
+
+__all__ = ["make_bounded_kernels", "guard_width", "field_shapes"]
+
+_COMP_AXIS = {"x": 0, "y": 1, "z": 2}
+_c2 = _c * _c
+
+# Yee curl terms: output comp -> [(coef, input comp, diff xyz-axis, up|dn)]
+_B_TERMS = {
+    "Bx": [(+1.0, "Ey", "z", "up"), (-1.0, "Ez", "y", "up")],
+    "By": [(+1.0, "Ez", "x", "up"), (-1.0, "Ex", "z", "up")],
+    "Bz": [(+1.0, "Ex", "y", "up"), (-1.0, "Ey", "x", "up")],
+}
+_E_TERMS = {
+    "Ex": [(+1.0, "Bz", "y", "dn"), (-1.0, "By", "z", "dn")],
+    "Ey": [(+1.0, "Bx", "z", "dn"), (-1.0, "Bz", "x", "dn")],
+    "Ez": [(+1.0, "By", "x", "dn"), (-1.0, "Bx", "y", "dn")],
+}
+
+
+def guard_width(cfg: SimConfig) -> int:
+    ng = cfg.particle_shape + 3
+    if cfg.use_filter:
+        ng += max(cfg.filter_npass_each_dir or (1,))
+    return ng
+
+
+def field_shapes(geom, staggering, bc_lo) -> Dict[str, tuple]:
+    """Per-component valid shapes: +1 in bounded dims where nodal."""
+    ndim = geom.ndim
+    bounded = [
+        (bc_lo[d] if bc_lo else "periodic") != "periodic" for d in range(ndim)
+    ]
+    out = {}
+    for name, flags in staggering.items():
+        out[name] = tuple(
+            geom.n_cell[d] + (1 if (flags[d] == 1 and bounded[d]) else 0)
+            for d in range(ndim)
+        )
+    return out
+
+
+def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
+    """Build (step_main, step_window, half_push) jitted kernels."""
+    geom = cfg.geometry
+    ndim = geom.ndim
+    dt = cfg.dt
+    order = cfg.particle_shape
+    ng = guard_width(cfg)
+    n_cell = geom.n_cell
+    dxs = geom.dx
+    axes = geom.axis_names
+
+    bc_lo = cfg.field_bc_lo or ("periodic",) * ndim
+    bc_hi = cfg.field_bc_hi or ("periodic",) * ndim
+    pbc_lo = cfg.particle_bc_lo or ("periodic",) * ndim
+    pbc_hi = cfg.particle_bc_hi or ("periodic",) * ndim
+    wdir = cfg.moving_window_dir
+    bounded = [bc_lo[d] != "periodic" for d in range(ndim)]
+
+    shapes = field_shapes(geom, staggering, bc_lo)
+    # common deposition target: covers the nodal top in bounded dims
+    big_shape = tuple(
+        n_cell[d] + (1 if bounded[d] else 0) + 2 * ng for d in range(ndim)
+    )
+
+    attr_fns = {}
+    for sp_cfg in cfg.species:
+        attr_fns[sp_cfg.name] = [
+            (
+                aname,
+                compile_expression(
+                    expr,
+                    ["x", "y", "z", "ux", "uy", "uz", "t"],
+                    dict(sp_cfg.user_constants),
+                ),
+                is_int,
+            )
+            for (aname, expr, is_int) in sp_cfg.attributes
+        ]
+
+    # ---------------------------------------------------------------- helpers
+    def origin_of(state):
+        out = list(geom.prob_lo)
+        if cfg.do_moving_window:
+            out[wdir] = state.aux["window_lo"]
+        return out
+
+    def domain_hi_of(state):
+        out = list(geom.prob_hi)
+        if cfg.do_moving_window:
+            out[wdir] = state.aux["window_hi"]
+        return out
+
+    def pad_eb(arr, comp_name):
+        """Pad one E/B component with ng BC-filled guards per side."""
+        comp_axis = _COMP_AXIS[comp_name[-1].lower()]
+        kind = comp_name[0]
+        out = arr
+        for d in range(ndim):
+            n_val = out.shape[d]
+            sl_lo = [slice(None)] * out.ndim
+            sl_hi = [slice(None)] * out.ndim
+            sl_lo[d] = slice(0, ng)
+            sl_hi[d] = slice(n_val - ng, n_val)
+            if bc_lo[d] == "periodic":
+                lo_guard = out[tuple(sl_hi)]
+                hi_guard = out[tuple(sl_lo)]
+            else:
+                zshape = list(out.shape)
+                zshape[d] = ng
+                lo_guard = jnp.zeros(zshape, out.dtype)
+                hi_guard = jnp.zeros(zshape, out.dtype)
+            out = jnp.concatenate([lo_guard, out, hi_guard], axis=d)
+        for d in range(ndim):
+            axis_xyz = _COMP_AXIS[axes[d]]
+            nodal = staggering[comp_name][d] == 1
+            tang = is_tangential(comp_axis, axis_xyz)
+            if kind == "E":
+                zero_wall = tang and nodal
+                mirror_tang = tang
+            else:
+                zero_wall = (not tang) and nodal
+                mirror_tang = not tang
+            if bc_lo[d] == "pec":
+                out = fill_guards_pec(
+                    out, d, ng, n_cell[d], nodal, mirror_tang, "lo", zero_wall
+                )
+            if bc_hi[d] == "pec":
+                out = fill_guards_pec(
+                    out, d, ng, n_cell[d], nodal, mirror_tang, "hi", zero_wall
+                )
+        return out
+
+    def fold_and_crop(padded, comp_name):
+        """Fold periodic guards, drop bounded guards; crop to comp shape."""
+        out = padded
+        for d in reversed(range(ndim)):
+            nv = shapes[comp_name][d]
+
+            def sl(a, b, d=d):
+                idx = [slice(None)] * out.ndim
+                idx[d] = slice(a, b)
+                return tuple(idx)
+
+            if bc_lo[d] == "periodic":
+                n_tot = out.shape[d]
+                low = out[sl(0, ng)]
+                high = out[sl(n_tot - ng, n_tot)]
+                valid = out[sl(ng, n_tot - ng)]
+                valid = valid.at[sl(nv - ng, nv)].add(low)
+                valid = valid.at[sl(0, ng)].add(high)
+                out = valid
+            else:
+                out = out[sl(ng, ng + nv)]
+        return out
+
+    def curl_terms(out_name, terms, pads, coef):
+        """Accumulate curl contributions for output comp ``out_name``."""
+        nv = shapes[out_name]
+        total = jnp.zeros(nv, dtype)
+        for (sgn, in_name, dd_xyz, kind) in terms:
+            if dd_xyz not in axes:
+                continue
+            dd = axes.index(dd_xyz)
+            P = pads[in_name]
+            sl_a = []
+            sl_b = []
+            for d in range(ndim):
+                cnt = nv[d]
+                if d == dd:
+                    if kind == "up":
+                        a, b = ng + 1, ng
+                    else:
+                        a, b = ng, ng - 1
+                else:
+                    a = b = ng
+                sl_a.append(slice(a, a + cnt))
+                sl_b.append(slice(b, b + cnt))
+            diff = P[tuple(sl_a)] - P[tuple(sl_b)]
+            total = total + (sgn * coef / dxs[dd]) * diff
+        return total
+
+    def enforce_walls(fields):
+        """Zero tangential-E / normal-B wall nodes at PEC faces."""
+        upd = {}
+        for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
+            arr = getattr(fields, name)
+            comp_axis = _COMP_AXIS[name[-1].lower()]
+            for d in range(ndim):
+                nodal = staggering[name][d] == 1
+                tang = is_tangential(comp_axis, _COMP_AXIS[axes[d]])
+                zero_wall = (
+                    (tang and nodal) if name[0] == "E" else ((not tang) and nodal)
+                )
+                if not zero_wall:
+                    continue
+                if bc_lo[d] == "pec":
+                    sl = [slice(None)] * ndim
+                    sl[d] = 0
+                    arr = arr.at[tuple(sl)].set(0.0)
+                if bc_hi[d] == "pec":
+                    sl = [slice(None)] * ndim
+                    sl[d] = arr.shape[d] - 1
+                    arr = arr.at[tuple(sl)].set(0.0)
+            upd[name] = arr
+        return fields.replace(**upd)
+
+    is_laser = {sp.name: sp.injection_style == "laser" for sp in cfg.species}
+    laser_cfg = {l.name: l for l in cfg.lasers}
+
+    # ------------------------------------------------------------- step_main
+    def step_main(state: SimState) -> SimState:
+        origin = origin_of(state)
+        farr_pad = {
+            name: pad_eb(getattr(state.fields, name), name)
+            for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz")
+        }
+
+        j_total = None
+        new_species = {}
+        for sp_cfg in cfg.species:
+            sp = state.species[sp_cfg.name]
+            if sp.capacity == 0:
+                new_species[sp_cfg.name] = sp
+                continue
+            if is_laser[sp_cfg.name]:
+                laser = laser_cfg[sp_cfg.name]
+                mobility = 0.05 / laser.e_max
+                sp_new = update_antenna(sp, laser, geom, mobility, state.time, dt)
+                ux, uy, uz = sp_new.ux, sp_new.uy, sp_new.uz
+                new_pos = sp_new.positions(ndim)
+                q_eff = 1.0
+            else:
+                pos = sp.positions(ndim)
+                if sp_cfg.do_not_gather:
+                    zeros = jnp.zeros_like(sp.ux)
+                    e6 = (zeros,) * 6
+                else:
+                    e6 = gather_eb(
+                        pos, farr_pad, staggering, geom, order,
+                        cfg.galerkin, origin=origin, wrap=False, offset=ng,
+                    )
+                if sp_cfg.do_not_push:
+                    ux, uy, uz = sp.ux, sp.uy, sp.uz
+                    new_pos = pos
+                else:
+                    pusher = PUSHERS[sp_cfg.pusher]
+                    ux, uy, uz = pusher(
+                        sp.ux, sp.uy, sp.uz, *e6,
+                        sp_cfg.charge, sp_cfg.mass, dt,
+                    )
+                    new_pos = position_step(pos, ux, uy, uz, dt, ndim)
+                sp_new = sp.replace(ux=ux, uy=uy, uz=uz).with_positions(
+                    ndim, new_pos
+                )
+                q_eff = sp_cfg.charge
+
+            if not sp_cfg.do_not_deposit:
+                w_eff = jnp.where(sp.alive, sp_new.w, 0.0)
+                if cfg.current_deposition == "esirkepov":
+                    jx, jy, jz = deposit_current_esirkepov(
+                        new_pos, ux, uy, uz, w_eff, q_eff, geom, dt, order,
+                        origin=origin, wrap=False, offset=ng,
+                        out_shape=big_shape,
+                        chunk_size=cfg.deposit_chunk_size,
+                    )
+                else:
+                    jx, jy, jz = deposit_current_direct(
+                        new_pos, ux, uy, uz, w_eff, q_eff, geom,
+                        staggering, dt, order,
+                        origin=origin, wrap=False, offset=ng,
+                        out_shape=big_shape,
+                    )
+                j_total = (
+                    (jx, jy, jz)
+                    if j_total is None
+                    else tuple(a + b for a, b in zip(j_total, (jx, jy, jz)))
+                )
+
+            wrapped = []
+            for d in range(ndim):
+                p = sp_new.positions(ndim)[d]
+                if pbc_lo[d] == "periodic":
+                    lo_g, hi_g = geom.prob_lo[d], geom.prob_hi[d]
+                    p = lo_g + jnp.mod(p - lo_g, hi_g - lo_g)
+                wrapped.append(p)
+            new_species[sp_cfg.name] = sp_new.with_positions(ndim, wrapped)
+
+        if j_total is None:
+            j_valid = tuple(
+                jnp.zeros(shapes[nm], dtype) for nm in ("jx", "jy", "jz")
+            )
+        else:
+            if cfg.use_filter:
+                npass = cfg.filter_npass_each_dir or (1,) * ndim
+                j_total = tuple(
+                    bilinear_filter_padded(a, npass) for a in j_total
+                )
+            j_valid = tuple(
+                fold_and_crop(a, name)
+                for a, name in zip(j_total, ("jx", "jy", "jz"))
+            )
+
+        fields = state.fields.replace(
+            jx=j_valid[0], jy=j_valid[1], jz=j_valid[2]
+        )
+
+        # --- field advance: B half, E full, B half
+        def advance_b(fields, dth):
+            pads = {
+                nm: pad_eb(getattr(fields, nm), nm)
+                for nm in ("Ex", "Ey", "Ez")
+            }
+            upd = {}
+            for nm in ("Bx", "By", "Bz"):
+                upd[nm] = getattr(fields, nm) + dth * curl_terms(
+                    nm, _B_TERMS[nm], pads, 1.0
+                )
+            return fields.replace(**upd)
+
+        def advance_e(fields):
+            pads = {
+                nm: pad_eb(getattr(fields, nm), nm)
+                for nm in ("Bx", "By", "Bz")
+            }
+            jmap = dict(zip(("Ex", "Ey", "Ez"), ("jx", "jy", "jz")))
+            upd = {}
+            for nm in ("Ex", "Ey", "Ez"):
+                upd[nm] = (
+                    getattr(fields, nm)
+                    + dt * curl_terms(nm, _E_TERMS[nm], pads, _c2)
+                    - dt * _c2 * _mu0 * getattr(fields, jmap[nm])
+                )
+            return fields.replace(**upd)
+
+        fields = advance_b(fields, 0.5 * dt)
+        fields = advance_e(fields)
+        fields = advance_b(fields, 0.5 * dt)
+        fields = enforce_walls(fields)
+
+        return state.replace(
+            fields=fields,
+            species=new_species,
+            step=state.step + 1,
+            time=state.time + dt,
+        )
+
+    # ----------------------------------------------------------- step_window
+    max_shift = (
+        int(math.ceil(cfg.moving_window_v * _c * dt / dxs[wdir])) + 1
+        if cfg.do_moving_window
+        else 0
+    )
+
+    def shift_field(arr, num_shift):
+        n_val = arr.shape[wdir]
+        rolled = jnp.roll(arr, -num_shift, axis=wdir)
+        idx = jax.lax.broadcasted_iota(jnp.int32, arr.shape, wdir)
+        return jnp.where(idx >= n_val - num_shift, 0.0, rolled)
+
+    def continuous_injection(state, sp_cfg, sp, origin, new_hi):
+        """Inject plasma into newly uncovered whole cells at the window top
+        (WarpXMovingWindow.cpp:395-440 + AddPlasma layout)."""
+        key = f"inject_pos:{sp_cfg.name}"
+        cur_pos = state.aux[key]
+        dz = dxs[wdir]
+        new_pos = cur_pos + jnp.floor((new_hi[wdir] - cur_pos) / dz) * dz
+
+        K = max(max_shift * 2, 4)
+        from .injection import _regular_unit_positions
+
+        unit = _regular_unit_positions(
+            sp_cfg.num_particles_per_cell_each_dim, ndim
+        )
+        ppc_tot = unit.shape[0]
+        if ndim == 1:
+            unit_active = unit[:, [2]]
+        elif ndim == 2:
+            unit_active = unit[:, [0, 2]]
+        else:
+            unit_active = unit
+
+        grids = []
+        for d in range(ndim):
+            if d == wdir:
+                cell_idx = jnp.arange(n_cell[wdir] - K, n_cell[wdir])
+                grids.append(origin[wdir] + cell_idx.astype(dtype) * dz)
+            else:
+                grids.append(
+                    geom.prob_lo[d]
+                    + jnp.arange(n_cell[d]).astype(dtype) * dxs[d]
+                )
+        mesh = jnp.meshgrid(*grids, indexing="ij")
+        cell_lo = jnp.stack([m.reshape(-1) for m in mesh], axis=-1)
+        npart = cell_lo.shape[0] * ppc_tot
+        pos = (
+            cell_lo[:, None, :]
+            + jnp.asarray(unit_active, dtype) * jnp.asarray(dxs, dtype)
+        ).reshape(npart, ndim)
+
+        pz = pos[:, wdir]
+        sel = (pz > cur_pos) & (pz < new_pos)
+        for d in range(ndim):
+            if sp_cfg.bounds_lo:
+                sel &= (pos[:, d] >= sp_cfg.bounds_lo[d]) & (
+                    pos[:, d] <= sp_cfg.bounds_hi[d]
+                )
+
+        xyz = [jnp.zeros(npart, dtype) for _ in range(3)]
+        if ndim == 1:
+            xyz[2] = pos[:, 0]
+        elif ndim == 2:
+            xyz[0], xyz[2] = pos[:, 0], pos[:, 1]
+        else:
+            xyz = [pos[:, 0], pos[:, 1], pos[:, 2]]
+
+        scale_fac = geom.cell_volume / ppc_tot
+        if sp_cfg.profile == "constant":
+            dens = jnp.full(npart, sp_cfg.density, dtype)
+        else:
+            fn = compile_expression(
+                sp_cfg.density_expr, ["x", "y", "z"],
+                dict(sp_cfg.user_constants),
+            )
+            dens = jnp.asarray(fn(*xyz), dtype)
+        w_new = jnp.where(sel, dens * scale_fac, 0.0)
+        sel &= w_new > 0
+
+        if sp_cfg.momentum_distribution in ("at_rest", "none"):
+            u_new = [jnp.zeros(npart, dtype) for _ in range(3)]
+        elif sp_cfg.momentum_distribution == "constant":
+            u_new = [
+                jnp.full(npart, v * _c, dtype)
+                for v in (sp_cfg.ux, sp_cfg.uy, sp_cfg.uz)
+            ]
+        elif sp_cfg.momentum_distribution == "parse_momentum_function":
+            fns = [
+                compile_expression(
+                    e, ["x", "y", "z"], dict(sp_cfg.user_constants)
+                )
+                for e in sp_cfg.momentum_exprs
+            ]
+            u_new = [jnp.asarray(f(*xyz), dtype) * _c for f in fns]
+        else:
+            raise NotImplementedError(
+                f"continuous injection with {sp_cfg.momentum_distribution}"
+            )
+
+        extra_new = {}
+        for (aname, fn, is_int) in attr_fns[sp_cfg.name]:
+            val = fn(*xyz, u_new[0], u_new[1], u_new[2], state.time)
+            extra_new[aname] = (
+                jnp.round(val).astype(jnp.int32) if is_int else val.astype(dtype)
+            )
+
+        cap = sp.capacity
+        free_idx = jnp.nonzero(~sp.alive, size=npart, fill_value=cap)[0]
+        placeable = sel & (free_idx < cap)
+        tgt = jnp.where(placeable, free_idx, cap)
+
+        def put(arr, vals):
+            return arr.at[tgt].set(jnp.asarray(vals, arr.dtype), mode="drop")
+
+        sp = sp.replace(
+            w=put(sp.w, w_new),
+            ux=put(sp.ux, u_new[0]),
+            uy=put(sp.uy, u_new[1]),
+            uz=put(sp.uz, u_new[2]),
+            alive=sp.alive.at[tgt].set(True, mode="drop"),
+        )
+        new_pos_arrays = list(sp.positions(ndim))
+        for d in range(ndim):
+            new_pos_arrays[d] = put(new_pos_arrays[d], pos[:, d])
+        sp = sp.with_positions(ndim, new_pos_arrays)
+        if extra_new:
+            extra = dict(sp.extra)
+            for aname, vals in extra_new.items():
+                extra[aname] = put(extra[aname], vals)
+            sp = sp.replace(extra=extra)
+        aux = dict(state.aux)
+        aux[key] = new_pos
+        return state.replace(aux=aux), sp
+
+    def step_window(state: SimState, move_j) -> SimState:
+        if cfg.do_moving_window:
+            aux = dict(state.aux)
+            v = cfg.moving_window_v * _c
+            window_x = aux["window_x"] + v * dt
+            dz = dxs[wdir]
+            num_shift = jnp.floor(
+                (window_x - aux["window_lo"]) / dz
+            ).astype(jnp.int32)
+            num_shift = jnp.clip(num_shift, 0, max_shift)
+            aux["window_x"] = window_x
+            aux["window_offset"] = state.aux["window_offset"] + num_shift
+            shift_len = num_shift.astype(dtype) * dz
+            aux["window_lo"] = state.aux["window_lo"] + shift_len
+            aux["window_hi"] = state.aux["window_hi"] + shift_len
+
+            f = state.fields
+            upd = {
+                name: shift_field(getattr(f, name), num_shift)
+                for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz")
+            }
+            jx, jy, jz = jax.lax.cond(
+                move_j,
+                lambda js: tuple(shift_field(a, num_shift) for a in js),
+                lambda js: js,
+                (f.jx, f.jy, f.jz),
+            )
+            upd.update(jx=jx, jy=jy, jz=jz)
+            state = state.replace(fields=f.replace(**upd), aux=aux)
+            new_origin = origin_of(state)
+            new_hi = domain_hi_of(state)
+
+            new_species = dict(state.species)
+            for sp_cfg in cfg.species:
+                if not sp_cfg.do_continuous_injection or is_laser[sp_cfg.name]:
+                    continue
+                state, sp = continuous_injection(
+                    state, sp_cfg, new_species[sp_cfg.name], new_origin, new_hi
+                )
+                new_species[sp_cfg.name] = sp
+            state = state.replace(species=new_species)
+
+        origin = origin_of(state)
+        hi = domain_hi_of(state)
+        new_species = {}
+        for sp_cfg in cfg.species:
+            sp = state.species[sp_cfg.name]
+            if sp.capacity == 0:
+                new_species[sp_cfg.name] = sp
+                continue
+            alive = sp.alive
+            pos = sp.positions(ndim)
+            for d in range(ndim):
+                if pbc_lo[d] == "absorbing":
+                    alive = alive & (pos[d] >= origin[d])
+                if pbc_hi[d] == "absorbing":
+                    alive = alive & (pos[d] <= hi[d])
+            upd_pos = list(pos)
+            u = {"x": sp.ux, "y": sp.uy, "z": sp.uz}
+            for d in range(ndim):
+                ax = axes[d]
+                if pbc_lo[d] == "reflecting":
+                    ref = upd_pos[d] < origin[d]
+                    upd_pos[d] = jnp.where(
+                        ref, 2 * origin[d] - upd_pos[d], upd_pos[d]
+                    )
+                    u[ax] = jnp.where(ref, -u[ax], u[ax])
+                if pbc_hi[d] == "reflecting":
+                    ref = upd_pos[d] > hi[d]
+                    upd_pos[d] = jnp.where(
+                        ref, 2 * hi[d] - upd_pos[d], upd_pos[d]
+                    )
+                    u[ax] = jnp.where(ref, -u[ax], u[ax])
+            sp = sp.replace(alive=alive, ux=u["x"], uy=u["y"], uz=u["z"])
+            sp = sp.with_positions(ndim, upd_pos)
+            new_species[sp_cfg.name] = sp
+        return state.replace(species=new_species)
+
+    # ------------------------------------------------------------- half push
+    def half_push(state: SimState, dt_half) -> SimState:
+        origin = origin_of(state)
+        farr_pad = {
+            name: pad_eb(getattr(state.fields, name), name)
+            for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz")
+        }
+        new_species = {}
+        for sp_cfg in cfg.species:
+            sp = state.species[sp_cfg.name]
+            if sp_cfg.do_not_push or sp.capacity == 0 or is_laser[sp_cfg.name]:
+                new_species[sp_cfg.name] = sp
+                continue
+            pos = sp.positions(ndim)
+            e6 = gather_eb(
+                pos, farr_pad, staggering, geom, order,
+                cfg.galerkin, origin=origin, wrap=False, offset=ng,
+            )
+            pusher = PUSHERS[sp_cfg.pusher]
+            ux, uy, uz = pusher(
+                sp.ux, sp.uy, sp.uz, *e6, sp_cfg.charge, sp_cfg.mass, dt_half
+            )
+            new_species[sp_cfg.name] = sp.replace(ux=ux, uy=uy, uz=uz)
+        return state.replace(species=new_species)
+
+    return (
+        jax.jit(step_main),
+        jax.jit(step_window),
+        jax.jit(half_push, static_argnames=("dt_half",)),
+    )

@@ -16,6 +16,41 @@ from .grid import Geometry
 __all__ = ["SpeciesConfig", "SimConfig"]
 
 
+# species_type -> (charge, mass) in SI (reference: Source/Particles/SpeciesPhysicalProperties.cpp)
+SPECIES_TYPES = {
+    "electron": (-1.602176634e-19, 9.1093837015e-31),
+    "positron": (1.602176634e-19, 9.1093837015e-31),
+    "proton": (1.602176634e-19, 1.67262192369e-27),
+    "hydrogen": (1.602176634e-19, 1.67262192369e-27),
+    "photon": (0.0, 0.0),
+    "neutron": (0.0, 1.67492749804e-27),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class LaserConfig:
+    """One laser antenna (reference: Source/Laser/LaserProfiles.H &
+    Source/Particles/LaserParticleContainer.H)."""
+
+    name: str
+    profile: str = "gaussian"
+    position: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    direction: Tuple[float, float, float] = (0.0, 0.0, 1.0)
+    polarization: Tuple[float, float, float] = (1.0, 0.0, 0.0)
+    e_max: float = 0.0
+    wavelength: float = 1e-6
+    profile_waist: float = 1e-6
+    profile_duration: float = 1e-15
+    profile_t_peak: float = 0.0
+    profile_focal_distance: float = 0.0
+    phi0: float = 0.0
+    zeta: float = 0.0
+    beta: float = 0.0
+    phi2: float = 0.0
+    theta_stc: float = 0.0
+    do_continuous_injection: bool = False
+
+
 @dataclasses.dataclass(frozen=True)
 class SpeciesConfig:
     name: str
@@ -46,6 +81,21 @@ class SpeciesConfig:
     pusher: str = "boris"  # boris | vay | higuera
     # deck my_constants visible inside this species' parsed expressions
     user_constants: Tuple[Tuple[str, float], ...] = ()
+    do_continuous_injection: bool = False
+    # gaussian beam injection
+    x_rms: float = 0.0
+    y_rms: float = 0.0
+    z_rms: float = 0.0
+    x_m: float = 0.0
+    y_m: float = 0.0
+    z_m: float = 0.0
+    npart: int = 0
+    q_tot: float = 0.0
+    z_cut: float = float("inf")
+    # runtime attributes: (name, expression(x,y,z,ux,uy,uz,t), is_integer)
+    attributes: Tuple[Tuple[str, str, bool], ...] = ()
+    # extra particle capacity headroom factor for continuous injection
+    capacity_factor: float = 1.0
 
     @property
     def qm(self) -> float:
@@ -68,6 +118,22 @@ class SimConfig:
     cfl: float = 0.999
     verbose: bool = False
     seed: int = 0
+    # bound peak memory of deposition tap intermediates (None = no chunking)
+    deposit_chunk_size: int | None = 2_000_000
+    # per-dim field boundaries on the active axes: periodic | pec | pml | none
+    field_bc_lo: Tuple[str, ...] = ()
+    field_bc_hi: Tuple[str, ...] = ()
+    # per-dim particle boundaries: periodic | absorbing | reflecting
+    particle_bc_lo: Tuple[str, ...] = ()
+    particle_bc_hi: Tuple[str, ...] = ()
+    # moving window (reference: WarpXMovingWindow.cpp)
+    do_moving_window: bool = False
+    moving_window_dir: int = -1  # active-axis index
+    moving_window_v: float = 1.0  # units of c
+    start_moving_window_step: int = 0
+    end_moving_window_step: int = -1
+    lasers: Tuple[LaserConfig, ...] = ()
+    pml_ncell: int = 10
 
     @property
     def galerkin(self) -> bool:

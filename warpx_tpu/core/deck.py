@@ -11,7 +11,7 @@ from __future__ import annotations
 import math
 
 from ..utils.parser import Deck
-from .config import SimConfig, SpeciesConfig
+from .config import SPECIES_TYPES, LaserConfig, SimConfig, SpeciesConfig
 from .grid import Geometry
 
 __all__ = ["config_from_deck"]
@@ -23,7 +23,9 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
     g = lambda k, default=None: deck.get_real(f"{name}.{k}", default)  # noqa: E731
     gs = lambda k, default=None: deck.get_string(f"{name}.{k}", default)  # noqa: E731
 
-    style = (gs("injection_style", "none") or "none").lower()
+    style = (gs("injection_style", "none") or "none").lower().replace('"', "")
+    species_type = (gs("species_type", "") or "").lower()
+    type_q, type_m = SPECIES_TYPES.get(species_type, (None, None))
     ppc_each = tuple(deck.get_ints(f"{name}.num_particles_per_cell_each_dim", ()))
     ppc = deck.get_int(f"{name}.num_particles_per_cell", 0)
 
@@ -54,10 +56,21 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
     bounds_lo = tuple(full_lo[a] for a in axes)
     bounds_hi = tuple(full_hi[a] for a in axes)
 
+    # runtime attributes (reference: PhysicalParticleContainer addRealAttributes)
+    attributes = []
+    for attr in deck.get_strings(f"{name}.addRealAttributes", []):
+        found = deck.get_expr_string(f"{name}.attribute", attr)
+        if found:
+            attributes.append((attr, found[0], False))
+    for attr in deck.get_strings(f"{name}.addIntegerAttributes", []):
+        found = deck.get_expr_string(f"{name}.attribute", attr)
+        if found:
+            attributes.append((attr, found[0], True))
+
     return SpeciesConfig(
         name=name,
-        charge=g("charge", 0.0),
-        mass=g("mass", 0.0),
+        charge=g("charge", type_q if type_q is not None else 0.0),
+        mass=g("mass", type_m if type_m is not None else 0.0),
         injection_style=style,
         num_particles_per_cell_each_dim=ppc_each,
         num_particles_per_cell=ppc,
@@ -74,6 +87,32 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
         do_not_gather=bool(deck.get_int(f"{name}.do_not_gather", 0)),
         do_not_deposit=bool(deck.get_int(f"{name}.do_not_deposit", 0)),
         user_constants=tuple(sorted(deck.my_constants.items())),
+        do_continuous_injection=bool(deck.get_int(f"{name}.do_continuous_injection", 0)),
+        x_rms=g("x_rms", 0.0), y_rms=g("y_rms", 0.0), z_rms=g("z_rms", 0.0),
+        x_m=g("x_m", 0.0), y_m=g("y_m", 0.0), z_m=g("z_m", 0.0),
+        npart=deck.get_int(f"{name}.npart", 0),
+        q_tot=g("q_tot", 0.0),
+        attributes=tuple(attributes),
+    )
+
+
+def _laser_from_deck(deck: Deck, name: str) -> LaserConfig:
+    g = lambda k, default=None: deck.get_real(f"{name}.{k}", default)  # noqa: E731
+    gv = lambda k, default: tuple(deck.get_reals(f"{name}.{k}", default))  # noqa: E731
+    return LaserConfig(
+        name=name,
+        profile=(deck.get_string(f"{name}.profile", "gaussian") or "").lower(),
+        position=gv("position", (0.0, 0.0, 0.0)),
+        direction=gv("direction", (0.0, 0.0, 1.0)),
+        polarization=gv("polarization", (1.0, 0.0, 0.0)),
+        e_max=g("e_max", 0.0),
+        wavelength=g("wavelength", 1e-6),
+        profile_waist=g("profile_waist", 1e-6),
+        profile_duration=g("profile_duration", 1e-15),
+        profile_t_peak=g("profile_t_peak", 0.0),
+        profile_focal_distance=g("profile_focal_distance", 0.0),
+        phi0=g("phi0", 0.0),
+        do_continuous_injection=bool(deck.get_int(f"{name}.do_continuous_injection", 0)),
     )
 
 
@@ -88,8 +127,19 @@ def config_from_deck(deck: Deck) -> SimConfig:
     prob_hi = tuple(deck.get_reals("geometry.prob_hi"))
     assert len(n_cell) == ndim, (n_cell, ndim)
 
-    field_lo = deck.get_strings("boundary.field_lo", ["periodic"] * ndim)
-    field_hi = deck.get_strings("boundary.field_hi", ["periodic"] * ndim)
+    field_lo = [b.lower() for b in deck.get_strings("boundary.field_lo", ["periodic"] * ndim)]
+    field_hi = [b.lower() for b in deck.get_strings("boundary.field_hi", ["periodic"] * ndim)]
+    default_pbc = [
+        "periodic" if lo == "periodic" else "absorbing" for lo in field_lo
+    ]
+    particle_lo = [
+        b.lower()
+        for b in deck.get_strings("boundary.particle_lo", default_pbc)
+    ]
+    particle_hi = [
+        b.lower()
+        for b in deck.get_strings("boundary.particle_hi", default_pbc)
+    ]
     periodic = tuple(
         lo == "periodic" and hi == "periodic"
         for lo, hi in zip(field_lo, field_hi)
@@ -142,6 +192,25 @@ def config_from_deck(deck: Deck) -> SimConfig:
         deck.get_ints("warpx.filter_npass_each_dir", (1,) * ndim)
     )
 
+    # moving window (reference: WarpX.cpp:640-660)
+    do_window = deck.get_bool("warpx.do_moving_window", False)
+    window_dir = -1
+    if do_window:
+        dir_name = deck.get_string("warpx.moving_window_dir", "z").lower()
+        axis_names = {1: ["z"], 2: ["x", "z"], 3: ["x", "y", "z"]}[ndim]
+        window_dir = axis_names.index(dir_name)
+
+    lasers = tuple(
+        _laser_from_deck(deck, nm)
+        for nm in deck.get_strings("lasers.names", [])
+    )
+    laser_species = tuple(
+        SpeciesConfig(
+            name=l.name, charge=1.0, mass=0.0, injection_style="laser",
+        )
+        for l in lasers
+    )
+
     return SimConfig(
         geometry=geom,
         max_step=max_step,
@@ -158,7 +227,18 @@ def config_from_deck(deck: Deck) -> SimConfig:
         grid_type=grid_type,
         use_filter=deck.get_bool("warpx.use_filter", False),
         filter_npass_each_dir=filter_npass,
-        species=species,
+        species=species + laser_species,
         cfl=cfl,
         verbose=deck.get_bool("warpx.verbose", False),
+        field_bc_lo=tuple(field_lo),
+        field_bc_hi=tuple(field_hi),
+        particle_bc_lo=tuple(particle_lo),
+        particle_bc_hi=tuple(particle_hi),
+        do_moving_window=do_window,
+        moving_window_dir=window_dir,
+        moving_window_v=deck.get_real("warpx.moving_window_v", 1.0),
+        start_moving_window_step=deck.get_int("warpx.start_moving_window_step", 0),
+        end_moving_window_step=deck.get_int("warpx.end_moving_window_step", -1),
+        lasers=lasers,
+        pml_ncell=deck.get_int("pml_ncell", deck.get_int("warpx.pml_ncell", 10)),
     )

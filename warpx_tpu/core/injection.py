@@ -22,7 +22,7 @@ from .config import SpeciesConfig
 from .grid import Geometry
 from .state import ParticleState
 
-__all__ = ["inject_species"]
+__all__ = ["inject_species", "inject_gaussian_beam"]
 
 
 def _regular_unit_positions(ppc: Tuple[int, ...], ndim: int) -> np.ndarray:
@@ -154,9 +154,24 @@ def inject_species(
     uy = (uy * constants.c).astype(dtype)
     uz = (uz * constants.c).astype(dtype)
 
+    # --- runtime attributes evaluated at injection (t=0)
+    extra_vals = {}
+    for (aname, expr, is_int) in sp.attributes:
+        fn = compile_expression(
+            expr, ["x", "y", "z", "ux", "uy", "uz", "t"], dict(sp.user_constants)
+        )
+        val = np.asarray(
+            fn(xyz[:, 0], xyz[:, 1], xyz[:, 2], ux, uy, uz, 0.0)
+        )
+        extra_vals[aname] = (
+            np.round(val).astype(np.int32) if is_int else val.astype(dtype)
+        )
+
     # --- compact to alive-first layout, pad to capacity
     keep = np.nonzero(mask)[0]
     count = keep.size
+    if capacity is None and sp.capacity_factor > 1.0:
+        capacity = int(np.ceil(count * sp.capacity_factor))
     cap = capacity or count
     if cap < count:
         raise ValueError(f"capacity {cap} < injected count {count}")
@@ -174,6 +189,7 @@ def inject_species(
         uy=_pad(uy),
         uz=_pad(uz),
         alive=alive,
+        extra={k: _pad(v) for k, v in extra_vals.items()},
     )
     # dead-slot positions parked at the domain center (harmless for mod-index)
     centers = [
@@ -183,3 +199,43 @@ def inject_species(
         ndim,
         [_pad(pos[:, d].astype(dtype), fill=centers[d]) for d in range(ndim)],
     )
+
+
+def inject_gaussian_beam(
+    sp: SpeciesConfig, geom: Geometry, dtype, rng: np.random.Generator
+) -> ParticleState:
+    """Gaussian beam injection (reference: PhysicalParticleContainer::
+    AddGaussianBeam, PhysicalParticleContainer.cpp:503-680): npart particles
+    normally distributed around (x_m,y_m,z_m) with per-axis rms, weight
+    q_tot/(q*npart), gaussian momentum."""
+    ndim = geom.ndim
+    n = sp.npart
+    x = rng.normal(sp.x_m, sp.x_rms, n)
+    y = rng.normal(sp.y_m, sp.y_rms, n)
+    z = rng.normal(sp.z_m, sp.z_rms, n)
+    keep = np.abs(z - sp.z_m) <= sp.z_cut * (sp.z_rms if sp.z_rms else np.inf)
+    if sp.momentum_distribution == "gaussian":
+        ux = rng.normal(sp.ux, sp.ux_th or 0.0, n)
+        uy = rng.normal(sp.uy, sp.uy_th or 0.0, n)
+        uz = rng.normal(sp.uz, sp.uz_th or 0.0, n)
+    elif sp.momentum_distribution == "constant":
+        ux = np.full(n, sp.ux)
+        uy = np.full(n, sp.uy)
+        uz = np.full(n, sp.uz)
+    else:
+        ux = uy = uz = np.zeros(n)
+    weight = sp.q_tot / (sp.charge * n)
+    w = np.where(keep, weight, 0.0).astype(dtype)
+    ps = ParticleState(
+        w=w,
+        ux=(ux * constants.c).astype(dtype),
+        uy=(uy * constants.c).astype(dtype),
+        uz=(uz * constants.c).astype(dtype),
+        alive=np.asarray(keep),
+        extra={},
+    )
+    if ndim == 1:
+        return ps.with_positions(1, [z.astype(dtype)])
+    if ndim == 2:
+        return ps.with_positions(2, [x.astype(dtype), z.astype(dtype)])
+    return ps.with_positions(3, [x.astype(dtype), y.astype(dtype), z.astype(dtype)])

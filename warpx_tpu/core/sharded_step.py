@@ -129,6 +129,7 @@ def make_sharded_step(cfg: SimConfig, staggering: Dict, smesh: SpatialMesh):
                         geom, dt, order,
                         origin=local_lo, wrap=False, offset=ng,
                         out_shape=padded_shape,
+                        chunk_size=cfg.deposit_chunk_size,
                     )
                 else:
                     jx, jy, jz = deposit_current_direct(
@@ -195,7 +196,6 @@ def make_sharded_step(cfg: SimConfig, staggering: Dict, smesh: SpatialMesh):
         mesh=smesh.mesh,
         in_specs=(state_specs,),
         out_specs=state_specs,
-        check_rep=False,
     )
     return jax.jit(wrapped)
 
@@ -257,7 +257,6 @@ def make_sharded_half_push(cfg: SimConfig, staggering: Dict, smesh: SpatialMesh)
         mesh=smesh.mesh,
         in_specs=(state_specs, P()),
         out_specs=state_specs,
-        check_rep=False,
     )
     return jax.jit(wrapped)
 

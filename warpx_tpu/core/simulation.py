@@ -40,15 +40,38 @@ class Simulation:
         )
         self.state: SimState | None = None
         self.is_synchronized = True
-        # jitted kernels with static config closed over
-        self._step = jax.jit(
-            functools.partial(pic_step, cfg=cfg, staggering=self.staggering)
+        self.is_bounded = self._needs_bounded_kernels(cfg)
+        if self.is_bounded:
+            from .bounded_step import make_bounded_kernels
+
+            self._step_main, self._step_window, self._half_push = (
+                make_bounded_kernels(cfg, self.staggering, self.dtype)
+            )
+            self._step = None
+        else:
+            # fast periodic-torus path
+            self._step = jax.jit(
+                functools.partial(pic_step, cfg=cfg, staggering=self.staggering)
+            )
+            self._step_main = self._step
+            self._step_window = None
+            self._half_push = jax.jit(
+                functools.partial(
+                    push_momenta_half, cfg=cfg, staggering=self.staggering
+                ),
+                static_argnames=("dt_half",),
+            )
+
+    @staticmethod
+    def _needs_bounded_kernels(cfg: SimConfig) -> bool:
+        nonperiodic = any(
+            bc != "periodic" for bc in (cfg.field_bc_lo + cfg.field_bc_hi)
         )
-        self._half_push = jax.jit(
-            functools.partial(
-                push_momenta_half, cfg=cfg, staggering=self.staggering
-            ),
-            static_argnames=("dt_half",),
+        return (
+            nonperiodic
+            or cfg.do_moving_window
+            or bool(cfg.lasers)
+            or cfg.use_filter
         )
 
     # ------------------------------------------------------------------ setup
@@ -66,23 +89,84 @@ class Simulation:
         np_dtype = np.dtype(jnp.zeros((), self.dtype).dtype.name)
         rng = np.random.default_rng(seed if seed is not None else cfg.seed)
 
-        shape = geom.n_cell
-        zeros = lambda: jnp.zeros(shape, dtype=self.dtype)  # noqa: E731
+        if self.is_bounded:
+            from .bounded_step import field_shapes
+
+            shapes = field_shapes(geom, self.staggering, cfg.field_bc_lo)
+        else:
+            shapes = {
+                nm: geom.n_cell
+                for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz", "jx", "jy", "jz")
+            }
+        zeros = lambda nm: jnp.zeros(shapes[nm], dtype=self.dtype)  # noqa: E731
         fields = FieldState(
-            Ex=zeros(), Ey=zeros(), Ez=zeros(),
-            Bx=zeros(), By=zeros(), Bz=zeros(),
-            jx=zeros(), jy=zeros(), jz=zeros(),
+            Ex=zeros("Ex"), Ey=zeros("Ey"), Ez=zeros("Ez"),
+            Bx=zeros("Bx"), By=zeros("By"), Bz=zeros("Bz"),
+            jx=zeros("jx"), jy=zeros("jy"), jz=zeros("jz"),
         )
         species = {}
+        aux = {}
+        wdir = cfg.moving_window_dir
         for sp_cfg in cfg.species:
-            ps = inject_species(sp_cfg, geom, np_dtype, rng)
+            if sp_cfg.injection_style == "laser":
+                from .laser import antenna_particles
+
+                laser = next(
+                    l for l in cfg.lasers if l.name == sp_cfg.name
+                )
+                ps, _, _ = antenna_particles(laser, geom, np_dtype)
+            elif sp_cfg.injection_style == "gaussian_beam":
+                from .injection import inject_gaussian_beam
+
+                ps = inject_gaussian_beam(sp_cfg, geom, np_dtype, rng)
+            else:
+                capacity = None
+                if sp_cfg.do_continuous_injection and cfg.do_moving_window:
+                    # headroom for window-driven injection over the whole run
+                    import math as _math
+
+                    ppc = sp_cfg.num_particles_per_cell_each_dim
+                    ppc_tot = int(np.prod(ppc)) if ppc else 1
+                    cross = int(
+                        np.prod(
+                            [
+                                geom.n_cell[d]
+                                for d in range(geom.ndim)
+                                if d != wdir
+                            ]
+                        )
+                    )
+                    dzw = geom.dx[wdir]
+                    travel_cells = _math.ceil(
+                        cfg.moving_window_v * 299792458.0 * cfg.dt
+                        * cfg.max_step / dzw
+                    ) + 4
+                    ps0 = inject_species(sp_cfg, geom, np_dtype, rng)
+                    initial = int(ps0.alive.sum())
+                    capacity = initial + travel_cells * cross * ppc_tot
+                ps = inject_species(sp_cfg, geom, np_dtype, rng, capacity)
             species[sp_cfg.name] = jax.tree_util.tree_map(jnp.asarray, ps)
+            if sp_cfg.do_continuous_injection and cfg.do_moving_window:
+                aux[f"inject_pos:{sp_cfg.name}"] = jnp.asarray(
+                    geom.prob_hi[wdir]
+                    if cfg.moving_window_v > 0
+                    else geom.prob_lo[wdir],
+                    self.dtype,
+                )
+        if cfg.do_moving_window:
+            # reference: moving_window_x starts at the domain lower edge
+            # (WarpX.cpp:649); the domain edges accumulate incrementally
+            aux["window_x"] = jnp.asarray(geom.prob_lo[wdir], self.dtype)
+            aux["window_offset"] = jnp.zeros((), jnp.int32)
+            aux["window_lo"] = jnp.asarray(geom.prob_lo[wdir], self.dtype)
+            aux["window_hi"] = jnp.asarray(geom.prob_hi[wdir], self.dtype)
         self.state = SimState(
             fields=fields,
             species=species,
             step=jnp.zeros((), jnp.int32),
             time=jnp.zeros((), self.dtype),
             rng=jax.random.PRNGKey(cfg.seed),
+            aux=aux,
         )
         self.is_synchronized = True
         return self.state
@@ -101,12 +185,18 @@ class Simulation:
                 # push velocity backward half step (WarpXEvolve.cpp:493-505)
                 self.state = self._half_push(self.state, dt_half=-0.5 * cfg.dt)
                 self.is_synchronized = False
-            self.state = self._step(self.state)
+            self.state = self._step_main(self.state)
             if step == cfg.max_step - 1:
                 # synchronize: forward half push with the new fields
                 # (WarpXEvolve.cpp:222-229 -> Synchronize :65)
                 self.state = self._half_push(self.state, dt_half=0.5 * cfg.dt)
                 self.is_synchronized = True
+            if self._step_window is not None:
+                # MoveWindow + particle boundaries; J is shifted along when
+                # synchronized (WarpXEvolve.cpp:246 move_j = is_synchronized)
+                self.state = self._step_window(
+                    self.state, jnp.asarray(self.is_synchronized)
+                )
         return self.state
 
     # ------------------------------------------------------------ diagnostics

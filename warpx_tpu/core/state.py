@@ -112,16 +112,23 @@ _register(ParticleState, ["w", "ux", "uy", "uz", "alive", "x", "y", "z", "extra"
 
 @dataclasses.dataclass(frozen=True)
 class SimState:
-    """Complete simulation state advanced by the step function."""
+    """Complete simulation state advanced by the step function.
+
+    ``aux`` carries traced scalars that evolve with the run outside the field/
+    particle arrays: moving-window position and cell offset, per-species
+    continuous-injection positions (reference: WarpX::moving_window_x and
+    WarpXParticleContainer::m_current_injection_position).
+    """
 
     fields: FieldState
     species: Dict[str, ParticleState]
     step: jnp.ndarray  # int32 scalar
     time: jnp.ndarray  # float scalar
     rng: jnp.ndarray  # PRNG key
+    aux: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
 
     def replace(self, **kw) -> "SimState":
         return dataclasses.replace(self, **kw)
 
 
-_register(SimState, ["fields", "species", "step", "time", "rng"])
+_register(SimState, ["fields", "species", "step", "time", "rng", "aux"])

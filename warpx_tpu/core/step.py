@@ -118,6 +118,7 @@ def pic_step(state: SimState, cfg: SimConfig, staggering: Dict) -> SimState:
                 jx, jy, jz = deposit_current_esirkepov(
                     new_pos, ux, uy, uz, w_eff, sp_cfg.charge,
                     geom, dt, cfg.particle_shape,
+                    chunk_size=cfg.deposit_chunk_size,
                 )
             else:
                 jx, jy, jz = deposit_current_direct(

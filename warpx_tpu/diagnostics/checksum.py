@@ -51,6 +51,10 @@ def compute_checksums(
                 np.sum(np.abs(m * np.asarray(arr)[alive]))
             )
         entry["particle_weight"] = float(np.sum(np.abs(np.asarray(sp.w)[alive])))
+        for aname, arr in sp.extra.items():
+            entry[f"particle_{aname}"] = float(
+                np.sum(np.abs(np.asarray(arr)[alive]))
+            )
         data[sp_cfg.name] = entry
     return data
 

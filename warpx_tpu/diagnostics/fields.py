@@ -21,29 +21,115 @@ from ..ops.deposit import count_particles_per_cell, deposit_rho
 __all__ = ["cell_center", "cell_centered_output", "deposit_total_rho"]
 
 
-def cell_center(arr: jnp.ndarray, nodal_flags) -> jnp.ndarray:
-    """Average to cell centers on the periodic torus."""
+def cell_center(arr: jnp.ndarray, nodal_flags, n_cell=None) -> jnp.ndarray:
+    """Average nodal dims to cell centers.
+
+    A nodal dim stored with n+1 values (bounded domain, wall nodes included)
+    averages adjacent nodes directly; a nodal dim stored with n values is a
+    periodic torus and wraps.
+    """
     out = arr
     for d, flag in enumerate(nodal_flags):
-        if flag == 1:
+        if flag != 1:
+            continue
+        if n_cell is not None and out.shape[d] == n_cell[d] + 1:
+            lo = [slice(None)] * out.ndim
+            hi = [slice(None)] * out.ndim
+            lo[d] = slice(0, -1)
+            hi[d] = slice(1, None)
+            out = 0.5 * (out[tuple(lo)] + out[tuple(hi)])
+        else:
             out = 0.5 * (out + jnp.roll(out, -1, axis=d))
     return out
 
 
+def current_origin(state: SimState, cfg: SimConfig):
+    """Physical coordinate of array index 0 per dim (moving window aware)."""
+    origin = list(cfg.geometry.prob_lo)
+    if cfg.do_moving_window and "window_lo" in state.aux:
+        origin[cfg.moving_window_dir] = float(state.aux["window_lo"])
+    return origin
+
+
 def deposit_total_rho(state: SimState, cfg: SimConfig) -> jnp.ndarray:
     """Nodal charge density summed over species at current positions
-    (reference: RhoFunctor -> GetChargeDensity)."""
+    (reference: RhoFunctor -> GetChargeDensity over all containers incl.
+    lasers, then ApplyFilterandSumBoundaryRho: filter with guards, fold
+    periodic guards, drop non-periodic guards — WarpXComm.cpp:1552)."""
     geom = cfg.geometry
-    rho = jnp.zeros(geom.n_cell, dtype=state.fields.Ex.dtype)
+    ndim = geom.ndim
+    origin = current_origin(state, cfg)
+    bc_lo = cfg.field_bc_lo or ("periodic",) * ndim
+    all_periodic = all(bc == "periodic" for bc in bc_lo)
+    ng = cfg.particle_shape + 3 + (
+        max(cfg.filter_npass_each_dir or (1,)) if cfg.use_filter else 0
+    )
+    if all_periodic and not cfg.use_filter:
+        rho = jnp.zeros(geom.n_cell, dtype=state.fields.Ex.dtype)
+        for sp_cfg in cfg.species:
+            sp = state.species[sp_cfg.name]
+            if sp.capacity == 0 or sp_cfg.do_not_deposit:
+                continue
+            w_eff = jnp.where(sp.alive, sp.w, 0.0)
+            rho = deposit_rho(
+                sp.positions(ndim), w_eff, sp_cfg.charge, geom,
+                cfg.particle_shape, out=rho, origin=origin,
+            )
+        return rho
+
+    padded_shape = tuple(
+        geom.n_cell[d] + (0 if bc_lo[d] == "periodic" else 1) + 2 * ng
+        for d in range(ndim)
+    )
+    rho = jnp.zeros(padded_shape, dtype=state.fields.Ex.dtype)
     for sp_cfg in cfg.species:
         sp = state.species[sp_cfg.name]
         if sp.capacity == 0 or sp_cfg.do_not_deposit:
             continue
         w_eff = jnp.where(sp.alive, sp.w, 0.0)
         rho = deposit_rho(
-            sp.positions(geom.ndim), w_eff, sp_cfg.charge, geom,
-            cfg.particle_shape, out=rho,
+            sp.positions(ndim), w_eff, sp_cfg.charge, geom,
+            cfg.particle_shape, out=rho, origin=origin,
+            wrap=False, offset=ng, out_shape=padded_shape,
         )
+    if cfg.use_filter:
+        from ..solvers.filter import bilinear_filter_padded
+
+        npass = cfg.filter_npass_each_dir or (1,) * ndim
+        rho = bilinear_filter_padded(rho, npass)
+    # fold guards: periodic wrap-add, or PEC image fold with psign=-1 and
+    # wall-node zeroing (reference: ApplyRhofieldBoundary ->
+    # SetRhoOrJfieldFromPEC, WarpX_PEC.cpp:355-406 — applied after the
+    # filter; verified against test_1d_laser_acceleration golden)
+    for d in reversed(range(ndim)):
+        n_tot = rho.shape[d]
+        n = geom.n_cell[d]
+        nv = n + (0 if bc_lo[d] == "periodic" else 1)
+
+        def sl(a, b, d=d, nd=rho.ndim):
+            idx = [slice(None)] * nd
+            idx[d] = slice(a, b)
+            return tuple(idx)
+
+        def at(i, d=d, nd=rho.ndim):
+            idx = [slice(None)] * nd
+            idx[d] = i
+            return tuple(idx)
+
+        if bc_lo[d] == "periodic":
+            low = rho[sl(0, ng)]
+            high = rho[sl(n_tot - ng, n_tot)]
+            valid = rho[sl(ng, n_tot - ng)]
+            valid = valid.at[sl(nv - ng, nv)].add(low)
+            valid = valid.at[sl(0, ng)].add(high)
+            rho = valid
+        else:
+            for k in range(1, ng + 1):
+                rho = rho.at[at(ng + n - k)].add(-rho[at(ng + n + k)])
+                rho = rho.at[at(ng + k)].add(-rho[at(ng - k)])
+            rho = rho.at[at(ng + n)].set(0.0)
+            rho = rho.at[at(ng)].set(0.0)
+            rho = rho[sl(ng, ng + nv)]
     return rho
 
 
@@ -52,23 +138,26 @@ def cell_centered_output(
 ) -> Dict[str, np.ndarray]:
     f = state.fields
     out = {}
+    geom = cfg.geometry
     for name, arr in (
         ("Ex", f.Ex), ("Ey", f.Ey), ("Ez", f.Ez),
         ("Bx", f.Bx), ("By", f.By), ("Bz", f.Bz),
         ("jx", f.jx), ("jy", f.jy), ("jz", f.jz),
     ):
-        out[name] = np.asarray(cell_center(arr, staggering[name]))
+        out[name] = np.asarray(
+            cell_center(arr, staggering[name], geom.n_cell)
+        )
 
-    geom = cfg.geometry
     rho = deposit_total_rho(state, cfg)
-    out["rho"] = np.asarray(cell_center(rho, staggering["rho"]))
+    out["rho"] = np.asarray(cell_center(rho, staggering["rho"], geom.n_cell))
 
+    origin = current_origin(state, cfg)
     ppc = jnp.zeros(geom.n_cell, dtype=f.Ex.dtype)
     for sp_cfg in cfg.species:
         sp = state.species[sp_cfg.name]
         if sp.capacity:
             ppc = ppc + count_particles_per_cell(
-                sp.positions(geom.ndim), sp.alive, geom
+                sp.positions(geom.ndim), sp.alive, geom, origin=origin
             )
     out["part_per_cell"] = np.asarray(ppc)
     return out

@@ -54,7 +54,9 @@ def _gaminv(ux, uy, uz):
 
 
 def _tap_idx(i0, T, n, wrap, offset):
-    idx = i0[:, None] + jnp.arange(T) + offset
+    # tap axis FIRST: (T, np) — keeps the large particle axis last so TPU
+    # (8,128) tiling does not pad small tap dims (32x memory blowup otherwise)
+    idx = i0[None, :] + jnp.arange(T)[:, None] + offset
     return jnp.mod(idx, n) if wrap else idx
 
 
@@ -98,20 +100,21 @@ def deposit_rho(
             )
         else:
             idxs.append([starts[d] + taps[d] + offset for d in range(ndim)])
-    values = jnp.stack(vals, axis=-1)
+    values = jnp.stack(vals, axis=0)  # (ntaps, np): particle axis last
     idx_per_dim = [
-        jnp.stack([ix[d] for ix in idxs], axis=-1) for d in range(ndim)
+        jnp.stack([ix[d] for ix in idxs], axis=0) for d in range(ndim)
     ]
     return _scatter_add(rho, idx_per_dim, values)
 
 
-def count_particles_per_cell(positions, alive, geom) -> jnp.ndarray:
+def count_particles_per_cell(positions, alive, geom, origin=None) -> jnp.ndarray:
     """Particle count per cell (diag 'part_per_cell')."""
     ndim = geom.ndim
+    lo = origin if origin is not None else geom.prob_lo
     idx = [
         jnp.clip(
             jnp.floor(
-                (positions[d] - geom.prob_lo[d]) / geom.dx[d]
+                (positions[d] - lo[d]) / geom.dx[d]
             ).astype(jnp.int32),
             0,
             geom.n_cell[d] - 1,
@@ -123,13 +126,66 @@ def count_particles_per_cell(positions, alive, geom) -> jnp.ndarray:
 
 
 def _tap_arrays(x_new, x_old, order):
-    """Stacked Esirkepov tap weights: (i0, SN, SO) with SN/SO of shape (np, T)."""
+    """Stacked Esirkepov tap weights: (i0, SN, SO) with SN/SO of shape (T, np)."""
     i0, s_new, s_old = esirkepov_weights(x_new, x_old, order)
-    return i0, jnp.stack(s_new, axis=-1), jnp.stack(s_old, axis=-1)
+    return i0, jnp.stack(s_new, axis=0), jnp.stack(s_old, axis=0)
 
 
 def deposit_current_esirkepov(
     positions: Sequence[jnp.ndarray],
+    ux, uy, uz, w,
+    q: float,
+    geom,
+    dt: float,
+    order: int,
+    relative_time: float | None = None,
+    origin=None,
+    wrap: bool = True,
+    offset: int = 0,
+    out_shape=None,
+    chunk_size: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Charge-conserving current deposition (chunked driver).
+
+    chunk_size bounds the (np, (order+3)^ndim) tap intermediates: large
+    particle counts are deposited in fixed-size chunks accumulated with a
+    fori_loop, keeping peak memory flat without changing results (scatter-add
+    is associative per-chunk; same dtype accumulation).
+    """
+    n = w.shape[0]
+    if chunk_size is None or n <= chunk_size:
+        return _esirkepov_body(
+            positions, ux, uy, uz, w, q, geom, dt, order,
+            relative_time, origin, wrap, offset, out_shape,
+        )
+    import jax
+    from jax import lax
+
+    nchunks = -(-n // chunk_size)
+    pad = nchunks * chunk_size - n
+
+    def padded(a, fill=0.0):
+        return jnp.pad(a, (0, pad), constant_values=fill) if pad else a
+
+    pos_p = [padded(p, 0.5 * (geom.prob_lo[d] + geom.prob_hi[d]))
+             for d, p in enumerate(positions)]
+    ux_p, uy_p, uz_p, w_p = padded(ux), padded(uy), padded(uz), padded(w)
+
+    def body(c, J3):
+        sl = lambda a: lax.dynamic_slice_in_dim(a, c * chunk_size, chunk_size)  # noqa: E731
+        jx, jy, jz = _esirkepov_body(
+            [sl(p) for p in pos_p], sl(ux_p), sl(uy_p), sl(uz_p), sl(w_p),
+            q, geom, dt, order, relative_time, origin, wrap, offset, out_shape,
+        )
+        return (J3[0] + jx, J3[1] + jy, J3[2] + jz)
+
+    shape = out_shape or geom.n_cell
+    init = tuple(jnp.zeros(shape, w.dtype) for _ in range(3))
+    return lax.fori_loop(0, nchunks, body, init)
+
+
+def _esirkepov_body(
+    positions,
     ux, uy, uz, w,
     q: float,
     geom,
@@ -178,16 +234,17 @@ def deposit_current_esirkepov(
         i0x, SNx, SOx = _tap_arrays(new_g[0], old_g[0], order)
         i0y, SNy, SOy = _tap_arrays(new_g[1], old_g[1], order)
         i0z, SNz, SOz = _tap_arrays(new_g[2], old_g[2], order)
-        CUMx = jnp.cumsum(SOx - SNx, axis=-1)
-        CUMy = jnp.cumsum(SOy - SNy, axis=-1)
-        CUMz = jnp.cumsum(SOz - SNz, axis=-1)
+        # tap axes lead; particle axis is last throughout: (Tx,Ty,Tz,np)
+        CUMx = jnp.cumsum(SOx - SNx, axis=0)
+        CUMy = jnp.cumsum(SOy - SNy, axis=0)
+        CUMz = jnp.cumsum(SOz - SNz, axis=0)
 
         def tmix(SA_n, SA_o, SB_n, SB_o):
-            # (np, T, T): 1/3(SnA SnB + SoA SoB) + 1/6(SnA SoB + SoA SnB)
+            # (Ta, Tb, np)
             return (
-                (SA_n[:, :, None] * SB_n[:, None, :] + SA_o[:, :, None] * SB_o[:, None, :])
+                (SA_n[:, None] * SB_n[None, :] + SA_o[:, None] * SB_o[None, :])
                 / 3.0
-                + (SA_n[:, :, None] * SB_o[:, None, :] + SA_o[:, :, None] * SB_n[:, None, :])
+                + (SA_n[:, None] * SB_o[None, :] + SA_o[:, None] * SB_n[None, :])
                 / 6.0
             )
 
@@ -195,16 +252,16 @@ def deposit_current_esirkepov(
         Txz = tmix(SNx, SOx, SNz, SOz)
         Txy = tmix(SNx, SOx, SNy, SOy)
 
-        valx = (wq * invdtd[0])[:, None, None, None] * CUMx[:, :, None, None] * Tyz[:, None, :, :]
-        valy = (wq * invdtd[1])[:, None, None, None] * CUMy[:, None, :, None] * Txz[:, :, None, :]
-        valz = (wq * invdtd[2])[:, None, None, None] * CUMz[:, None, None, :] * Txy[:, :, :, None]
+        valx = (wq * invdtd[0]) * CUMx[:, None, None] * Tyz[None, :, :]
+        valy = (wq * invdtd[1]) * CUMy[None, :, None] * Txz[:, None, :]
+        valz = (wq * invdtd[2]) * CUMz[None, None, :] * Txy[:, :, None]
 
         ix = _tap_idx(i0x, T, n_cell[0], wrap, offset)
         iy = _tap_idx(i0y, T, n_cell[1], wrap, offset)
         iz = _tap_idx(i0z, T, n_cell[2], wrap, offset)
-        IX = jnp.broadcast_to(ix[:, :, None, None], valx.shape)
-        IY = jnp.broadcast_to(iy[:, None, :, None], valx.shape)
-        IZ = jnp.broadcast_to(iz[:, None, None, :], valx.shape)
+        IX = jnp.broadcast_to(ix[:, None, None], valx.shape)
+        IY = jnp.broadcast_to(iy[None, :, None], valx.shape)
+        IZ = jnp.broadcast_to(iz[None, None, :], valx.shape)
 
         jx = _scatter_add(jnp.zeros(shape, dtype), [IX, IY, IZ], valx)
         jy = _scatter_add(jnp.zeros(shape, dtype), [IX, IY, IZ], valy)
@@ -225,25 +282,21 @@ def deposit_current_esirkepov(
         zo = zn - dt / dxs[1] * vz
         i0x, SNx, SOx = _tap_arrays(xn, xo, order)
         i0z, SNz, SOz = _tap_arrays(zn, zo, order)
-        CUMx = jnp.cumsum(SOx - SNx, axis=-1)
-        CUMz = jnp.cumsum(SOz - SNz, axis=-1)
+        CUMx = jnp.cumsum(SOx - SNx, axis=0)
+        CUMz = jnp.cumsum(SOz - SNz, axis=0)
 
         mixxz = (
-            (SNx[:, :, None] * SNz[:, None, :] + SOx[:, :, None] * SOz[:, None, :]) / 3.0
-            + (SNx[:, :, None] * SOz[:, None, :] + SOx[:, :, None] * SNz[:, None, :]) / 6.0
+            (SNx[:, None] * SNz[None, :] + SOx[:, None] * SOz[None, :]) / 3.0
+            + (SNx[:, None] * SOz[None, :] + SOx[:, None] * SNz[None, :]) / 6.0
         )
-        valx = (wq * invdtd_x)[:, None, None] * CUMx[:, :, None] * (
-            0.5 * (SNz + SOz)
-        )[:, None, :]
-        valy = (wq * vy * invvol)[:, None, None] * mixxz
-        valz = (wq * invdtd_z)[:, None, None] * CUMz[:, None, :] * (
-            0.5 * (SNx + SOx)
-        )[:, :, None]
+        valx = (wq * invdtd_x) * CUMx[:, None] * (0.5 * (SNz + SOz))[None, :]
+        valy = (wq * vy * invvol) * mixxz
+        valz = (wq * invdtd_z) * CUMz[None, :] * (0.5 * (SNx + SOx))[:, None]
 
         ix = _tap_idx(i0x, T, n_cell[0], wrap, offset)
         iz = _tap_idx(i0z, T, n_cell[1], wrap, offset)
-        IX = jnp.broadcast_to(ix[:, :, None], valx.shape)
-        IZ = jnp.broadcast_to(iz[:, None, :], valx.shape)
+        IX = jnp.broadcast_to(ix[:, None], valx.shape)
+        IZ = jnp.broadcast_to(iz[None, :], valx.shape)
         jx = _scatter_add(jnp.zeros(shape, dtype), [IX, IZ], valx)
         jy = _scatter_add(jnp.zeros(shape, dtype), [IX, IZ], valy)
         jz = _scatter_add(jnp.zeros(shape, dtype), [IX, IZ], valz)
@@ -258,10 +311,10 @@ def deposit_current_esirkepov(
     zn = (positions[0] - lo_corner[0] + (relative_time + 0.5 * dt) * vz) / dz
     zo = zn - dt / dz * vz
     i0z, SNz, SOz = _tap_arrays(zn, zo, order)
-    CUMz = jnp.cumsum(SOz - SNz, axis=-1)
-    valx = (wq * vx * invvol)[:, None] * 0.5 * (SOz + SNz)
-    valy = (wq * vy * invvol)[:, None] * 0.5 * (SOz + SNz)
-    valz = (wq / dt)[:, None] * CUMz
+    CUMz = jnp.cumsum(SOz - SNz, axis=0)
+    valx = (wq * vx * invvol) * 0.5 * (SOz + SNz)
+    valy = (wq * vy * invvol) * 0.5 * (SOz + SNz)
+    valz = (wq / dt) * CUMz
     iz = _tap_idx(i0z, T, n_cell[0], wrap, offset)
     jx = _scatter_add(jnp.zeros(shape, dtype), [iz], valx)
     jy = _scatter_add(jnp.zeros(shape, dtype), [iz], valy)
@@ -328,9 +381,9 @@ def deposit_current_direct(
                 )
             else:
                 idxs.append([starts[d] + taps[d] + offset for d in range(ndim)])
-        values = jnp.stack(vals, axis=-1)
+        values = jnp.stack(vals, axis=0)  # (ntaps, np): particle axis last
         idx_per_dim = [
-            jnp.stack([ix[d] for ix in idxs], axis=-1) for d in range(ndim)
+            jnp.stack([ix[d] for ix in idxs], axis=0) for d in range(ndim)
         ]
         out.append(
             _scatter_add(jnp.zeros(shape, dtype=w.dtype), idx_per_dim, values)

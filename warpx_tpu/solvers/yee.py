@@ -34,9 +34,15 @@ def _down(F, axis, inv_d):
 
 
 def compute_dt_yee(geom, cfl: float) -> float:
-    """CFL timestep (reference: CartesianYeeAlgorithm.H ComputeMaxDt:48-56)."""
-    s = sum(1.0 / (d * d) for d in geom.dx)
-    return cfl / (_c * (s ** 0.5))
+    """CFL timestep, bit-identical to the reference arithmetic
+    (CartesianYeeAlgorithm.H:48-56: deltat = 1/(sqrt(sum 1/dx_i^2)*c), then
+    WarpXComputeDt.cpp: dt = cfl*deltat — the rounding order matters for
+    moving-window shift counts on boundary-crossing steps)."""
+    s = 0.0
+    for d in geom.dx:
+        s += 1.0 / (d * d)
+    deltat = 1.0 / ((s ** 0.5) * _c)
+    return cfl * deltat
 
 
 def evolve_b(fields: FieldState, geom, dt: float) -> FieldState:
