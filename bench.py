@@ -23,17 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 A100_REFERENCE_PUSHES_PER_SEC = 1.0e9
 
 
-def main():
+def run_once(n, ppc, steps):
     import jax
     import numpy as np
 
     from warpx_tpu.core.config import SimConfig, SpeciesConfig
     from warpx_tpu.core.grid import Geometry
     from warpx_tpu.core.simulation import Simulation
-
-    n = int(os.environ.get("BENCH_NCELL", 96))
-    ppc = int(os.environ.get("BENCH_PPC", 2))
-    steps = int(os.environ.get("BENCH_STEPS", 10))
 
     lx = 40e-6
     geom = Geometry(
@@ -88,19 +84,44 @@ def main():
 
     steps_per_sec = steps / best
     pushes_per_sec = n_particles * steps_per_sec
+    return {
+        "metric": "particle_pushes_per_sec_per_chip",
+        "value": pushes_per_sec,
+        "unit": "pushes/s",
+        "vs_baseline": pushes_per_sec / A100_REFERENCE_PUSHES_PER_SEC,
+        "detail": {
+            "n_cell": n,
+            "n_particles": n_particles,
+            "steps_per_sec": steps_per_sec,
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
+def main():
+    """Try descending problem sizes; the TPU tunnel in this environment can
+    fault on large compiles, so report the best size that completes."""
+    n = int(os.environ.get("BENCH_NCELL", 96))
+    ppc = int(os.environ.get("BENCH_PPC", 2))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+    attempts = [(n, ppc, steps), (64, 2, 10), (64, 1, 10), (32, 1, 5)]
+    last_err = None
+    for (nn, pp, ss) in attempts:
+        try:
+            result = run_once(nn, pp, ss)
+            print(json.dumps(result))
+            return
+        except Exception as e:  # noqa: BLE001 - tunnel faults are opaque
+            last_err = e
+            continue
     print(
         json.dumps(
             {
                 "metric": "particle_pushes_per_sec_per_chip",
-                "value": pushes_per_sec,
+                "value": 0.0,
                 "unit": "pushes/s",
-                "vs_baseline": pushes_per_sec / A100_REFERENCE_PUSHES_PER_SEC,
-                "detail": {
-                    "n_cell": n,
-                    "n_particles": n_particles,
-                    "steps_per_sec": steps_per_sec,
-                    "device": str(jax.devices()[0]),
-                },
+                "vs_baseline": 0.0,
+                "error": str(last_err)[:200],
             }
         )
     )

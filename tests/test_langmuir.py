@@ -66,3 +66,24 @@ def test_1d_laser_acceleration():
         os.path.join(GOLDEN, "test_1d_laser_acceleration.json"),
         rtol=1e-9,
     )
+
+
+@pytest.mark.parametrize(
+    "name,rtol",
+    [
+        ("test_2d_langmuir_multi_nodal", 1e-9),
+        ("test_2d_langmuir_multi_psatd", 1e-6),
+        ("test_2d_langmuir_multi_psatd_nodal", 1e-6),
+        ("test_2d_langmuir_multi_psatd_current_correction", 1e-8),
+        ("test_2d_langmuir_multi_psatd_current_correction_nodal", 1e-8),
+        ("test_2d_langmuir_multi_psatd_momentum_conserving", 1e-6),
+    ],
+)
+def test_langmuir_variants(name, rtol):
+    """PSATD / nodal-grid / momentum-conserving / current-correction variants.
+
+    PSATD tolerances are 1e-6..1e-8 instead of the double-precision 1e-9:
+    the FFT implementation (XLA vs FFTW) rounds differently and the
+    accumulated drift over 80 steps sits at ~5e-8 (the reference's own
+    single-precision gate is 2e-6)."""
+    run_and_check(name, rtol=rtol)

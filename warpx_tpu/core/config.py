@@ -134,6 +134,11 @@ class SimConfig:
     end_moving_window_step: int = -1
     lasers: Tuple[LaserConfig, ...] = ()
     pml_ncell: int = 10
+    # PSATD knobs (reference: WarpX.cpp:1409-1520)
+    psatd_order: int = 16  # -1 = infinite order (periodic single box)
+    psatd_update_with_rho: bool = False
+    psatd_current_correction: bool = False
+    psatd_periodic_single_box: bool = False
 
     @property
     def galerkin(self) -> bool:

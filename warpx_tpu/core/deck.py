@@ -153,6 +153,12 @@ def config_from_deck(deck: Deck) -> SimConfig:
         periodic=periodic,
     )
 
+    grid_type = (
+        deck.get_string("warpx.grid_type", "staggered") or "staggered"
+    ).lower()
+    if grid_type == "hybrid":
+        raise NotImplementedError("hybrid grid type")
+
     max_step = deck.get_int("max_step", deck.get_int("warpx.max_step", 0))
     cfl = deck.get_real("warpx.cfl", 0.999)
     const_dt = deck.get_real("warpx.const_dt", None)
@@ -168,17 +174,38 @@ def config_from_deck(deck: Deck) -> SimConfig:
     if const_dt is not None:
         dt = const_dt
     else:
-        from ..solvers.yee import compute_dt_yee
+        from ..solvers.yee import compute_dt_ckc, compute_dt_yee
 
         if em_solver == "psatd":
             dt = cfl * min(geom.dx) / 299_792_458.0
+        elif em_solver == "ckc" and grid_type != "collocated":
+            dt = compute_dt_ckc(geom, cfl)
         else:
+            # Yee and collocated (nodal) share the same CFL formula
             dt = compute_dt_yee(geom, cfl)
 
     grid_type = (deck.get_string("warpx.grid_type", "staggered") or "staggered").lower()
-    if grid_type == "hybrid":
-        raise NotImplementedError("hybrid grid type")
 
+    # default deposition depends on the solver (reference: WarpX.cpp:1614-1621
+    # "its default depends on the solver selection"): Direct for PSATD /
+    # hybrid / electrostatic, Esirkepov otherwise
+    es_solver = (deck.get_string("algo.do_electrostatic", "none") or "none").lower()
+    dep_default = (
+        "direct"
+        if (solver == "psatd" or solver == "hybrid" or es_solver != "none")
+        else "esirkepov"
+    )
+    current_dep = (
+        deck.get_string("algo.current_deposition", dep_default) or dep_default
+    ).lower()
+    psatd_single_box = deck.get_bool("psatd.periodic_single_box_fft", False)
+    psatd_order = deck.get_int("psatd.nox", -1 if psatd_single_box else 16)
+    dive_cleaning = deck.get_bool("warpx.do_dive_cleaning", False)
+    cc_default = not (
+        current_dep in ("esirkepov", "villasenor", "vay") or dive_cleaning
+    )
+    psatd_cc = deck.get_bool("psatd.current_correction", cc_default)
+    psatd_update_rho = deck.get_bool("psatd.update_with_rho", dive_cleaning)
     pusher = (deck.get_string("algo.particle_pusher", "boris") or "boris").lower()
     species_names = deck.get_strings("particles.species_names", [])
     import dataclasses
@@ -217,9 +244,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
         dt=dt,
         particle_shape=deck.get_int("algo.particle_shape", 1),
         em_solver=em_solver,
-        current_deposition=(
-            deck.get_string("algo.current_deposition", "esirkepov") or "esirkepov"
-        ).lower(),
+        current_deposition=current_dep,
         field_gathering=(
             deck.get_string("algo.field_gathering", "energy-conserving")
             or "energy-conserving"
@@ -241,4 +266,8 @@ def config_from_deck(deck: Deck) -> SimConfig:
         end_moving_window_step=deck.get_int("warpx.end_moving_window_step", -1),
         lasers=lasers,
         pml_ncell=deck.get_int("pml_ncell", deck.get_int("warpx.pml_ncell", 10)),
+        psatd_order=psatd_order,
+        psatd_update_with_rho=psatd_update_rho,
+        psatd_current_correction=psatd_cc,
+        psatd_periodic_single_box=psatd_single_box,
     )

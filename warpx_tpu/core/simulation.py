@@ -41,6 +41,7 @@ class Simulation:
         self.state: SimState | None = None
         self.is_synchronized = True
         self.is_bounded = self._needs_bounded_kernels(cfg)
+        self.psatd = None
         if self.is_bounded:
             from .bounded_step import make_bounded_kernels
 
@@ -49,9 +50,26 @@ class Simulation:
             )
             self._step = None
         else:
+            psatd = None
+            if cfg.em_solver == "psatd":
+                from ..solvers.psatd import PsatdSolver
+
+                psatd = PsatdSolver(
+                    cfg.geometry,
+                    self.staggering,
+                    cfg.dt,
+                    n_order=-1 if cfg.psatd_periodic_single_box else cfg.psatd_order,
+                    collocated_grid=(cfg.grid_type == "collocated"),
+                    update_with_rho=cfg.psatd_update_with_rho,
+                    current_correction=cfg.psatd_current_correction,
+                    dtype=self.dtype,
+                )
+            self.psatd = psatd
             # fast periodic-torus path
             self._step = jax.jit(
-                functools.partial(pic_step, cfg=cfg, staggering=self.staggering)
+                functools.partial(
+                    pic_step, cfg=cfg, staggering=self.staggering, psatd=psatd
+                )
             )
             self._step_main = self._step
             self._step_window = None
@@ -204,13 +222,15 @@ class Simulation:
         from ..diagnostics.fields import cell_centered_output
 
         return cell_centered_output(
-            self.state, self.cfg, self.staggering
+            self.state, self.cfg, self.staggering, psatd=self.psatd
         )
 
     def checksums(self) -> Dict[str, Dict[str, float]]:
         from ..diagnostics.checksum import compute_checksums
 
-        return compute_checksums(self.state, self.cfg, self.staggering)
+        return compute_checksums(
+            self.state, self.cfg, self.staggering, psatd=self.psatd
+        )
 
 
 class DistSimulation(Simulation):

@@ -36,6 +36,20 @@ def _field_dict(fields: FieldState):
     }
 
 
+def _nodal_aux(farr: Dict, staggering: Dict) -> Dict:
+    """Average staggered fields to the nodal grid for momentum-conserving
+    gathering (reference: WarpXComm.cpp UpdateAuxilaryDataStagToNodal with the
+    default 2nd-order centering; periodic torus roll form)."""
+    out = {}
+    for name, arr in farr.items():
+        a = arr
+        for d, flag in enumerate(staggering[name]):
+            if flag == 0:  # cell-centered in d: average to nodes
+                a = 0.5 * (a + jnp.roll(a, 1, axis=d))
+        out[name] = a
+    return out
+
+
 def wrap_positions(sp: ParticleState, geom) -> ParticleState:
     """Periodic particle boundary: wrap into [lo, hi) on every active axis.
 
@@ -61,6 +75,10 @@ def push_momenta_half(
     """
     geom = cfg.geometry
     farr = _field_dict(state.fields)
+    gather_stag = staggering
+    if cfg.field_gathering == "momentum-conserving":
+        farr = _nodal_aux(farr, staggering)
+        gather_stag = {k: (1,) * geom.ndim for k in staggering}
     new_species = {}
     for sp_cfg in cfg.species:
         sp = state.species[sp_cfg.name]
@@ -69,7 +87,7 @@ def push_momenta_half(
             continue
         pos = sp.positions(geom.ndim)
         ex, ey, ez, bx, by, bz = gather_eb(
-            pos, farr, staggering, geom, cfg.particle_shape, cfg.galerkin
+            pos, farr, gather_stag, geom, cfg.particle_shape, cfg.galerkin
         )
         pusher = PUSHERS[sp_cfg.pusher]
         ux, uy, uz = pusher(
@@ -80,11 +98,27 @@ def push_momenta_half(
     return state.replace(species=new_species)
 
 
-def pic_step(state: SimState, cfg: SimConfig, staggering: Dict) -> SimState:
+def pic_step(
+    state: SimState, cfg: SimConfig, staggering: Dict, psatd=None
+) -> SimState:
     """One explicit electromagnetic PIC step (periodic boundaries)."""
     geom = cfg.geometry
     dt = cfg.dt
     farr = _field_dict(state.fields)
+    gather_stag = staggering
+    if cfg.field_gathering == "momentum-conserving":
+        farr = _nodal_aux(farr, staggering)
+        gather_stag = {k: (1,) * geom.ndim for k in staggering}
+
+    need_rho = cfg.em_solver == "psatd" and (
+        cfg.psatd_current_correction or cfg.psatd_update_with_rho
+    )
+    rho_old = rho_new = None
+    if need_rho:
+        from ..ops.deposit import deposit_rho
+
+        rho_old = jnp.zeros(geom.n_cell, state.fields.Ex.dtype)
+        rho_new = jnp.zeros(geom.n_cell, state.fields.Ex.dtype)
 
     j_total = None
     new_species = {}
@@ -94,12 +128,20 @@ def pic_step(state: SimState, cfg: SimConfig, staggering: Dict) -> SimState:
             new_species[sp_cfg.name] = sp
             continue
         pos = sp.positions(geom.ndim)
+        if need_rho and not sp_cfg.do_not_deposit:
+            from ..ops.deposit import deposit_rho
+
+            w_eff0 = jnp.where(sp.alive, sp.w, 0.0)
+            rho_old = deposit_rho(
+                pos, w_eff0, sp_cfg.charge, geom, cfg.particle_shape,
+                out=rho_old,
+            )
         if sp_cfg.do_not_gather:
             zeros = jnp.zeros_like(sp.ux)
             ex = ey = ez = bx = by = bz = zeros
         else:
             ex, ey, ez, bx, by, bz = gather_eb(
-                pos, farr, staggering, geom, cfg.particle_shape, cfg.galerkin
+                pos, farr, gather_stag, geom, cfg.particle_shape, cfg.galerkin
             )
         if sp_cfg.do_not_push:
             ux, uy, uz = sp.ux, sp.uy, sp.uz
@@ -131,6 +173,15 @@ def pic_step(state: SimState, cfg: SimConfig, staggering: Dict) -> SimState:
                 else (j_total[0] + jx, j_total[1] + jy, j_total[2] + jz)
             )
 
+        if need_rho and not sp_cfg.do_not_deposit:
+            from ..ops.deposit import deposit_rho
+
+            w_eff1 = jnp.where(sp.alive, sp.w, 0.0)
+            rho_new = deposit_rho(
+                new_pos, w_eff1, sp_cfg.charge, geom, cfg.particle_shape,
+                out=rho_new,
+            )
+
         sp_new = sp.replace(ux=ux, uy=uy, uz=uz)
         sp_new = sp_new.with_positions(geom.ndim, new_pos)
         new_species[sp_cfg.name] = wrap_positions(sp_new, geom)
@@ -140,12 +191,32 @@ def pic_step(state: SimState, cfg: SimConfig, staggering: Dict) -> SimState:
         dtype = state.fields.Ex.dtype
         j_total = tuple(jnp.zeros(shape, dtype) for _ in range(3))
 
+    if cfg.use_filter:
+        from ..solvers.filter import bilinear_filter
+
+        npass = cfg.filter_npass_each_dir or (1,) * geom.ndim
+        j_total = tuple(bilinear_filter(a, npass) for a in j_total)
+
     fields = state.fields.replace(jx=j_total[0], jy=j_total[1], jz=j_total[2])
 
-    # Field advance: B half, E full, B half (WarpXEvolve.cpp:418-446)
-    fields = yee.evolve_b(fields, geom, 0.5 * dt)
-    fields = yee.evolve_e(fields, geom, dt)
-    fields = yee.evolve_b(fields, geom, 0.5 * dt)
+    if cfg.em_solver == "psatd":
+        # analytic k-space advance (WarpXPushFieldsEM.cpp:717 PushPSATD)
+        if need_rho and cfg.use_filter:
+            from ..solvers.filter import bilinear_filter
+
+            npass = cfg.filter_npass_each_dir or (1,) * geom.ndim
+            rho_old = bilinear_filter(rho_old, npass)
+            rho_new = bilinear_filter(rho_new, npass)
+        fields = psatd.push(
+            fields, (rho_old, rho_new) if need_rho else None
+        )
+    else:
+        # Field advance: B half, E full, B half (WarpXEvolve.cpp:418-446);
+        # collocated grids use centered differences (CartesianNodalAlgorithm)
+        algo = "nodal" if cfg.grid_type == "collocated" else cfg.em_solver
+        fields = yee.evolve_b(fields, geom, 0.5 * dt, algo)
+        fields = yee.evolve_e(fields, geom, dt, algo)
+        fields = yee.evolve_b(fields, geom, 0.5 * dt, algo)
 
     return state.replace(
         fields=fields,

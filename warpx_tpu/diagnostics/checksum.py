@@ -23,10 +23,10 @@ __all__ = ["compute_checksums", "compare_checksums"]
 
 
 def compute_checksums(
-    state: SimState, cfg: SimConfig, staggering: Dict
+    state: SimState, cfg: SimConfig, staggering: Dict, psatd=None
 ) -> Dict[str, Dict[str, float]]:
     data: Dict[str, Dict[str, float]] = {}
-    fields = cell_centered_output(state, cfg, staggering)
+    fields = cell_centered_output(state, cfg, staggering, psatd=psatd)
     data["lev=0"] = {
         name: float(np.sum(np.abs(arr))) for name, arr in fields.items()
     }

@@ -134,22 +134,53 @@ def deposit_total_rho(state: SimState, cfg: SimConfig) -> jnp.ndarray:
 
 
 def cell_centered_output(
-    state: SimState, cfg: SimConfig, staggering: Dict
+    state: SimState, cfg: SimConfig, staggering: Dict, psatd=None
 ) -> Dict[str, np.ndarray]:
     f = state.fields
     out = {}
     geom = cfg.geometry
-    for name, arr in (
-        ("Ex", f.Ex), ("Ey", f.Ey), ("Ez", f.Ez),
-        ("Bx", f.Bx), ("By", f.By), ("Bz", f.Bz),
-        ("jx", f.jx), ("jy", f.jy), ("jz", f.jz),
-    ):
+    # the full diagnostics read E,B from the AUX fields (CellCenterFunctor is
+    # constructed on Efield_aux/Bfield_aux): nodal-averaged for
+    # momentum-conserving gathering, identical to fp otherwise
+    mc = cfg.field_gathering == "momentum-conserving"
+    if mc:
+        from ..core.step import _field_dict, _nodal_aux
+
+        aux = _nodal_aux(_field_dict(f), staggering)
+        nodal_flags = (1,) * geom.ndim
+        for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
+            out[name] = np.asarray(
+                cell_center(aux[name], nodal_flags, geom.n_cell)
+            )
+    else:
+        for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
+            out[name] = np.asarray(
+                cell_center(getattr(f, name), staggering[name], geom.n_cell)
+            )
+    for name in ("jx", "jy", "jz"):
         out[name] = np.asarray(
-            cell_center(arr, staggering[name], geom.n_cell)
+            cell_center(getattr(f, name), staggering[name], geom.n_cell)
         )
 
     rho = deposit_total_rho(state, cfg)
     out["rho"] = np.asarray(cell_center(rho, staggering["rho"], geom.n_cell))
+
+    # divE (nodal) / divB (cell-centered) derived diagnostics
+    # (reference: DivEFunctor -> WarpX::ComputeDivE — spectral i k.E under
+    # PSATD, finite differences otherwise; DivBFunctor)
+    all_periodic = all(
+        (cfg.field_bc_lo[d] if cfg.field_bc_lo else "periodic") == "periodic"
+        for d in range(geom.ndim)
+    )
+    if all_periodic:
+        from ..solvers import yee as _yee
+
+        if cfg.em_solver == "psatd" and psatd is not None:
+            div_e = psatd.spectral_div_e(f)
+        else:
+            div_e = _yee.compute_div_e(f, geom)
+        out["divE"] = np.asarray(cell_center(div_e, (1,) * geom.ndim, geom.n_cell))
+        out["divB"] = np.asarray(_yee.compute_div_b(f, geom))
 
     origin = current_origin(state, cfg)
     ppc = jnp.zeros(geom.n_cell, dtype=f.Ex.dtype)

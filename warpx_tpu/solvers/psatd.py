@@ -1,0 +1,312 @@
+"""PSATD pseudo-spectral analytical time-domain Maxwell solver.
+
+Reimplements the reference's standard (J-constant-in-time) PSATD algorithm
+(Source/FieldSolver/SpectralSolver/SpectralAlgorithms/
+PsatdAlgorithmJConstantInTime.cpp): per-step the fields are FFT-ed over the
+guard-grown box (guards filled periodically), pushed analytically in k-space
+with precomputed coefficients, and transformed back:
+
+  E+ = C E + i c^2 S_ck (k x B) - S_ck/eps0 J - i (X2 rho_new - X3 rho_old) k
+  B+ = C B - i S_ck (k x E) + i X1 (k x J)
+  C = cos(w dt), S_ck = sin(w dt)/w, w = c |k_mod|
+  X1 = (1-C)/(eps0 w^2); X2 = c^2 (dt-S_ck)/(eps0 dt w^2);
+  X3 = c^2 (dt C-S_ck)/(eps0 dt w^2)          (:300-380, w_c = 0 branch)
+
+with update_with_rho=0 the rho terms use rho_old = i eps0 k.E and
+rho_new = rho_old - i k.J dt (:247-259).  Finite-order stencils enter as
+modified k vectors built from Fornberg coefficients
+(SpectralKSpace.cpp:191-266; WarpX.cpp:3119 getFornbergStencilCoefficients),
+with ngFFT = nox_fft/2 guard cells on staggered grids
+(GuardCellManager.cpp:205-208).  Staggered components are shifted to nodal in
+k-space by exp(-+ i k dx/2) factors during the transforms
+(SpectralKSpace.cpp:140-176).
+
+All coefficients are precomputed host-side in f64 at trace time; the per-step
+work is FFTs + elementwise complex math, which XLA maps well to the TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import c as _c
+from ..constants import ep0 as _ep0
+
+__all__ = ["PsatdSolver", "fornberg_coefficients", "modified_k"]
+
+_c2 = _c * _c
+
+
+def fornberg_coefficients(n_order: int, collocated: bool) -> np.ndarray:
+    """Fornberg stencil coefficients by recurrence (WarpX.cpp:3119-3160)."""
+    m = n_order // 2
+    coeffs = np.zeros(m)
+    if collocated:
+        coeffs[0] = m * 2.0 / (m + 1)
+        for n in range(1, m):
+            coeffs[n] = -(m - n) * 1.0 / (m + n + 1) * coeffs[n - 1]
+    else:
+        prod = 1.0
+        for k in range(1, m + 1):
+            prod *= (m + k) / (4.0 * k)
+        coeffs[0] = 4.0 * m * prod * prod
+        for n in range(1, m):
+            coeffs[n] = (
+                -((2 * n - 1) * (m - n)) * 1.0 / ((2 * n + 1) * (m + n)) * coeffs[n - 1]
+            )
+    return coeffs
+
+
+def modified_k(k: np.ndarray, dx: float, n_order: int, collocated: bool) -> np.ndarray:
+    """Finite-order modified k (SpectralKSpace.cpp:191-266); n_order==-1 is
+    the infinite-order (exact) case."""
+    if n_order == -1:
+        return k.copy()
+    coeffs = fornberg_coefficients(n_order, collocated)
+    out = np.zeros_like(k)
+    for n, cf in enumerate(coeffs):
+        if collocated:
+            out += cf * np.sin(k * (n + 1) * dx) / ((n + 1) * dx)
+        else:
+            out += cf * np.sin(k * (n + 0.5) * dx) / ((n + 0.5) * dx)
+    if collocated:
+        # enforce exactly-zero modified k at the Nyquist frequency
+        N = k.shape[0]
+        if N % 2 == 0:
+            out[N // 2] = 0.0
+    return out
+
+
+class PsatdSolver:
+    """Periodic-padded single-shard PSATD push (standard, non-Galilean)."""
+
+    def __init__(
+        self,
+        geom,
+        staggering: Dict,
+        dt: float,
+        n_order: int = 16,
+        collocated_grid: bool = False,
+        update_with_rho: bool = False,
+        current_correction: bool = False,
+        dtype=jnp.float64,
+    ):
+        self.geom = geom
+        self.staggering = staggering
+        self.dt = dt
+        self.update_with_rho = update_with_rho
+        self.current_correction = current_correction
+        ndim = geom.ndim
+        # guard cells: nox_fft/2 staggered, nox_fft collocated
+        # (GuardCellManager.cpp:205-208); infinite order -> periodic single box
+        if n_order == -1:
+            self.ng = 0
+        else:
+            self.ng = n_order if collocated_grid else n_order // 2
+        self.n_fft = tuple(geom.n_cell[d] + 2 * self.ng for d in range(ndim))
+
+        # k vectors of the grown box, modified-k, shifts, coefficients
+        ks = []
+        kmods = []
+        shifts_fwd = []
+        for d in range(ndim):
+            k = 2.0 * np.pi * np.fft.fftfreq(self.n_fft[d], d=geom.dx[d])
+            if d == 0 and self.n_fft[d] % 2 == 0:
+                # the reference's R2C transform halves its first axis and
+                # keeps the Nyquist wavenumber POSITIVE (SpectralKSpace.cpp
+                # "the first axis contains only the positive k"); with a full
+                # complex FFT + real projection this only changes the Nyquist
+                # bin, where we must match the +pi/dx convention
+                k = k.copy()
+                k[self.n_fft[d] // 2] = abs(k[self.n_fft[d] // 2])
+            ks.append(k)
+            kmods.append(modified_k(k, geom.dx[d], n_order, collocated_grid))
+            shifts_fwd.append(np.exp(-1j * k * 0.5 * geom.dx[d]))
+        self._kmod = [
+            jnp.asarray(self._bcast(kmods[d], d, ndim)) for d in range(ndim)
+        ]
+        self._shift_fwd = [
+            jnp.asarray(self._bcast(shifts_fwd[d], d, ndim)) for d in range(ndim)
+        ]
+        self._shift_bwd = [
+            jnp.asarray(self._bcast(np.conj(shifts_fwd[d]), d, ndim))
+            for d in range(ndim)
+        ]
+
+        # coefficient arrays over the grown box
+        kmod_full = np.zeros(self.n_fft)
+        for d in range(ndim):
+            kmod_full = kmod_full + self._np_bcast(kmods[d], d, ndim) ** 2
+        knorm = np.sqrt(kmod_full)
+        om = _c * knorm
+        om2 = om * om
+        C = np.cos(om * dt)
+        S_ck = np.where(om != 0.0, np.sin(om * dt) / np.where(om == 0, 1, om), dt)
+        X1 = np.where(om != 0.0, (1.0 - C) / (_ep0 * np.where(om2 == 0, 1, om2)),
+                      0.5 * dt * dt / _ep0)
+        X2 = np.where(
+            om != 0.0,
+            _c2 * (dt - S_ck) / (_ep0 * dt * np.where(om2 == 0, 1, om2)),
+            _c2 * dt * dt / (6.0 * _ep0),
+        )
+        X3 = np.where(
+            om != 0.0,
+            _c2 * (dt * C - S_ck) / (_ep0 * dt * np.where(om2 == 0, 1, om2)),
+            -_c2 * dt * dt / (3.0 * _ep0),
+        )
+        self._C = jnp.asarray(C)
+        self._S_ck = jnp.asarray(S_ck)
+        self._X1 = jnp.asarray(X1)
+        self._X2 = jnp.asarray(X2)
+        self._X3 = jnp.asarray(X3)
+        # 1/k^2 with zero at k=0 (current correction)
+        inv_k2 = np.where(kmod_full != 0.0, 1.0 / np.where(kmod_full == 0, 1, kmod_full), 0.0)
+        self._inv_k2 = jnp.asarray(inv_k2)
+
+    @staticmethod
+    def _bcast(v, d, ndim):
+        shape = [1] * ndim
+        shape[d] = v.shape[0]
+        return v.reshape(shape)
+
+    @staticmethod
+    def _np_bcast(v, d, ndim):
+        shape = [1] * ndim
+        shape[d] = v.shape[0]
+        return v.reshape(shape)
+
+    # --------------------------------------------------------------- helpers
+    def _pad(self, arr):
+        """Periodic pad by ng per side (the guard fill before the per-box FFT)."""
+        if self.ng == 0:
+            return arr
+        return jnp.pad(arr, [(self.ng, self.ng)] * arr.ndim, mode="wrap")
+
+    def _crop(self, arr):
+        if self.ng == 0:
+            return arr
+        sl = tuple(slice(self.ng, s - self.ng) for s in arr.shape)
+        return arr[sl]
+
+    def forward(self, arr, comp_name):
+        """Real field -> k-space nodal representation."""
+        F = jnp.fft.fftn(self._pad(arr))
+        for d in range(self.geom.ndim):
+            if self.staggering[comp_name][d] == 0:  # cell-centered in d
+                F = F * self._shift_fwd[d]
+        return F
+
+    def backward(self, F, comp_name):
+        for d in range(self.geom.ndim):
+            if self.staggering[comp_name][d] == 0:
+                F = F * self._shift_bwd[d]
+        return self._crop(jnp.fft.ifftn(F).real)
+
+    def _k3(self):
+        """(kx, ky, kz) modified-k broadcastable over the full xyz triple,
+        with zeros for inactive axes."""
+        ndim = self.geom.ndim
+        zero = 0.0
+        if ndim == 3:
+            return self._kmod[0], self._kmod[1], self._kmod[2]
+        if ndim == 2:
+            return self._kmod[0], zero, self._kmod[1]
+        return zero, zero, self._kmod[0]
+
+    def spectral_div_e(self, fields):
+        """Nodal div(E) via i k.E in spectral space (SpectralSolver::
+        ComputeSpectralDivE, used by the divE diagnostic under PSATD)."""
+        E = [self.forward(getattr(fields, nm), nm) for nm in ("Ex", "Ey", "Ez")]
+        kx, ky, kz = self._k3()
+        D = 1j * (kx * E[0] + ky * E[1] + kz * E[2])
+        return self._crop(jnp.fft.ifftn(D).real)
+
+    # ------------------------------------------------------------------ push
+    def push(self, fields, rho_pair=None):
+        """One PSATD step: E,B <- analytic k-space advance with J (and rho).
+
+        rho_pair = (rho_old_real, rho_new_real) nodal arrays when current
+        correction or update_with_rho is active.
+        """
+        names_e = ("Ex", "Ey", "Ez")
+        names_b = ("Bx", "By", "Bz")
+        names_j = ("jx", "jy", "jz")
+        E = [self.forward(getattr(fields, nm), nm) for nm in names_e]
+        B = [self.forward(getattr(fields, nm), nm) for nm in names_b]
+        J = [self.forward(getattr(fields, nm), nm) for nm in names_j]
+        kx, ky, kz = self._k3()
+        dt = self.dt
+        I = 1j
+
+        rho_old_k = rho_new_k = None
+        if rho_pair is not None:
+            rho_old_k = self.forward(rho_pair[0], "rho")
+            rho_new_k = self.forward(rho_pair[1], "rho")
+
+        corrected_j = None
+        if self.current_correction:
+            # F = [k.J - i (rho_new - rho_old)/dt] / k^2; J <- J - F k
+            # (PsatdAlgorithmJConstantInTime::CurrentCorrection:719-800);
+            # the corrected J is also transformed back to real space
+            # (PSATDBackwardTransformJ) and becomes the diagnostic current
+            k_dot_J = kx * J[0] + ky * J[1] + kz * J[2]
+            F = (k_dot_J - I * (rho_new_k - rho_old_k) / dt) * self._inv_k2
+            J = [J[0] - F * kx, J[1] - F * ky, J[2] - F * kz]
+            corrected_j = {
+                nm: self.backward(Jc, nm) for nm, Jc in zip(names_j, J)
+            }
+
+        k_dot_E = kx * E[0] + ky * E[1] + kz * E[2]
+        k_dot_J = kx * J[0] + ky * J[1] + kz * J[2]
+        if self.update_with_rho:
+            rho_old = rho_old_k
+            rho_new = rho_new_k
+        else:
+            rho_old = I * _ep0 * k_dot_E
+            rho_new = rho_old - I * k_dot_J * dt
+
+        C, S_ck, X1, X2, X3 = self._C, self._S_ck, self._X1, self._X2, self._X3
+        rho_fac = X2 * rho_new - X3 * rho_old
+
+        Ex = (
+            C * E[0]
+            + I * _c2 * S_ck * (ky * B[2] - kz * B[1])
+            - S_ck / _ep0 * J[0]
+            - I * rho_fac * kx
+        )
+        Ey = (
+            C * E[1]
+            + I * _c2 * S_ck * (kz * B[0] - kx * B[2])
+            - S_ck / _ep0 * J[1]
+            - I * rho_fac * ky
+        )
+        Ez = (
+            C * E[2]
+            + I * _c2 * S_ck * (kx * B[1] - ky * B[0])
+            - S_ck / _ep0 * J[2]
+            - I * rho_fac * kz
+        )
+        Bx = C * B[0] - I * S_ck * (ky * E[2] - kz * E[1]) + I * X1 * (
+            ky * J[2] - kz * J[1]
+        )
+        By = C * B[1] - I * S_ck * (kz * E[0] - kx * E[2]) + I * X1 * (
+            kz * J[0] - kx * J[2]
+        )
+        Bz = C * B[2] - I * S_ck * (kx * E[1] - ky * E[0]) + I * X1 * (
+            kx * J[1] - ky * J[0]
+        )
+
+        out = fields.replace(
+            Ex=self.backward(Ex, "Ex"),
+            Ey=self.backward(Ey, "Ey"),
+            Ez=self.backward(Ez, "Ez"),
+            Bx=self.backward(Bx, "Bx"),
+            By=self.backward(By, "By"),
+            Bz=self.backward(Bz, "Bz"),
+        )
+        if corrected_j is not None:
+            out = out.replace(**corrected_j)
+        return out

@@ -20,7 +20,10 @@ from ..constants import c as _c
 from ..constants import mu0 as _mu0
 from ..core.state import FieldState
 
-__all__ = ["evolve_b", "evolve_e", "compute_dt_yee", "compute_div_e", "compute_div_b"]
+__all__ = [
+    "evolve_b", "evolve_e", "compute_dt_yee", "compute_dt_ckc",
+    "compute_div_e", "compute_div_b",
+]
 
 _c2 = _c * _c
 
@@ -31,6 +34,86 @@ def _up(F, axis, inv_d):
 
 def _down(F, axis, inv_d):
     return (F - jnp.roll(F, 1, axis)) * inv_d
+
+
+def compute_dt_ckc(geom, cfl: float) -> float:
+    """CKC timestep (CartesianCKCAlgorithm.H ComputeMaxDt: min cell size /c)."""
+    return cfl * (min(geom.dx) / _c)
+
+
+def _ckc_coefs(geom):
+    """Cole-Karkkainen-Cowan stencil coefficients
+    (CartesianCKCAlgorithm.H:36-105, Cowan PRST-AB 16, 041303)."""
+    ndim = geom.ndim
+    if ndim == 3:
+        inv = [1.0 / d for d in geom.dx]
+        delta = max(inv)
+        rx, ry, rz = [(v / delta) ** 2 for v in inv]
+        beta = 0.125 * (1.0 - rx * ry * rz / (ry * rz + rz * rx + rx * ry))
+        inv_r = 1.0 / (ry * rz + rz * rx + rx * ry)
+        gx = ry * rz * (0.0625 - 0.125 * ry * rz * inv_r)
+        gy = rx * rz * (0.0625 - 0.125 * rx * rz * inv_r)
+        gz = rx * ry * (0.0625 - 0.125 * rx * ry * inv_r)
+        return {
+            "alphax": (1 - 2 * ry * beta - 2 * rz * beta - 4 * gx) * inv[0],
+            "alphay": (1 - 2 * rx * beta - 2 * rz * beta - 4 * gy) * inv[1],
+            "alphaz": (1 - 2 * rx * beta - 2 * ry * beta - 4 * gz) * inv[2],
+            "betaxy": ry * beta * inv[0], "betaxz": rz * beta * inv[0],
+            "betayx": rx * beta * inv[1], "betayz": rz * beta * inv[1],
+            "betazx": rx * beta * inv[2], "betazy": ry * beta * inv[2],
+            "gammax": gx * inv[0], "gammay": gy * inv[1], "gammaz": gz * inv[2],
+        }
+    if ndim == 2:
+        inv = [1.0 / d for d in geom.dx]
+        delta = max(inv)
+        rx, rz = (inv[0] / delta) ** 2, (inv[1] / delta) ** 2
+        beta = 0.125
+        return {
+            "alphax": (1 - 2 * rz * beta) * inv[0],
+            "alphaz": (1 - 2 * rx * beta) * inv[1],
+            "betaxz": beta * rz * inv[0], "betazx": beta * rx * inv[1],
+        }
+    return {"alphaz": 1.0 / geom.dx[0]}
+
+
+def _up_ckc(F, daxis, coefs, geom, prefix):
+    """CKC extended upward difference along array axis ``daxis``."""
+    ndim = geom.ndim
+    def sh(arr, ax, n):
+        return jnp.roll(arr, -n, ax) if n else arr
+    d1 = lambda arr, ax: jnp.roll(arr, -1, ax) - arr  # noqa: E731
+    if ndim == 3:
+        others = [a for a in range(3) if a != daxis]
+        a, b = others
+        alpha = coefs["alpha" + prefix[0]]
+        beta_a = coefs["beta" + prefix[0] + "xyz"[a]]
+        beta_b = coefs["beta" + prefix[0] + "xyz"[b]]
+        gamma = coefs["gamma" + prefix[0]]
+        base = d1(F, daxis)
+        term = alpha * base
+        term = term + beta_a * (jnp.roll(base, -1, a) + jnp.roll(base, 1, a))
+        term = term + beta_b * (jnp.roll(base, -1, b) + jnp.roll(base, 1, b))
+        term = term + gamma * (
+            jnp.roll(jnp.roll(base, -1, a), -1, b)
+            + jnp.roll(jnp.roll(base, 1, a), -1, b)
+            + jnp.roll(jnp.roll(base, -1, a), 1, b)
+            + jnp.roll(jnp.roll(base, 1, a), 1, b)
+        )
+        return term
+    if ndim == 2:
+        other = 1 - daxis
+        alpha = coefs["alpha" + prefix[0]]
+        beta = coefs["betaxz"] if daxis == 0 else coefs["betazx"]
+        base = d1(F, daxis)
+        return alpha * base + beta * (
+            jnp.roll(base, -1, other) + jnp.roll(base, 1, other)
+        )
+    return coefs["alphaz"] * d1(F, 0)
+
+
+def _centered(F, axis, inv_d):
+    """Collocated-grid centered difference (CartesianNodalAlgorithm.H)."""
+    return 0.5 * inv_d * (jnp.roll(F, -1, axis) - jnp.roll(F, 1, axis))
 
 
 def compute_dt_yee(geom, cfl: float) -> float:
@@ -45,9 +128,45 @@ def compute_dt_yee(geom, cfl: float) -> float:
     return cfl * deltat
 
 
-def evolve_b(fields: FieldState, geom, dt: float) -> FieldState:
+def evolve_b(fields: FieldState, geom, dt: float, algo: str = "yee") -> FieldState:
     ndim = geom.ndim
     Ex, Ey, Ez = fields.Ex, fields.Ey, fields.Ez
+    if algo == "nodal":
+        inv = [1.0 / d for d in geom.dx]
+        if ndim == 3:
+            Bx = fields.Bx + dt * (_centered(Ey, 2, inv[2]) - _centered(Ez, 1, inv[1]))
+            By = fields.By + dt * (_centered(Ez, 0, inv[0]) - _centered(Ex, 2, inv[2]))
+            Bz = fields.Bz + dt * (_centered(Ex, 1, inv[1]) - _centered(Ey, 0, inv[0]))
+        elif ndim == 2:
+            Bx = fields.Bx + dt * _centered(Ey, 1, inv[1])
+            By = fields.By + dt * (_centered(Ez, 0, inv[0]) - _centered(Ex, 1, inv[1]))
+            Bz = fields.Bz - dt * _centered(Ey, 0, inv[0])
+        else:
+            Bx = fields.Bx + dt * _centered(Ey, 0, inv[0])
+            By = fields.By - dt * _centered(Ex, 0, inv[0])
+            Bz = fields.Bz
+        return fields.replace(Bx=Bx, By=By, Bz=Bz)
+    if algo == "ckc":
+        coefs = _ckc_coefs(geom)
+        if ndim == 3:
+            upx = lambda F: _up_ckc(F, 0, coefs, geom, "x")  # noqa: E731
+            upy = lambda F: _up_ckc(F, 1, coefs, geom, "y")  # noqa: E731
+            upz = lambda F: _up_ckc(F, 2, coefs, geom, "z")  # noqa: E731
+            Bx = fields.Bx + dt * (upz(Ey) - upy(Ez))
+            By = fields.By + dt * (upx(Ez) - upz(Ex))
+            Bz = fields.Bz + dt * (upy(Ex) - upx(Ey))
+        elif ndim == 2:
+            upx = lambda F: _up_ckc(F, 0, coefs, geom, "x")  # noqa: E731
+            upz = lambda F: _up_ckc(F, 1, coefs, geom, "z")  # noqa: E731
+            Bx = fields.Bx + dt * upz(Ey)
+            By = fields.By + dt * (upx(Ez) - upz(Ex))
+            Bz = fields.Bz - dt * upx(Ey)
+        else:
+            upz = lambda F: _up_ckc(F, 0, coefs, geom, "z")  # noqa: E731
+            Bx = fields.Bx + dt * upz(Ey)
+            By = fields.By - dt * upz(Ex)
+            Bz = fields.Bz
+        return fields.replace(Bx=Bx, By=By, Bz=Bz)
     if ndim == 3:
         idx, idy, idz = (1.0 / d for d in geom.dx)
         ax, ay, az = 0, 1, 2
@@ -68,11 +187,29 @@ def evolve_b(fields: FieldState, geom, dt: float) -> FieldState:
     return fields.replace(Bx=Bx, By=By, Bz=Bz)
 
 
-def evolve_e(fields: FieldState, geom, dt: float) -> FieldState:
+def evolve_e(fields: FieldState, geom, dt: float, algo: str = "yee") -> FieldState:
     ndim = geom.ndim
     Bx, By, Bz = fields.Bx, fields.By, fields.Bz
     jx, jy, jz = fields.jx, fields.jy, fields.jz
     k = _c2 * dt
+    if algo == "nodal":
+        inv = [1.0 / d for d in geom.dx]
+        if ndim == 3:
+            Ex = fields.Ex + k * (_centered(Bz, 1, inv[1]) - _centered(By, 2, inv[2]) - _mu0 * jx)
+            Ey = fields.Ey + k * (_centered(Bx, 2, inv[2]) - _centered(Bz, 0, inv[0]) - _mu0 * jy)
+            Ez = fields.Ez + k * (_centered(By, 0, inv[0]) - _centered(Bx, 1, inv[1]) - _mu0 * jz)
+        elif ndim == 2:
+            Ex = fields.Ex + k * (-_centered(By, 1, inv[1]) - _mu0 * jx)
+            Ey = fields.Ey + k * (_centered(Bx, 1, inv[1]) - _centered(Bz, 0, inv[0]) - _mu0 * jy)
+            Ez = fields.Ez + k * (_centered(By, 0, inv[0]) - _mu0 * jz)
+        else:
+            inv_z = inv[0]
+            Ex = fields.Ex + k * (-_centered(By, 0, inv_z) - _mu0 * jx)
+            Ey = fields.Ey + k * (_centered(Bx, 0, inv_z) - _mu0 * jy)
+            Ez = fields.Ez + k * (-_mu0 * jz)
+        return fields.replace(Ex=Ex, Ey=Ey, Ez=Ez)
+    # ckc uses the plain Yee downward differences for E (CartesianCKCAlgorithm
+    # DownwardD* are the ordinary staggered differences)
     if ndim == 3:
         idx, idy, idz = (1.0 / d for d in geom.dx)
         ax, ay, az = 0, 1, 2
