@@ -36,6 +36,7 @@ from ..solvers.filter import bilinear_filter_padded
 from ..utils.expression import compile_expression
 from .boundaries import fill_guards_pec, is_tangential
 from .config import SimConfig
+from .domain import DomainLayout
 from .laser import update_antenna
 from .state import SimState
 
@@ -64,19 +65,9 @@ def guard_width(cfg: SimConfig) -> int:
     return ng
 
 
-def field_shapes(geom, staggering, bc_lo) -> Dict[str, tuple]:
-    """Per-component valid shapes: +1 in bounded dims where nodal."""
-    ndim = geom.ndim
-    bounded = [
-        (bc_lo[d] if bc_lo else "periodic") != "periodic" for d in range(ndim)
-    ]
-    out = {}
-    for name, flags in staggering.items():
-        out[name] = tuple(
-            geom.n_cell[d] + (1 if (flags[d] == 1 and bounded[d]) else 0)
-            for d in range(ndim)
-        )
-    return out
+def field_shapes(cfg, staggering) -> Dict[str, tuple]:
+    """Per-component allocated shapes (PML strips + wall nodes included)."""
+    return DomainLayout.from_config(cfg).field_shapes(staggering)
 
 
 def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
@@ -97,11 +88,40 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
     wdir = cfg.moving_window_dir
     bounded = [bc_lo[d] != "periodic" for d in range(ndim)]
 
-    shapes = field_shapes(geom, staggering, bc_lo)
+    layout = DomainLayout.from_config(cfg)
+    shapes = layout.field_shapes(staggering)
+    ext_lo = [layout.ext_lo(d) for d in range(ndim)]
+    # allocated cell extent per dim (staggered comps), nodal gets +1
+    n_ext = [n_cell[d] + ext_lo[d] + layout.ext_hi(d) for d in range(ndim)]
     # common deposition target: covers the nodal top in bounded dims
     big_shape = tuple(
-        n_cell[d] + (1 if bounded[d] else 0) + 2 * ng for d in range(ndim)
+        n_ext[d] + (1 if bounded[d] else 0) + 2 * ng for d in range(ndim)
     )
+    static_origin = layout.static_origin()
+
+    # --- PML machinery: split-field ownership masks and damping factors
+    has_pml = layout.has_pml
+    if has_pml:
+        eb_names = ("Ex", "Ey", "Ez", "Bx", "By", "Bz")
+        pml_mask = {
+            nm: jnp.asarray(layout.in_pml_mask(staggering[nm]))
+            for nm in eb_names
+        }
+        sig_node, sig_star = {}, {}
+        for d in range(ndim):
+            fn, fs = layout.sigma_factors(d, dt)
+            sig_node[d], sig_star[d] = fn, fs
+
+        def damp_factor(comp, dd):
+            """exp(-sigma dt) broadcast along dim dd for split comp:dd
+            (warpx_damp_pml_*: staggered in dd -> star, nodal -> node)."""
+            nodal = staggering[comp][dd] == 1
+            arr = sig_node[dd] if nodal else sig_star[dd]
+            cnt = shapes[comp][dd]
+            v = arr[:cnt]
+            shape = [1] * ndim
+            shape[dd] = cnt
+            return jnp.asarray(v.reshape(shape))
 
     attr_fns = {}
     for sp_cfg in cfg.species:
@@ -120,6 +140,15 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
 
     # ---------------------------------------------------------------- helpers
     def origin_of(state):
+        """Array-origin coordinates (index 0, including PML strips)."""
+        out = list(static_origin)
+        if cfg.do_moving_window:
+            out[wdir] = (
+                state.aux["window_lo"] - ext_lo[wdir] * dxs[wdir]
+            )
+        return out
+
+    def phys_lo_of(state):
         out = list(geom.prob_lo)
         if cfg.do_moving_window:
             out[wdir] = state.aux["window_lo"]
@@ -163,11 +192,11 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 mirror_tang = not tang
             if bc_lo[d] == "pec":
                 out = fill_guards_pec(
-                    out, d, ng, n_cell[d], nodal, mirror_tang, "lo", zero_wall
+                    out, d, ng, n_ext[d], nodal, mirror_tang, "lo", zero_wall
                 )
             if bc_hi[d] == "pec":
                 out = fill_guards_pec(
-                    out, d, ng, n_cell[d], nodal, mirror_tang, "hi", zero_wall
+                    out, d, ng, n_ext[d], nodal, mirror_tang, "hi", zero_wall
                 )
         return out
 
@@ -194,30 +223,35 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 out = out[sl(ng, ng + nv)]
         return out
 
+    def curl_term(out_name, term, pads, coef):
+        """One curl contribution (sgn * coef * d(in)/d(dd)) for out_name."""
+        (sgn, in_name, dd_xyz, kind) = term
+        nv = shapes[out_name]
+        dd = axes.index(dd_xyz)
+        P = pads[in_name]
+        sl_a = []
+        sl_b = []
+        for d in range(ndim):
+            cnt = nv[d]
+            if d == dd:
+                if kind == "up":
+                    a, b = ng + 1, ng
+                else:
+                    a, b = ng, ng - 1
+            else:
+                a = b = ng
+            sl_a.append(slice(a, a + cnt))
+            sl_b.append(slice(b, b + cnt))
+        diff = P[tuple(sl_a)] - P[tuple(sl_b)]
+        return (sgn * coef / dxs[dd]) * diff
+
     def curl_terms(out_name, terms, pads, coef):
         """Accumulate curl contributions for output comp ``out_name``."""
-        nv = shapes[out_name]
-        total = jnp.zeros(nv, dtype)
-        for (sgn, in_name, dd_xyz, kind) in terms:
-            if dd_xyz not in axes:
+        total = jnp.zeros(shapes[out_name], dtype)
+        for term in terms:
+            if term[2] not in axes:
                 continue
-            dd = axes.index(dd_xyz)
-            P = pads[in_name]
-            sl_a = []
-            sl_b = []
-            for d in range(ndim):
-                cnt = nv[d]
-                if d == dd:
-                    if kind == "up":
-                        a, b = ng + 1, ng
-                    else:
-                        a, b = ng, ng - 1
-                else:
-                    a = b = ng
-                sl_a.append(slice(a, a + cnt))
-                sl_b.append(slice(b, b + cnt))
-            diff = P[tuple(sl_a)] - P[tuple(sl_b)]
-            total = total + (sgn * coef / dxs[dd]) * diff
+            total = total + curl_term(out_name, term, pads, coef)
         return total
 
     def enforce_walls(fields):
@@ -345,37 +379,75 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             jx=j_valid[0], jy=j_valid[1], jz=j_valid[2]
         )
 
-        # --- field advance: B half, E full, B half
-        def advance_b(fields, dth):
-            pads = {
-                nm: pad_eb(getattr(fields, nm), nm)
-                for nm in ("Ex", "Ey", "Ez")
-            }
-            upd = {}
-            for nm in ("Bx", "By", "Bz"):
-                upd[nm] = getattr(fields, nm) + dth * curl_terms(
-                    nm, _B_TERMS[nm], pads, 1.0
-                )
-            return fields.replace(**upd)
+        # --- field advance: B half, E full, B half; PML strips evolve the
+        # Berenger split fields (EvolveBPML.cpp/EvolveEPML.cpp: each split
+        # part integrates one curl term of the TOTAL fields) and are damped
+        # once per step (DampPML); the totals in the strips are the split
+        # sums, realizing the reference's domain<->PML Exchange via shared
+        # storage.
+        aux = dict(state.aux)
 
-        def advance_e(fields):
-            pads = {
-                nm: pad_eb(getattr(fields, nm), nm)
-                for nm in ("Bx", "By", "Bz")
-            }
+        def advance(fields, out_names, terms_map, in_names, coef, dth,
+                    with_j=False):
+            pads = {nm: pad_eb(getattr(fields, nm), nm) for nm in in_names}
             jmap = dict(zip(("Ex", "Ey", "Ez"), ("jx", "jy", "jz")))
             upd = {}
-            for nm in ("Ex", "Ey", "Ez"):
-                upd[nm] = (
-                    getattr(fields, nm)
-                    + dt * curl_terms(nm, _E_TERMS[nm], pads, _c2)
-                    - dt * _c2 * _mu0 * getattr(fields, jmap[nm])
+            for nm in out_names:
+                reg = getattr(fields, nm) + dth * curl_terms(
+                    nm, terms_map[nm], pads, coef
                 )
+                if with_j:
+                    reg = reg - dth * _c2 * _mu0 * getattr(fields, jmap[nm])
+                if has_pml:
+                    tot = jnp.zeros(shapes[nm], dtype)
+                    for term in terms_map[nm]:
+                        if term[2] not in axes:
+                            continue
+                        key = f"pml:{nm}:{term[2]}"
+                        split = pml_mask[nm] * (
+                            aux[key] + dth * curl_term(nm, term, pads, coef)
+                        )
+                        aux[key] = split
+                        tot = tot + split
+                    upd[nm] = jnp.where(pml_mask[nm] > 0, tot, reg)
+                else:
+                    upd[nm] = reg
             return fields.replace(**upd)
 
-        fields = advance_b(fields, 0.5 * dt)
-        fields = advance_e(fields)
-        fields = advance_b(fields, 0.5 * dt)
+        fields = advance(
+            fields, ("Bx", "By", "Bz"), _B_TERMS, ("Ex", "Ey", "Ez"), 1.0,
+            0.5 * dt,
+        )
+        fields = advance(
+            fields, ("Ex", "Ey", "Ez"), _E_TERMS, ("Bx", "By", "Bz"), _c2,
+            dt, with_j=True,
+        )
+        fields = advance(
+            fields, ("Bx", "By", "Bz"), _B_TERMS, ("Ex", "Ey", "Ez"), 1.0,
+            0.5 * dt,
+        )
+
+        if has_pml:
+            # DampPML: damp each split along its own direction, refresh totals
+            upd = {}
+            for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
+                terms = (_E_TERMS if nm[0] == "E" else _B_TERMS)[nm]
+                tot = jnp.zeros(shapes[nm], dtype)
+                any_split = False
+                for term in terms:
+                    if term[2] not in axes:
+                        continue
+                    key = f"pml:{nm}:{term[2]}"
+                    dd = axes.index(term[2])
+                    aux[key] = aux[key] * damp_factor(nm, dd)
+                    tot = tot + aux[key]
+                    any_split = True
+                if any_split:
+                    upd[nm] = jnp.where(
+                        pml_mask[nm] > 0, tot, getattr(fields, nm)
+                    )
+            fields = fields.replace(**upd)
+
         fields = enforce_walls(fields)
 
         return state.replace(
@@ -383,6 +455,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             species=new_species,
             step=state.step + 1,
             time=state.time + dt,
+            aux=aux,
         )
 
     # ----------------------------------------------------------- step_window
@@ -398,7 +471,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
         idx = jax.lax.broadcasted_iota(jnp.int32, arr.shape, wdir)
         return jnp.where(idx >= n_val - num_shift, 0.0, rolled)
 
-    def continuous_injection(state, sp_cfg, sp, origin, new_hi):
+    def continuous_injection(state, sp_cfg, sp, phys_lo, new_hi):
         """Inject plasma into newly uncovered whole cells at the window top
         (WarpXMovingWindow.cpp:395-440 + AddPlasma layout)."""
         key = f"inject_pos:{sp_cfg.name}"
@@ -424,7 +497,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
         for d in range(ndim):
             if d == wdir:
                 cell_idx = jnp.arange(n_cell[wdir] - K, n_cell[wdir])
-                grids.append(origin[wdir] + cell_idx.astype(dtype) * dz)
+                grids.append(phys_lo[wdir] + cell_idx.astype(dtype) * dz)
             else:
                 grids.append(
                     geom.prob_lo[d]
@@ -542,6 +615,9 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 name: shift_field(getattr(f, name), num_shift)
                 for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz")
             }
+            for key in list(aux):
+                if key.startswith("pml:"):
+                    aux[key] = shift_field(aux[key], num_shift)
             jx, jy, jz = jax.lax.cond(
                 move_j,
                 lambda js: tuple(shift_field(a, num_shift) for a in js),
@@ -550,7 +626,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             )
             upd.update(jx=jx, jy=jy, jz=jz)
             state = state.replace(fields=f.replace(**upd), aux=aux)
-            new_origin = origin_of(state)
+            new_phys_lo = phys_lo_of(state)
             new_hi = domain_hi_of(state)
 
             new_species = dict(state.species)
@@ -558,12 +634,12 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 if not sp_cfg.do_continuous_injection or is_laser[sp_cfg.name]:
                     continue
                 state, sp = continuous_injection(
-                    state, sp_cfg, new_species[sp_cfg.name], new_origin, new_hi
+                    state, sp_cfg, new_species[sp_cfg.name], new_phys_lo, new_hi
                 )
                 new_species[sp_cfg.name] = sp
             state = state.replace(species=new_species)
 
-        origin = origin_of(state)
+        origin = phys_lo_of(state)
         hi = domain_hi_of(state)
         new_species = {}
         for sp_cfg in cfg.species:

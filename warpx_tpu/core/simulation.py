@@ -110,7 +110,7 @@ class Simulation:
         if self.is_bounded:
             from .bounded_step import field_shapes
 
-            shapes = field_shapes(geom, self.staggering, cfg.field_bc_lo)
+            shapes = field_shapes(cfg, self.staggering)
         else:
             shapes = {
                 nm: geom.n_cell
@@ -178,6 +178,23 @@ class Simulation:
             aux["window_offset"] = jnp.zeros((), jnp.int32)
             aux["window_lo"] = jnp.asarray(geom.prob_lo[wdir], self.dtype)
             aux["window_hi"] = jnp.asarray(geom.prob_hi[wdir], self.dtype)
+        if self.is_bounded:
+            from .domain import DomainLayout
+
+            layout = DomainLayout.from_config(cfg)
+            if layout.has_pml:
+                # Berenger split fields, one part per curl term
+                from .bounded_step import _B_TERMS, _E_TERMS
+
+                axes = geom.axis_names
+                for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
+                    terms = (_E_TERMS if nm[0] == "E" else _B_TERMS)[nm]
+                    for term in terms:
+                        if term[2] not in axes:
+                            continue
+                        aux[f"pml:{nm}:{term[2]}"] = jnp.zeros(
+                            shapes[nm], self.dtype
+                        )
         self.state = SimState(
             fields=fields,
             species=species,

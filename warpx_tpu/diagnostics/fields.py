@@ -133,12 +133,31 @@ def deposit_total_rho(state: SimState, cfg: SimConfig) -> jnp.ndarray:
     return rho
 
 
+def _phys_crop(cfg, staggering):
+    """Per-component slices of the physical region (drops PML strips)."""
+    from ..core.domain import DomainLayout
+
+    layout = DomainLayout.from_config(cfg)
+    if not layout.has_pml:
+        return None
+    return {
+        name: layout.phys_slice(flags) for name, flags in staggering.items()
+    }
+
+
 def cell_centered_output(
     state: SimState, cfg: SimConfig, staggering: Dict, psatd=None
 ) -> Dict[str, np.ndarray]:
     f = state.fields
     out = {}
     geom = cfg.geometry
+    crops = _phys_crop(cfg, staggering)
+
+    def comp(name):
+        arr = getattr(f, name)
+        if crops is not None:
+            arr = arr[crops[name]]
+        return arr
     # the full diagnostics read E,B from the AUX fields (CellCenterFunctor is
     # constructed on Efield_aux/Bfield_aux): nodal-averaged for
     # momentum-conserving gathering, identical to fp otherwise
@@ -147,6 +166,8 @@ def cell_centered_output(
         from ..core.step import _field_dict, _nodal_aux
 
         aux = _nodal_aux(_field_dict(f), staggering)
+        if crops is not None:
+            aux = {k: v[crops[k]] for k, v in aux.items()}
         nodal_flags = (1,) * geom.ndim
         for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
             out[name] = np.asarray(
@@ -155,11 +176,11 @@ def cell_centered_output(
     else:
         for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
             out[name] = np.asarray(
-                cell_center(getattr(f, name), staggering[name], geom.n_cell)
+                cell_center(comp(name), staggering[name], geom.n_cell)
             )
     for name in ("jx", "jy", "jz"):
         out[name] = np.asarray(
-            cell_center(getattr(f, name), staggering[name], geom.n_cell)
+            cell_center(comp(name), staggering[name], geom.n_cell)
         )
 
     rho = deposit_total_rho(state, cfg)
