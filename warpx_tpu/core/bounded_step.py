@@ -281,6 +281,29 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
 
     is_laser = {sp.name: sp.injection_style == "laser" for sp in cfg.species}
     laser_cfg = {l.name: l for l in cfg.lasers}
+    is_es = cfg.electrostatic != "none"
+    mc_gather = cfg.field_gathering == "momentum-conserving"
+    nodal_stag = {k: (1,) * ndim for k in staggering}
+
+    def mc_aux_pads(farr_pad):
+        """Average padded staggered fields to nodal for momentum-conserving
+        gathering (UpdateAuxilaryDataStagToNodal on the padded block; the
+        first entry along each averaged dim is junk, covered by guards)."""
+        out = {}
+        for name, P in farr_pad.items():
+            a = P
+            for d, flag in enumerate(staggering[name]):
+                if flag == 0:
+                    lo = [slice(None)] * a.ndim
+                    hi = [slice(None)] * a.ndim
+                    lo[d] = slice(0, -1)
+                    hi[d] = slice(1, None)
+                    core = 0.5 * (a[tuple(lo)] + a[tuple(hi)])
+                    pad = [(0, 0)] * a.ndim
+                    pad[d] = (1, 0)
+                    a = jnp.pad(core, pad)
+            out[name] = a
+        return out
 
     # ------------------------------------------------------------- step_main
     def step_main(state: SimState) -> SimState:
@@ -289,6 +312,10 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             name: pad_eb(getattr(state.fields, name), name)
             for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz")
         }
+        gather_stag = staggering
+        if mc_gather:
+            farr_pad = mc_aux_pads(farr_pad)
+            gather_stag = nodal_stag
 
         j_total = None
         new_species = {}
@@ -311,7 +338,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                     e6 = (zeros,) * 6
                 else:
                     e6 = gather_eb(
-                        pos, farr_pad, staggering, geom, order,
+                        pos, farr_pad, gather_stag, geom, order,
                         cfg.galerkin, origin=origin, wrap=False, offset=ng,
                     )
                 if sp_cfg.do_not_push:
@@ -329,7 +356,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 )
                 q_eff = sp_cfg.charge
 
-            if not sp_cfg.do_not_deposit:
+            if not sp_cfg.do_not_deposit and not is_es:
                 w_eff = jnp.where(sp.alive, sp_new.w, 0.0)
                 if cfg.current_deposition == "esirkepov":
                     jx, jy, jz = deposit_current_esirkepov(
@@ -359,6 +386,16 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                     p = lo_g + jnp.mod(p - lo_g, hi_g - lo_g)
                 wrapped.append(p)
             new_species[sp_cfg.name] = sp_new.with_positions(ndim, wrapped)
+
+        if is_es:
+            # electrostatic: no deposition / field advance inside the step;
+            # the field solve happens after particle boundaries
+            # (WarpXEvolve.cpp:269-283)
+            return state.replace(
+                species=new_species,
+                step=state.step + 1,
+                time=state.time + dt,
+            )
 
         if j_total is None:
             j_valid = tuple(
@@ -682,6 +719,10 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             name: pad_eb(getattr(state.fields, name), name)
             for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz")
         }
+        gather_stag = staggering
+        if mc_gather:
+            farr_pad = mc_aux_pads(farr_pad)
+            gather_stag = nodal_stag
         new_species = {}
         for sp_cfg in cfg.species:
             sp = state.species[sp_cfg.name]
@@ -690,7 +731,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 continue
             pos = sp.positions(ndim)
             e6 = gather_eb(
-                pos, farr_pad, staggering, geom, order,
+                pos, farr_pad, gather_stag, geom, order,
                 cfg.galerkin, origin=origin, wrap=False, offset=ng,
             )
             pusher = PUSHERS[sp_cfg.pusher]
@@ -700,8 +741,35 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             new_species[sp_cfg.name] = sp.replace(ux=ux, uy=uy, uz=uz)
         return state.replace(species=new_species)
 
+    # ------------------------------------------------------------ ES solve
+    def solve_es(state: SimState) -> SimState:
+        """ComputeSpaceChargeField (WarpXSolveFieldsES.cpp:16): deposit rho,
+        Poisson solve with the per-dim boundary mix, E = -grad(phi)."""
+        from ..diagnostics.fields import deposit_total_rho
+        from ..solvers.electrostatic import PoissonSolver, phi_to_e
+
+        periodic = tuple(bc_lo[d] == "periodic" for d in range(ndim))
+        rho = deposit_total_rho(state, cfg)
+        solver = PoissonSolver(geom, periodic)
+        phi = solver.solve(rho)
+        e_active = phi_to_e(phi, geom, periodic)
+        # map active-axis E to components; transverse comps (e.g. Ey in 2D)
+        # stay zero
+        fields = state.fields
+        names = {1: ["Ez"], 2: ["Ex", "Ez"], 3: ["Ex", "Ey", "Ez"]}[ndim]
+        upd = {}
+        for nm, e in zip(names, e_active):
+            upd[nm] = e.astype(dtype)
+        zero_names = [
+            n for n in ("Ex", "Ey", "Ez") if n not in names
+        ]
+        for nm in zero_names:
+            upd[nm] = jnp.zeros(shapes[nm], dtype)
+        return state.replace(fields=fields.replace(**upd))
+
     return (
         jax.jit(step_main),
         jax.jit(step_window),
         jax.jit(half_push, static_argnames=("dt_half",)),
+        jax.jit(solve_es) if is_es else None,
     )

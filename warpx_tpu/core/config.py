@@ -134,6 +134,8 @@ class SimConfig:
     end_moving_window_step: int = -1
     lasers: Tuple[LaserConfig, ...] = ()
     pml_ncell: int = 10
+    # electrostatic solver (reference: ElectrostaticSolverAlgo)
+    electrostatic: str = "none"  # none | labframe | relativistic
     # PSATD knobs (reference: WarpX.cpp:1409-1520)
     psatd_order: int = 16  # -1 = infinite order (periodic single box)
     psatd_update_with_rho: bool = False

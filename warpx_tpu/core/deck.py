@@ -164,6 +164,18 @@ def config_from_deck(deck: Deck) -> SimConfig:
     const_dt = deck.get_real("warpx.const_dt", None)
 
     solver = (deck.get_string("algo.maxwell_solver", "yee") or "yee").lower()
+    es_solver = (
+        deck.get_string(
+            "warpx.do_electrostatic",
+            deck.get_string("algo.do_electrostatic", "none"),
+        )
+        or "none"
+    ).lower()
+    es_map = {
+        "none": "none", "labframe": "labframe", "relativistic": "relativistic",
+        "labframe-electromagnetostatic": "labframe", "labframe-effective-potential": "labframe",
+    }
+    es_solver = es_map.get(es_solver, es_solver)
     if solver == "none":
         em_solver = "none"
     elif solver in ("yee", "ckc", "psatd", "ect"):
@@ -171,6 +183,8 @@ def config_from_deck(deck: Deck) -> SimConfig:
     else:
         raise NotImplementedError(f"maxwell solver {solver}")
 
+    if es_solver != "none":
+        em_solver = "none"
     if const_dt is not None:
         dt = const_dt
     else:
@@ -189,7 +203,6 @@ def config_from_deck(deck: Deck) -> SimConfig:
     # default deposition depends on the solver (reference: WarpX.cpp:1614-1621
     # "its default depends on the solver selection"): Direct for PSATD /
     # hybrid / electrostatic, Esirkepov otherwise
-    es_solver = (deck.get_string("algo.do_electrostatic", "none") or "none").lower()
     dep_default = (
         "direct"
         if (solver == "psatd" or solver == "hybrid" or es_solver != "none")
@@ -266,6 +279,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
         end_moving_window_step=deck.get_int("warpx.end_moving_window_step", -1),
         lasers=lasers,
         pml_ncell=deck.get_int("pml_ncell", deck.get_int("warpx.pml_ncell", 10)),
+        electrostatic=es_solver,
         psatd_order=psatd_order,
         psatd_update_with_rho=psatd_update_rho,
         psatd_current_correction=psatd_cc,

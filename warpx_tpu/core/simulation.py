@@ -45,11 +45,12 @@ class Simulation:
         if self.is_bounded:
             from .bounded_step import make_bounded_kernels
 
-            self._step_main, self._step_window, self._half_push = (
+            self._step_main, self._step_window, self._half_push, self._solve_es = (
                 make_bounded_kernels(cfg, self.staggering, self.dtype)
             )
             self._step = None
         else:
+            self._solve_es = None
             psatd = None
             if cfg.em_solver == "psatd":
                 from ..solvers.psatd import PsatdSolver
@@ -90,6 +91,7 @@ class Simulation:
             or cfg.do_moving_window
             or bool(cfg.lasers)
             or cfg.use_filter
+            or cfg.electrostatic != "none"
         )
 
     # ------------------------------------------------------------------ setup
@@ -204,6 +206,9 @@ class Simulation:
             aux=aux,
         )
         self.is_synchronized = True
+        if getattr(self, "_solve_es", None) is not None:
+            # initial space-charge field (WarpXInitData.cpp:598)
+            self.state = self._solve_es(self.state)
         return self.state
 
     # ----------------------------------------------------------------- evolve
@@ -232,6 +237,10 @@ class Simulation:
                 self.state = self._step_window(
                     self.state, jnp.asarray(self.is_synchronized)
                 )
+            if getattr(self, "_solve_es", None) is not None:
+                # electrostatic field solve at the end of the PIC loop
+                # (WarpXEvolve.cpp:269-283)
+                self.state = self._solve_es(self.state)
         return self.state
 
     # ------------------------------------------------------------ diagnostics

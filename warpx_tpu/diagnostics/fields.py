@@ -133,6 +133,37 @@ def deposit_total_rho(state: SimState, cfg: SimConfig) -> jnp.ndarray:
     return rho
 
 
+def _nodal_aux_bounded(f, staggering, cfg):
+    """Nodal-averaged aux fields for momentum-conserving diagnostics, aware
+    of bounded dims: the wall value of a staggered (PEC-symmetric) component
+    is its first/last interior value (mirror average)."""
+    ndim = cfg.geometry.ndim
+    bc_lo = cfg.field_bc_lo or ("periodic",) * ndim
+    out = {}
+    for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
+        a = getattr(f, name)
+        for d, flag in enumerate(staggering[name]):
+            if flag != 0:
+                continue
+            if bc_lo[d] == "periodic":
+                a = 0.5 * (a + jnp.roll(a, 1, axis=d))
+            else:
+                lo = [slice(None)] * a.ndim
+                hi = [slice(None)] * a.ndim
+                lo[d] = slice(0, -1)
+                hi[d] = slice(1, None)
+                core = 0.5 * (a[tuple(lo)] + a[tuple(hi)])
+                first = [slice(None)] * a.ndim
+                first[d] = slice(0, 1)
+                last = [slice(None)] * a.ndim
+                last[d] = slice(a.shape[d] - 1, a.shape[d])
+                a = jnp.concatenate(
+                    [a[tuple(first)], core, a[tuple(last)]], axis=d
+                )
+        out[name] = a
+    return out
+
+
 def _phys_crop(cfg, staggering):
     """Per-component slices of the physical region (drops PML strips)."""
     from ..core.domain import DomainLayout
@@ -163,9 +194,7 @@ def cell_centered_output(
     # momentum-conserving gathering, identical to fp otherwise
     mc = cfg.field_gathering == "momentum-conserving"
     if mc:
-        from ..core.step import _field_dict, _nodal_aux
-
-        aux = _nodal_aux(_field_dict(f), staggering)
+        aux = _nodal_aux_bounded(f, staggering, cfg)
         if crops is not None:
             aux = {k: v[crops[k]] for k, v in aux.items()}
         nodal_flags = (1,) * geom.ndim
