@@ -1,0 +1,74 @@
+"""I/O tests: openPMD HDF5 layout, checkpoint/restart equivalence, reduced diags."""
+
+import os
+
+import numpy as np
+import pytest
+
+from warpx_tpu.core.simulation import Simulation
+from warpx_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+from .conftest import REFERENCE, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted"
+)
+
+DECK_1D = os.path.join(
+    REFERENCE, "Examples/Tests/langmuir/inputs_test_1d_langmuir_multi"
+)
+
+
+def test_checkpoint_restart_bitexact(tmp_path):
+    """Restarted run matches the uninterrupted run exactly (the analog of the
+    reference's restart regression tests, Examples/analysis_default_restart.py)."""
+    sim1 = Simulation.from_deck(DECK_1D, output_dir=str(tmp_path / "a"))
+    sim1.init()
+    sim1.evolve(40)
+    save_checkpoint(str(tmp_path / "chk"), sim1.state, sim1.is_synchronized)
+    sim1.evolve()  # to step 80
+
+    sim2 = Simulation.from_deck(DECK_1D, output_dir=str(tmp_path / "b"))
+    sim2.init()
+    sim2.state, sim2.is_synchronized = load_checkpoint(
+        str(tmp_path / "chk"), sim2.state
+    )
+    assert int(sim2.state.step) == 40
+    sim2.evolve()
+
+    f1, f2 = sim1.state.fields, sim2.state.fields
+    np.testing.assert_array_equal(np.asarray(f1.Ez), np.asarray(f2.Ez))
+    np.testing.assert_array_equal(
+        np.asarray(sim1.state.species["electrons"].z),
+        np.asarray(sim2.state.species["electrons"].z),
+    )
+
+
+def test_openpmd_output(tmp_path):
+    import h5py
+
+    sim = Simulation.from_deck(DECK_1D, output_dir=str(tmp_path / "diags"))
+    sim.init()
+    sim.evolve()
+    path = tmp_path / "diags" / "diag1.h5"
+    assert path.exists()
+    with h5py.File(path) as fh:
+        assert fh.attrs["openPMD"] == b"1.1.0"
+        it = fh["data/80"]
+        assert "E" in it["fields"] and "z" in it["fields/E"]
+        sums = float(np.abs(it["fields/E/z"][()]).sum())
+        assert sums > 0
+        assert "electrons" in it["particles"]
+
+
+def test_reduced_diags(tmp_path):
+    from warpx_tpu.diagnostics.reduced import REDUCED_DIAGS, compute_reduced
+
+    sim = Simulation.from_deck(DECK_1D, output_dir=str(tmp_path))
+    sim.init()
+    sim.evolve(10)
+    for kind in REDUCED_DIAGS:
+        vals = compute_reduced(kind, sim.state, sim.cfg, sim.staggering)
+        assert vals and all(np.isfinite(v) for v in vals.values()), kind
+    e = compute_reduced("FieldEnergy", sim.state, sim.cfg, sim.staggering)
+    assert e["total_lev0(J)"] > 0

@@ -96,12 +96,96 @@ class Simulation:
 
     # ------------------------------------------------------------------ setup
     @classmethod
-    def from_deck(cls, deck: Deck | str, overrides=(), dtype=None) -> "Simulation":
+    def from_deck(cls, deck: Deck | str, overrides=(), dtype=None,
+                  output_dir: str = "diags") -> "Simulation":
         if isinstance(deck, str):
             deck = Deck.from_file(deck, overrides)
         sim = cls(config_from_deck(deck), dtype=dtype)
         sim.deck = deck
+        sim._setup_diagnostics(deck, output_dir)
         return sim
+
+    def _setup_diagnostics(self, deck: Deck, output_dir: str):
+        """Parse diagnostics.* and warpx.reduced_diags_names cadences
+        (reference: MultiDiagnostics / MultiReducedDiags)."""
+        from ..utils.intervals import IntervalsParser
+
+        self.output_dir = output_dir
+        self.diags = []
+        for nm in deck.get_strings("diagnostics.diags_names", []):
+            dtype_ = (deck.get_string(f"{nm}.diag_type", "Full") or "Full").lower()
+            fmt = (deck.get_string(f"{nm}.format", "plotfile") or "plotfile").lower()
+            iv = IntervalsParser(
+                deck.get_strings(f"{nm}.intervals", ["0"]), deck.my_constants
+            )
+            fields = deck.get_strings(
+                f"{nm}.fields_to_plot",
+                ["Ex", "Ey", "Ez", "Bx", "By", "Bz", "jx", "jy", "jz"],
+            )
+            self.diags.append(
+                {"name": nm, "type": dtype_, "format": fmt,
+                 "intervals": iv, "fields": fields}
+            )
+        self.reduced = []
+        for nm in deck.get_strings("warpx.reduced_diags_names", []):
+            kind = deck.get_string(f"{nm}.type", "")
+            iv = IntervalsParser(
+                deck.get_strings(f"{nm}.intervals", ["1"]), deck.my_constants
+            )
+            from ..diagnostics.reduced import REDUCED_DIAGS, ReducedDiagWriter
+
+            if kind in REDUCED_DIAGS:
+                writer = ReducedDiagWriter(
+                    f"{output_dir}/reducedfiles", nm, kind
+                )
+                self.reduced.append({"name": nm, "kind": kind,
+                                     "intervals": iv, "writer": writer})
+
+    def flush_diagnostics(self, step: int):
+        """Write due outputs for ``step`` (post-step user step number)."""
+        if not getattr(self, "diags", None) and not getattr(self, "reduced", None):
+            return
+        for rd in getattr(self, "reduced", []):
+            if rd["intervals"].contains(step):
+                from ..diagnostics.reduced import compute_reduced
+
+                vals = compute_reduced(
+                    rd["kind"], self.state, self.cfg, self.staggering
+                )
+                rd["writer"].write(step, float(self.state.time), vals)
+        for dg in getattr(self, "diags", []):
+            if not dg["intervals"].contains(step):
+                continue
+            if dg["format"] == "checkpoint":
+                from ..io.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    f"{self.output_dir}/{dg['name']}{step:06d}",
+                    self.state, self.is_synchronized,
+                )
+            else:
+                from ..diagnostics.fields import (
+                    cell_centered_output, current_origin,
+                )
+                from ..io.openpmd import write_openpmd_iteration
+
+                fields = cell_centered_output(
+                    self.state, self.cfg, self.staggering, psatd=self.psatd
+                )
+                wanted = dg["fields"]
+                if wanted != ["none"]:
+                    fields = {
+                        k: v for k, v in fields.items()
+                        if k in wanted or not wanted
+                    }
+                else:
+                    fields = {}
+                write_openpmd_iteration(
+                    f"{self.output_dir}/{dg['name']}.h5", step,
+                    self.state, self.cfg, fields,
+                    float(self.state.time), self.cfg.dt,
+                    current_origin(self.state, self.cfg),
+                )
 
     def init(self, seed: int | None = None) -> SimState:
         cfg = self.cfg
@@ -241,6 +325,7 @@ class Simulation:
                 # electrostatic field solve at the end of the PIC loop
                 # (WarpXEvolve.cpp:269-283)
                 self.state = self._solve_es(self.state)
+            self.flush_diagnostics(step + 1)
         return self.state
 
     # ------------------------------------------------------------ diagnostics
