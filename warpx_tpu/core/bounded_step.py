@@ -317,6 +317,30 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             farr_pad = mc_aux_pads(farr_pad)
             gather_stag = nodal_stag
 
+        ionizable = [sp for sp in cfg.species if sp.do_field_ionization]
+        if ionizable:
+            from ..ops.ionization import (
+                IONIZATION_ENERGIES, adk_coefficients, apply_ionization,
+            )
+
+            species_mut = dict(state.species)
+            rng = state.rng
+            for sp_cfg2 in ionizable:
+                ion = species_mut[sp_cfg2.name]
+                prod = species_mut[sp_cfg2.ionization_product_species]
+                coeffs = adk_coefficients(sp_cfg2.physical_element, dt)
+                z_max = len(IONIZATION_ENERGIES[sp_cfg2.physical_element])
+                e6_i = gather_eb(
+                    ion.positions(ndim), farr_pad, gather_stag, geom, order,
+                    cfg.galerkin, origin=origin, wrap=False, offset=ng,
+                )
+                ion, prod, rng = apply_ionization(
+                    rng, ion, prod, e6_i, coeffs, z_max
+                )
+                species_mut[sp_cfg2.name] = ion
+                species_mut[sp_cfg2.ionization_product_species] = prod
+            state = state.replace(species=species_mut, rng=rng)
+
         j_total = None
         new_species = {}
         for sp_cfg in cfg.species:

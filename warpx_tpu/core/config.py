@@ -96,6 +96,11 @@ class SpeciesConfig:
     attributes: Tuple[Tuple[str, str, bool], ...] = ()
     # extra particle capacity headroom factor for continuous injection
     capacity_factor: float = 1.0
+    # ADK field ionization (reference: PhysicalParticleContainer ionization)
+    do_field_ionization: bool = False
+    physical_element: str = ""
+    ionization_initial_level: int = 0
+    ionization_product_species: str = ""
 
     @property
     def qm(self) -> float:

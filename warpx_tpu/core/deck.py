@@ -88,6 +88,10 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
         do_not_deposit=bool(deck.get_int(f"{name}.do_not_deposit", 0)),
         user_constants=tuple(sorted(deck.my_constants.items())),
         do_continuous_injection=bool(deck.get_int(f"{name}.do_continuous_injection", 0)),
+        do_field_ionization=bool(deck.get_int(f"{name}.do_field_ionization", 0)),
+        physical_element=gs("physical_element", "") or "",
+        ionization_initial_level=deck.get_int(f"{name}.ionization_initial_level", 0),
+        ionization_product_species=gs("ionization_product_species", "") or "",
         x_rms=g("x_rms", 0.0), y_rms=g("y_rms", 0.0), z_rms=g("z_rms", 0.0),
         x_m=g("x_m", 0.0), y_m=g("y_m", 0.0), z_m=g("z_m", 0.0),
         npart=deck.get_int(f"{name}.npart", 0),
@@ -113,6 +117,10 @@ def _laser_from_deck(deck: Deck, name: str) -> LaserConfig:
         profile_focal_distance=g("profile_focal_distance", 0.0),
         phi0=g("phi0", 0.0),
         do_continuous_injection=bool(deck.get_int(f"{name}.do_continuous_injection", 0)),
+        do_field_ionization=bool(deck.get_int(f"{name}.do_field_ionization", 0)),
+        physical_element=gs("physical_element", "") or "",
+        ionization_initial_level=deck.get_int(f"{name}.ionization_initial_level", 0),
+        ionization_product_species=gs("ionization_product_species", "") or "",
     )
 
 

@@ -211,6 +211,20 @@ class Simulation:
         species = {}
         aux = {}
         wdir = cfg.moving_window_dir
+        # capacity for ionization-product species (injection_style none)
+        product_capacity = {}
+        for sp_cfg in cfg.species:
+            if sp_cfg.do_field_ionization:
+                from ..ops.ionization import IONIZATION_ENERGIES
+
+                z_max = len(IONIZATION_ENERGIES[sp_cfg.physical_element])
+                # upper bound on products: every ion fully stripped
+                ps0 = inject_species(sp_cfg, geom, np_dtype,
+                                     np.random.default_rng(cfg.seed))
+                product_capacity[sp_cfg.ionization_product_species] = (
+                    product_capacity.get(sp_cfg.ionization_product_species, 0)
+                    + ps0.capacity * max(z_max - sp_cfg.ionization_initial_level, 0)
+                )
         for sp_cfg in cfg.species:
             if sp_cfg.injection_style == "laser":
                 from .laser import antenna_particles
@@ -224,7 +238,7 @@ class Simulation:
 
                 ps = inject_gaussian_beam(sp_cfg, geom, np_dtype, rng)
             else:
-                capacity = None
+                capacity = product_capacity.get(sp_cfg.name)
                 if sp_cfg.do_continuous_injection and cfg.do_moving_window:
                     # headroom for window-driven injection over the whole run
                     import math as _math
@@ -249,6 +263,11 @@ class Simulation:
                     initial = int(ps0.alive.sum())
                     capacity = initial + travel_cells * cross * ppc_tot
                 ps = inject_species(sp_cfg, geom, np_dtype, rng, capacity)
+            if sp_cfg.do_field_ionization:
+                lev = np.full(
+                    ps.capacity, sp_cfg.ionization_initial_level, np.int32
+                )
+                ps = ps.replace(extra={**ps.extra, "ionizationLevel": lev})
             species[sp_cfg.name] = jax.tree_util.tree_map(jnp.asarray, ps)
             if sp_cfg.do_continuous_injection and cfg.do_moving_window:
                 aux[f"inject_pos:{sp_cfg.name}"] = jnp.asarray(

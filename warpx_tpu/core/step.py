@@ -110,6 +110,33 @@ def pic_step(
         farr = _nodal_aux(farr, staggering)
         gather_stag = {k: (1,) * geom.ndim for k in staggering}
 
+    # field ionization before the main push (WarpXEvolve.cpp:157
+    # doFieldIonization uses the aux fields at t^n)
+    ionizable = [sp for sp in cfg.species if sp.do_field_ionization]
+    if ionizable:
+        from ..ops.deposit import deposit_rho  # noqa: F401 (import order)
+        from ..ops.ionization import (
+            IONIZATION_ENERGIES, adk_coefficients, apply_ionization,
+        )
+
+        species_mut = dict(state.species)
+        rng = state.rng
+        for sp_cfg in ionizable:
+            ion = species_mut[sp_cfg.name]
+            prod = species_mut[sp_cfg.ionization_product_species]
+            coeffs = adk_coefficients(sp_cfg.physical_element, dt)
+            z_max = len(IONIZATION_ENERGIES[sp_cfg.physical_element])
+            e6 = gather_eb(
+                ion.positions(geom.ndim), farr, gather_stag, geom,
+                cfg.particle_shape, cfg.galerkin,
+            )
+            ion, prod, rng = apply_ionization(
+                rng, ion, prod, e6, coeffs, z_max
+            )
+            species_mut[sp_cfg.name] = ion
+            species_mut[sp_cfg.ionization_product_species] = prod
+        state = state.replace(species=species_mut, rng=rng)
+
     need_rho = cfg.em_solver == "psatd" and (
         cfg.psatd_current_correction or cfg.psatd_update_with_rho
     )
