@@ -98,17 +98,67 @@ def run_once(n, ppc, steps):
     }
 
 
+def run_lwfa(steps):
+    """The headline configuration: the reference's 3D LWFA deck (moving
+    window + laser + continuous injection), run in f32 on the device."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from warpx_tpu.core.simulation import Simulation
+
+    deck = (
+        "/root/reference/Examples/Physics_applications/laser_acceleration/"
+        "inputs_test_3d_laser_acceleration"
+    )
+    sim = Simulation.from_deck(deck, output_dir="/tmp/bench_diags")
+    sim.diags = []
+    sim.reduced = []
+    state = sim.init()
+    sim.evolve(2)  # compile + warm both kernels
+    jax.block_until_ready(sim.state.fields.Ex)
+    t0 = time.perf_counter()
+    sim.evolve(steps)
+    jax.block_until_ready(sim.state.fields.Ex)
+    elapsed = time.perf_counter() - t0
+    n_particles = sum(
+        int(np.asarray(sim.state.species[s.name].alive).sum())
+        for s in sim.cfg.species
+    )
+    steps_per_sec = steps / elapsed
+    return {
+        "metric": "particle_pushes_per_sec_per_chip",
+        "value": n_particles * steps_per_sec,
+        "unit": "pushes/s",
+        "vs_baseline": n_particles * steps_per_sec / A100_REFERENCE_PUSHES_PER_SEC,
+        "detail": {
+            "config": "3d_lwfa",
+            "n_particles": n_particles,
+            "steps_per_sec": steps_per_sec,
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
 def main():
     """Try descending problem sizes; the TPU tunnel in this environment can
     fault on large compiles, so report the best size that completes."""
     n = int(os.environ.get("BENCH_NCELL", 96))
     ppc = int(os.environ.get("BENCH_PPC", 2))
     steps = int(os.environ.get("BENCH_STEPS", 10))
-    attempts = [(n, ppc, steps), (64, 2, 10), (64, 1, 10), (32, 1, 5)]
+    mode = os.environ.get("BENCH_MODE", "uniform")
+    attempts = []
+    if mode == "lwfa":
+        attempts.append(("lwfa", steps))
+    attempts += [(n, ppc, steps), (64, 2, 10), (64, 1, 10), (32, 1, 5)]
     last_err = None
-    for (nn, pp, ss) in attempts:
+    for spec in attempts:
         try:
-            result = run_once(nn, pp, ss)
+            if spec[0] == "lwfa":
+                result = run_lwfa(spec[1])
+            else:
+                result = run_once(*spec)
             print(json.dumps(result))
             return
         except Exception as e:  # noqa: BLE001 - tunnel faults are opaque

@@ -87,3 +87,25 @@ def test_langmuir_variants(name, rtol):
     accumulated drift over 80 steps sits at ~5e-8 (the reference's own
     single-precision gate is 2e-6)."""
     run_and_check(name, rtol=rtol)
+
+
+@pytest.mark.slow
+def test_3d_laser_acceleration():
+    """Headline physics application: 3D LWFA (moving window + laser antenna +
+    continuous injection + PEC + filter + shape-3), matches the reference at
+    double precision (BASELINE.md configuration class)."""
+    sim_dir = os.path.join(
+        REFERENCE, "Examples/Physics_applications/laser_acceleration"
+    )
+    from warpx_tpu.core.simulation import Simulation as _Sim
+
+    sim = _Sim.from_deck(
+        os.path.join(sim_dir, "inputs_test_3d_laser_acceleration")
+    )
+    sim.init()
+    sim.evolve()
+    compare_checksums(
+        sim.checksums(),
+        os.path.join(GOLDEN, "test_3d_laser_acceleration.json"),
+        rtol=1e-9,
+    )
