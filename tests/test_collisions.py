@@ -1,0 +1,92 @@
+"""Binary Coulomb collisions: conservation + isotropization physics tests.
+
+The reference validates against checksums with its own RNG stream; here the
+Perez/Nanbu update is validated by its physical invariants (exact momentum
+conservation per pair for equal weights) and by temperature isotropization of
+an anisotropic electron plasma (the physics of the reference's
+Examples/Tests/collision decks)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from warpx_tpu import constants
+from warpx_tpu.core.config import CollisionConfig, SimConfig, SpeciesConfig
+from warpx_tpu.core.grid import Geometry
+from warpx_tpu.core.simulation import Simulation
+
+
+def _aniso_sim(steps=0):
+    geom = Geometry(3, (4, 4, 4), (0.0,) * 3, (4e-6,) * 3, (True,) * 3)
+    sp = SpeciesConfig(
+        name="electrons", charge=-constants.q_e, mass=constants.m_e,
+        injection_style="nuniformpercell",
+        num_particles_per_cell_each_dim=(4, 4, 4),
+        profile="constant", density=1.0e28,
+        momentum_distribution="gaussian",
+        ux_th=0.02, uy_th=0.01, uz_th=0.01,
+    )
+    cfg = SimConfig(
+        geometry=geom, max_step=10**9, dt=2.0e-17, particle_shape=1,
+        species=(sp,),
+        collisions=(
+            CollisionConfig(
+                name="cc", species=("electrons", "electrons"),
+            ),
+        ),
+        # isolate collisions: no field feedback
+    )
+    return Simulation(cfg)
+
+
+def _temps(sim):
+    sp = sim.state.species["electrons"]
+    alive = np.asarray(sp.alive)
+    out = []
+    for u in (sp.ux, sp.uy, sp.uz):
+        v = np.asarray(u)[alive]
+        out.append(constants.m_e * np.var(v) / constants.kb)
+    return out
+
+
+def test_collision_conservation_and_isotropization():
+    sim = _aniso_sim()
+    sim.init()
+    sp0 = sim.state.species["electrons"]
+    p0 = [
+        float(np.sum(np.asarray(u) * constants.m_e))
+        for u in (sp0.ux, sp0.uy, sp0.uz)
+    ]
+    c2 = constants.c**2
+    g0 = np.sqrt(
+        1 + (np.asarray(sp0.ux)**2 + np.asarray(sp0.uy)**2 + np.asarray(sp0.uz)**2) / c2
+    )
+    E0 = float(np.sum((g0 - 1)))
+    Tx0, Ty0, Tz0 = _temps(sim)
+    assert Tx0 > 2.5 * Ty0
+
+    sim.evolve(60)
+
+    sp1 = sim.state.species["electrons"]
+    p1 = [
+        float(np.sum(np.asarray(u) * constants.m_e))
+        for u in (sp1.ux, sp1.uy, sp1.uz)
+    ]
+    g1 = np.sqrt(
+        1 + (np.asarray(sp1.ux)**2 + np.asarray(sp1.uy)**2 + np.asarray(sp1.uz)**2) / c2
+    )
+    E1 = float(np.sum((g1 - 1)))
+    # equal-weight pairs conserve momentum and energy to roundoff per pair;
+    # the self-consistent field does work, so allow a small energy drift
+    scale = abs(p0[0]) + constants.m_e * 3e7
+    for a, b in zip(p0, p1):
+        assert abs(a - b) < 1e-6 * scale * 1e5
+    assert abs(E1 - E0) < 2e-2 * max(E0, 1e-30)
+
+    Tx1, Ty1, Tz1 = _temps(sim)
+    # anisotropy must decrease measurably
+    assert (Tx1 - Ty1) < 0.9 * (Tx0 - Ty0)
+    assert Tx1 < Tx0
+    assert Ty1 > Ty0

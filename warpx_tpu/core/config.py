@@ -108,6 +108,17 @@ class SpeciesConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class CollisionConfig:
+    """One binary-collision pairing (reference: CollisionHandler.H)."""
+
+    name: str
+    species: Tuple[str, str]
+    kind: str = "pairwisecoulomb"
+    coulomb_log: float = -1.0  # <=0: computed per pair
+    ndt: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
 class SimConfig:
     geometry: Geometry
     max_step: int
@@ -138,6 +149,7 @@ class SimConfig:
     start_moving_window_step: int = 0
     end_moving_window_step: int = -1
     lasers: Tuple[LaserConfig, ...] = ()
+    collisions: Tuple["CollisionConfig", ...] = ()
     pml_ncell: int = 10
     # electrostatic solver (reference: ElectrostaticSolverAlgo)
     electrostatic: str = "none"  # none | labframe | relativistic

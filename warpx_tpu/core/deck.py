@@ -11,7 +11,9 @@ from __future__ import annotations
 import math
 
 from ..utils.parser import Deck
-from .config import SPECIES_TYPES, LaserConfig, SimConfig, SpeciesConfig
+from .config import (
+    SPECIES_TYPES, CollisionConfig, LaserConfig, SimConfig, SpeciesConfig,
+)
 from .grid import Geometry
 
 __all__ = ["config_from_deck"]
@@ -248,6 +250,20 @@ def config_from_deck(deck: Deck) -> SimConfig:
         axis_names = {1: ["z"], 2: ["x", "z"], 3: ["x", "y", "z"]}[ndim]
         window_dir = axis_names.index(dir_name)
 
+    collisions = []
+    for nm in deck.get_strings("collisions.collision_names", []):
+        pair = deck.get_strings(f"{nm}.species", [])
+        collisions.append(
+            CollisionConfig(
+                name=nm,
+                species=tuple(pair[:2]) if len(pair) >= 2 else (pair[0], pair[0]),
+                kind=(deck.get_string(f"{nm}.type", "pairwisecoulomb")
+                      or "pairwisecoulomb").lower(),
+                coulomb_log=deck.get_real(f"{nm}.CoulombLog", -1.0),
+                ndt=deck.get_int(f"{nm}.ndt", 1),
+            )
+        )
+
     lasers = tuple(
         _laser_from_deck(deck, nm)
         for nm in deck.get_strings("lasers.names", [])
@@ -286,6 +302,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
         start_moving_window_step=deck.get_int("warpx.start_moving_window_step", 0),
         end_moving_window_step=deck.get_int("warpx.end_moving_window_step", -1),
         lasers=lasers,
+        collisions=tuple(collisions),
         pml_ncell=deck.get_int("pml_ncell", deck.get_int("warpx.pml_ncell", 10)),
         electrostatic=es_solver,
         psatd_order=psatd_order,

@@ -110,6 +110,28 @@ def pic_step(
         farr = _nodal_aux(farr, staggering)
         gather_stag = {k: (1,) * geom.ndim for k in staggering}
 
+    # binary collisions then ionization before the main push
+    # (WarpXEvolve.cpp:157-166 doFieldIonization / doCollisions ordering)
+    intra_cols = [
+        c for c in cfg.collisions
+        if c.kind == "pairwisecoulomb" and c.species[0] == c.species[1]
+    ]
+    if intra_cols:
+        from ..ops.collisions import intra_species_coulomb
+
+        species_mut = dict(state.species)
+        rng = state.rng
+        by_name = {s.name: s for s in cfg.species}
+        for col in intra_cols:
+            sp_cfg = by_name[col.species[0]]
+            sp = species_mut[sp_cfg.name]
+            sp, rng = intra_species_coulomb(
+                sp, sp_cfg.charge, sp_cfg.mass, geom, dt, rng,
+                coulomb_log=col.coulomb_log,
+            )
+            species_mut[sp_cfg.name] = sp
+        state = state.replace(species=species_mut, rng=rng)
+
     # field ionization before the main push (WarpXEvolve.cpp:157
     # doFieldIonization uses the aux fields at t^n)
     ionizable = [sp for sp in cfg.species if sp.do_field_ionization]
