@@ -90,3 +90,29 @@ def test_collision_conservation_and_isotropization():
     assert (Tx1 - Ty1) < 0.9 * (Tx0 - Ty0)
     assert Tx1 < Tx0
     assert Ty1 > Ty0
+
+
+def test_leveling_thinning_conserves_charge():
+    """Resampling reduces particle count, conserves charge in expectation
+    (reference: LevelingThinning.cpp)."""
+    import jax
+
+    from warpx_tpu.ops.resampling import leveling_thinning
+
+    sim = _aniso_sim()
+    sim.init()
+    sp = sim.state.species["electrons"]
+    # make weights non-uniform so thinning has something to do
+    rng = np.random.default_rng(0)
+    w = np.asarray(sp.w) * rng.uniform(0.2, 1.8, sp.capacity)
+    sp = sp.replace(w=jnp.asarray(w))
+    q_before = float(np.sum(np.asarray(sp.w)[np.asarray(sp.alive)]))
+    n_before = int(np.asarray(sp.alive).sum())
+
+    totals = []
+    for seed in range(12):
+        out, _ = leveling_thinning(sp, sim.cfg.geometry, jax.random.PRNGKey(seed))
+        alive = np.asarray(out.alive)
+        totals.append(float(np.sum(np.asarray(out.w)[alive])))
+        assert int(alive.sum()) < n_before
+    assert abs(np.mean(totals) - q_before) < 0.02 * q_before

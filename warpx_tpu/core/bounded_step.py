@@ -361,9 +361,14 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                     zeros = jnp.zeros_like(sp.ux)
                     e6 = (zeros,) * 6
                 else:
-                    e6 = gather_eb(
-                        pos, farr_pad, gather_stag, geom, order,
-                        cfg.galerkin, origin=origin, wrap=False, offset=ng,
+                    from .step import _add_ext
+
+                    e6 = _add_ext(
+                        gather_eb(
+                            pos, farr_pad, gather_stag, geom, order,
+                            cfg.galerkin, origin=origin, wrap=False, offset=ng,
+                        ),
+                        cfg,
                     )
                 if sp_cfg.do_not_push:
                     ux, uy, uz = sp.ux, sp.uy, sp.uz
@@ -754,9 +759,14 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 new_species[sp_cfg.name] = sp
                 continue
             pos = sp.positions(ndim)
-            e6 = gather_eb(
-                pos, farr_pad, gather_stag, geom, order,
-                cfg.galerkin, origin=origin, wrap=False, offset=ng,
+            from .step import _add_ext
+
+            e6 = _add_ext(
+                gather_eb(
+                    pos, farr_pad, gather_stag, geom, order,
+                    cfg.galerkin, origin=origin, wrap=False, offset=ng,
+                ),
+                cfg,
             )
             pusher = PUSHERS[sp_cfg.pusher]
             ux, uy, uz = pusher(

@@ -72,6 +72,10 @@ class SpeciesConfig:
     uy_th: float = 0.0
     uz_th: float = 0.0
     momentum_exprs: Optional[Tuple[str, str, str]] = None
+    # SingleParticle injection
+    single_particle_pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    single_particle_u: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    single_particle_weight: float = 0.0
     # injection bounds (SI); +-inf when unbounded
     bounds_lo: Tuple[float, ...] = ()
     bounds_hi: Tuple[float, ...] = ()
@@ -151,6 +155,10 @@ class SimConfig:
     lasers: Tuple[LaserConfig, ...] = ()
     collisions: Tuple["CollisionConfig", ...] = ()
     pml_ncell: int = 10
+    # constant external fields applied to particles during gather
+    # (reference: particles.E_ext_particle_init_style = constant)
+    e_ext_particle: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    b_ext_particle: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # electrostatic solver (reference: ElectrostaticSolverAlgo)
     electrostatic: str = "none"  # none | labframe | relativistic
     # PSATD knobs (reference: WarpX.cpp:1409-1520)

@@ -90,6 +90,13 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
         do_not_deposit=bool(deck.get_int(f"{name}.do_not_deposit", 0)),
         user_constants=tuple(sorted(deck.my_constants.items())),
         do_continuous_injection=bool(deck.get_int(f"{name}.do_continuous_injection", 0)),
+        single_particle_pos=tuple(
+            deck.get_reals(f"{name}.single_particle_pos", (0.0, 0.0, 0.0))
+        ),
+        single_particle_u=tuple(
+            deck.get_reals(f"{name}.single_particle_u", (0.0, 0.0, 0.0))
+        ),
+        single_particle_weight=g("single_particle_weight", 0.0),
         do_field_ionization=bool(deck.get_int(f"{name}.do_field_ionization", 0)),
         physical_element=gs("physical_element", "") or "",
         ionization_initial_level=deck.get_int(f"{name}.ionization_initial_level", 0),
@@ -119,6 +126,13 @@ def _laser_from_deck(deck: Deck, name: str) -> LaserConfig:
         profile_focal_distance=g("profile_focal_distance", 0.0),
         phi0=g("phi0", 0.0),
         do_continuous_injection=bool(deck.get_int(f"{name}.do_continuous_injection", 0)),
+        single_particle_pos=tuple(
+            deck.get_reals(f"{name}.single_particle_pos", (0.0, 0.0, 0.0))
+        ),
+        single_particle_u=tuple(
+            deck.get_reals(f"{name}.single_particle_u", (0.0, 0.0, 0.0))
+        ),
+        single_particle_weight=g("single_particle_weight", 0.0),
         do_field_ionization=bool(deck.get_int(f"{name}.do_field_ionization", 0)),
         physical_element=gs("physical_element", "") or "",
         ionization_initial_level=deck.get_int(f"{name}.ionization_initial_level", 0),
@@ -238,6 +252,13 @@ def config_from_deck(deck: Deck) -> SimConfig:
         for nm in species_names
     )
 
+    e_ext = tuple(
+        deck.get_reals("particles.E_external_particle", (0.0, 0.0, 0.0))
+    ) if (deck.get_string("particles.E_ext_particle_init_style", "") or "").strip('"').lower() == "constant" else (0.0, 0.0, 0.0)
+    b_ext = tuple(
+        deck.get_reals("particles.B_external_particle", (0.0, 0.0, 0.0))
+    ) if (deck.get_string("particles.B_ext_particle_init_style", "") or "").strip('"').lower() == "constant" else (0.0, 0.0, 0.0)
+
     filter_npass = tuple(
         deck.get_ints("warpx.filter_npass_each_dir", (1,) * ndim)
     )
@@ -305,6 +326,8 @@ def config_from_deck(deck: Deck) -> SimConfig:
         collisions=tuple(collisions),
         pml_ncell=deck.get_int("pml_ncell", deck.get_int("warpx.pml_ncell", 10)),
         electrostatic=es_solver,
+        e_ext_particle=e_ext,
+        b_ext_particle=b_ext,
         psatd_order=psatd_order,
         psatd_update_with_rho=psatd_update_rho,
         psatd_current_correction=psatd_cc,

@@ -54,6 +54,26 @@ def inject_species(
     capacity: int | None = None,
 ) -> ParticleState:
     ndim = geom.ndim
+    if sp.injection_style == "singleparticle":
+        # reference: SingleParticle injection (one macroparticle at the given
+        # position/momentum; u in units of c)
+        axes = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[ndim]
+        cap = capacity or 1
+        def one(v):
+            out = np.zeros(cap, dtype=dtype)
+            out[0] = v
+            return out
+        ps = ParticleState(
+            w=one(sp.single_particle_weight),
+            ux=one(sp.single_particle_u[0] * constants.c),
+            uy=one(sp.single_particle_u[1] * constants.c),
+            uz=one(sp.single_particle_u[2] * constants.c),
+            alive=np.arange(cap) < 1,
+            extra={},
+        )
+        return ps.with_positions(
+            ndim, [one(sp.single_particle_pos[a]) for a in axes]
+        )
     if sp.injection_style not in ("nuniformpercell", "nrandompercell"):
         # empty container
         cap = capacity or 0

@@ -25,6 +25,17 @@ from .state import FieldState, ParticleState, SimState
 __all__ = ["pic_step", "push_momenta_half", "wrap_positions"]
 
 
+def _add_ext(e6, cfg):
+    """Add constant external particle fields (GetExternalEBField)."""
+    ex, ey, ez, bx, by, bz = e6
+    Ee = cfg.e_ext_particle
+    Be = cfg.b_ext_particle
+    if any(Ee) or any(Be):
+        return (ex + Ee[0], ey + Ee[1], ez + Ee[2],
+                bx + Be[0], by + Be[1], bz + Be[2])
+    return e6
+
+
 def _field_dict(fields: FieldState):
     return {
         "Ex": fields.Ex,
@@ -86,8 +97,11 @@ def push_momenta_half(
             new_species[sp_cfg.name] = sp
             continue
         pos = sp.positions(geom.ndim)
-        ex, ey, ez, bx, by, bz = gather_eb(
-            pos, farr, gather_stag, geom, cfg.particle_shape, cfg.galerkin
+        ex, ey, ez, bx, by, bz = _add_ext(
+            gather_eb(
+                pos, farr, gather_stag, geom, cfg.particle_shape, cfg.galerkin
+            ),
+            cfg,
         )
         pusher = PUSHERS[sp_cfg.pusher]
         ux, uy, uz = pusher(
@@ -189,8 +203,12 @@ def pic_step(
             zeros = jnp.zeros_like(sp.ux)
             ex = ey = ez = bx = by = bz = zeros
         else:
-            ex, ey, ez, bx, by, bz = gather_eb(
-                pos, farr, gather_stag, geom, cfg.particle_shape, cfg.galerkin
+            ex, ey, ez, bx, by, bz = _add_ext(
+                gather_eb(
+                    pos, farr, gather_stag, geom, cfg.particle_shape,
+                    cfg.galerkin,
+                ),
+                cfg,
             )
         if sp_cfg.do_not_push:
             ux, uy, uz = sp.ux, sp.uy, sp.uz
