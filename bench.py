@@ -155,13 +155,15 @@ def main():
     last_err = None
     for spec in attempts:
         try:
+            print(f"bench: attempting {spec}", file=sys.stderr, flush=True)
             if spec[0] == "lwfa":
                 result = run_lwfa(spec[1])
             else:
                 result = run_once(*spec)
-            print(json.dumps(result))
+            print(json.dumps(result), flush=True)
             return
         except Exception as e:  # noqa: BLE001 - tunnel faults are opaque
+            print(f"bench: {spec} failed: {e}", file=sys.stderr, flush=True)
             last_err = e
             continue
     print(
@@ -173,7 +175,8 @@ def main():
                 "vs_baseline": 0.0,
                 "error": str(last_err)[:200],
             }
-        )
+        ),
+        flush=True,
     )
 
 

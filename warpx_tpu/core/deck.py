@@ -125,18 +125,11 @@ def _laser_from_deck(deck: Deck, name: str) -> LaserConfig:
         profile_t_peak=g("profile_t_peak", 0.0),
         profile_focal_distance=g("profile_focal_distance", 0.0),
         phi0=g("phi0", 0.0),
+        zeta=g("zeta", 0.0),
+        beta=g("beta", 0.0),
+        phi2=g("phi2", 0.0),
+        theta_stc=g("theta_stc", 0.0),
         do_continuous_injection=bool(deck.get_int(f"{name}.do_continuous_injection", 0)),
-        single_particle_pos=tuple(
-            deck.get_reals(f"{name}.single_particle_pos", (0.0, 0.0, 0.0))
-        ),
-        single_particle_u=tuple(
-            deck.get_reals(f"{name}.single_particle_u", (0.0, 0.0, 0.0))
-        ),
-        single_particle_weight=g("single_particle_weight", 0.0),
-        do_field_ionization=bool(deck.get_int(f"{name}.do_field_ionization", 0)),
-        physical_element=gs("physical_element", "") or "",
-        ionization_initial_level=deck.get_int(f"{name}.ionization_initial_level", 0),
-        ionization_product_species=gs("ionization_product_species", "") or "",
     )
 
 
