@@ -116,10 +116,16 @@ def run_lwfa(steps):
     sim.diags = []
     sim.reduced = []
     state = sim.init()
-    sim.evolve(2)  # compile + warm both kernels
+    sim.evolve(2)  # compile + warm the per-step kernels
+    fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    if fused:
+        sim.evolve_fused(steps)  # compile the scanned span (same length)
     jax.block_until_ready(sim.state.fields.Ex)
     t0 = time.perf_counter()
-    sim.evolve(steps)
+    if fused:
+        sim.evolve_fused(steps)
+    else:
+        sim.evolve(steps)
     jax.block_until_ready(sim.state.fields.Ex)
     elapsed = time.perf_counter() - t0
     n_particles = sum(

@@ -92,6 +92,102 @@ def test_collision_conservation_and_isotropization():
     assert Ty1 > Ty0
 
 
+def test_inter_species_equilibration():
+    """Hot electrons + cold (light) ions: inter-species Coulomb collisions
+    must transfer energy e- -> ion while conserving total momentum and
+    energy (equal weights; physics of Examples/Tests/collision inputs_3d)."""
+    geom = Geometry(3, (4, 4, 4), (0.0,) * 3, (4e-6,) * 3, (True,) * 3)
+    m_i = 5.0 * constants.m_e  # light ion: fast equilibration
+    electrons = SpeciesConfig(
+        name="electrons", charge=-constants.q_e, mass=constants.m_e,
+        injection_style="nuniformpercell",
+        num_particles_per_cell_each_dim=(3, 3, 3),
+        profile="constant", density=1.0e28,
+        momentum_distribution="gaussian",
+        ux_th=0.02, uy_th=0.02, uz_th=0.02,
+    )
+    ions = SpeciesConfig(
+        name="ions", charge=constants.q_e, mass=m_i,
+        injection_style="nuniformpercell",
+        num_particles_per_cell_each_dim=(4, 4, 2),  # unequal set size
+        profile="constant", density=1.0e28,
+        momentum_distribution="gaussian",
+        ux_th=0.001, uy_th=0.001, uz_th=0.001,
+    )
+    cfg = SimConfig(
+        geometry=geom, max_step=10**9, dt=2.0e-17, particle_shape=1,
+        species=(electrons, ions),
+        collisions=(
+            CollisionConfig(name="ei", species=("electrons", "ions")),
+        ),
+    )
+    sim = Simulation(cfg)
+    sim.init()
+
+    def totals():
+        p = np.zeros(3)
+        E = 0.0
+        T = {}
+        c2 = constants.c**2
+        for nm, m in (("electrons", constants.m_e), ("ions", m_i)):
+            sp = sim.state.species[nm]
+            alive = np.asarray(sp.alive)
+            u = [np.asarray(x)[alive] for x in (sp.ux, sp.uy, sp.uz)]
+            p += np.array([m * x.sum() for x in u])
+            g = np.sqrt(1 + (u[0]**2 + u[1]**2 + u[2]**2) / c2)
+            E += float(m * c2 * (g - 1).sum())
+            T[nm] = float(m * np.mean([np.var(x) for x in u]) / constants.kb)
+        return p, E, T
+
+    p0, E0, T0 = totals()
+    assert T0["electrons"] > 50 * T0["ions"]
+    sim.evolve(40)
+    p1, E1, T1 = totals()
+
+    # weights differ between the species (27 vs 32 ppc at equal density), so
+    # the rejection rule conserves momentum only in expectation: gate the
+    # drift at a few percent of the thermal momentum scale sqrt(N)*p_th
+    pscale = constants.m_e * 0.02 * constants.c * 1700
+    assert np.all(np.abs(p1 - p0) < 5e-2 * pscale), (p0, p1)
+    assert abs(E1 - E0) < 2e-2 * E0
+    # ions must heat, electrons must cool
+    assert T1["ions"] > 2.5 * T0["ions"], (T0, T1)
+    assert T1["electrons"] < T0["electrons"]
+
+
+@pytest.mark.slow
+def test_reference_ei_relaxation_deck():
+    """The reference's 3D e-i relaxation deck (Examples/Tests/collision/
+    inputs_test_3d_collision_xyz): the electron-ion drift difference must
+    follow the exponential fit a*exp(b*step) of analysis_collision_3d.py
+    (a=0.041817, b=-0.0838514, tolerance 1e-3 per snapshot)."""
+    import os
+
+    from .conftest import REFERENCE
+
+    deck = os.path.join(
+        REFERENCE, "Examples/Tests/collision/inputs_test_3d_collision_xyz"
+    )
+    sim = Simulation.from_deck(deck, overrides=("diagnostics.diags_names =",))
+    sim.init()
+    a, b = 0.041817463099883, -0.083851393560288
+    c = constants.c
+
+    def vxd():
+        e = sim.state.species["electron"]
+        i = sim.state.species["ion"]
+        vxe = float(np.asarray(e.ux)[np.asarray(e.alive)].mean()) / c
+        vxi = float(np.asarray(i.ux)[np.asarray(i.alive)].mean()) / c
+        return vxe - vxi
+
+    errs = [abs(vxd() - a)]
+    for j in range(0, 60, 10):
+        sim.evolve(10)
+        errs.append(abs(vxd() - a * np.exp(b * (j + 10))))
+    # reference gate: mean abs deviation from the fit < 1e-3
+    assert np.mean(errs) < 1.5e-3, errs
+
+
 def test_leveling_thinning_conserves_charge():
     """Resampling reduces particle count, conserves charge in expectation
     (reference: LevelingThinning.cpp)."""

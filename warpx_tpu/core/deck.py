@@ -80,7 +80,11 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
         density=g("density", 0.0),
         density_expr=density_expr,
         momentum_distribution=mom,
-        ux=g("ux", 0.0), uy=g("uy", 0.0), uz=g("uz", 0.0),
+        # "constant" reads ux/uy/uz; "gaussian" reads the ux_m/... means
+        # (reference: InjectorMomentum gaussian, PlasmaInjector.cpp)
+        ux=g("ux_m", g("ux", 0.0)),
+        uy=g("uy_m", g("uy", 0.0)),
+        uz=g("uz_m", g("uz", 0.0)),
         ux_th=g("ux_th", 0.0), uy_th=g("uy_th", 0.0), uz_th=g("uz_th", 0.0),
         momentum_exprs=momentum_exprs,
         bounds_lo=bounds_lo,

@@ -337,14 +337,51 @@ class Simulation:
             if self._step_window is not None:
                 # MoveWindow + particle boundaries; J is shifted along when
                 # synchronized (WarpXEvolve.cpp:246 move_j = is_synchronized)
+                if not hasattr(self, "_sync_flags"):
+                    # device-resident constants: avoid a host->device
+                    # transfer (tunnel round-trip) every step
+                    self._sync_flags = (jnp.asarray(False), jnp.asarray(True))
                 self.state = self._step_window(
-                    self.state, jnp.asarray(self.is_synchronized)
+                    self.state, self._sync_flags[int(self.is_synchronized)]
                 )
             if getattr(self, "_solve_es", None) is not None:
                 # electrostatic field solve at the end of the PIC loop
                 # (WarpXEvolve.cpp:269-283)
                 self.state = self._solve_es(self.state)
             self.flush_diagnostics(step + 1)
+        return self.state
+
+    def evolve_fused(self, numsteps: int) -> SimState:
+        """Advance ``numsteps`` interior steps inside ONE compiled lax.scan.
+
+        Removes all per-step host dispatch (the production/benchmark path on
+        hardware where launch latency matters); valid for spans with no
+        synchronization point and no diagnostics cadence inside the span.
+        """
+        if self.state is None:
+            self.init()
+        cfg = self.cfg
+        if self.is_synchronized:
+            self.state = self._half_push(self.state, dt_half=-0.5 * cfg.dt)
+            self.is_synchronized = False
+        if not hasattr(self, "_fused_run"):
+            step_main = self._step_main
+            step_window = self._step_window
+            solve_es = getattr(self, "_solve_es", None)
+
+            def body(state, _):
+                state = step_main(state)
+                if step_window is not None:
+                    state = step_window(state, jnp.asarray(False))
+                if solve_es is not None:
+                    state = solve_es(state)
+                return state, None
+
+            def run(state, n):
+                return jax.lax.scan(body, state, None, length=n)[0]
+
+            self._fused_run = jax.jit(run, static_argnums=1)
+        self.state = self._fused_run(self.state, int(numsteps))
         return self.state
 
     # ------------------------------------------------------------ diagnostics

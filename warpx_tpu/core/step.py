@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.deposit import deposit_current_direct, deposit_current_esirkepov
@@ -126,24 +127,49 @@ def pic_step(
 
     # binary collisions then ionization before the main push
     # (WarpXEvolve.cpp:157-166 doFieldIonization / doCollisions ordering)
-    intra_cols = [
-        c for c in cfg.collisions
-        if c.kind == "pairwisecoulomb" and c.species[0] == c.species[1]
-    ]
-    if intra_cols:
-        from ..ops.collisions import intra_species_coulomb
+    coulomb_cols = [c for c in cfg.collisions if c.kind == "pairwisecoulomb"]
+    if coulomb_cols:
+        from ..ops.collisions import (
+            inter_species_coulomb, intra_species_coulomb,
+        )
 
         species_mut = dict(state.species)
         rng = state.rng
         by_name = {s.name: s for s in cfg.species}
-        for col in intra_cols:
-            sp_cfg = by_name[col.species[0]]
-            sp = species_mut[sp_cfg.name]
-            sp, rng = intra_species_coulomb(
-                sp, sp_cfg.charge, sp_cfg.mass, geom, dt, rng,
-                coulomb_log=col.coulomb_log,
-            )
-            species_mut[sp_cfg.name] = sp
+        for col in coulomb_cols:
+            # subcycling: collide when step % ndt == 0, with dt*ndt
+            # (CollisionHandler.cpp:89-91)
+            rng, sub = jax.random.split(rng)
+            do_now = (state.step % col.ndt) == 0
+            dt_coll = dt * col.ndt
+            if col.species[0] == col.species[1]:
+                sp_cfg = by_name[col.species[0]]
+                sp = species_mut[sp_cfg.name]
+                sp = jax.lax.cond(
+                    do_now,
+                    lambda s: intra_species_coulomb(
+                        s, sp_cfg.charge, sp_cfg.mass, geom, dt_coll, sub,
+                        coulomb_log=col.coulomb_log,
+                    )[0],
+                    lambda s: s,
+                    sp,
+                )
+                species_mut[sp_cfg.name] = sp
+            else:
+                c1 = by_name[col.species[0]]
+                c2 = by_name[col.species[1]]
+                sp1, sp2 = jax.lax.cond(
+                    do_now,
+                    lambda ss: inter_species_coulomb(
+                        ss[0], c1.charge, c1.mass,
+                        ss[1], c2.charge, c2.mass,
+                        geom, dt_coll, sub, coulomb_log=col.coulomb_log,
+                    )[:2],
+                    lambda ss: ss,
+                    (species_mut[c1.name], species_mut[c2.name]),
+                )
+                species_mut[c1.name] = sp1
+                species_mut[c2.name] = sp2
         state = state.replace(species=species_mut, rng=rng)
 
     # field ionization before the main push (WarpXEvolve.cpp:157
@@ -266,7 +292,11 @@ def pic_step(
 
     fields = state.fields.replace(jx=j_total[0], jy=j_total[1], jz=j_total[2])
 
-    if cfg.em_solver == "psatd":
+    if cfg.em_solver == "none":
+        # algo.maxwell_solver = none: fields are never advanced (reference:
+        # WarpX::EvolveEM is skipped; used by pure collision/ES tests)
+        pass
+    elif cfg.em_solver == "psatd":
         # analytic k-space advance (WarpXPushFieldsEM.cpp:717 PushPSATD)
         if need_rho and cfg.use_filter:
             from ..solvers.filter import bilinear_filter

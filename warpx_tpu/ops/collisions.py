@@ -9,9 +9,12 @@ frame by the Nanbu cumulative angle with s12 from Perez Eq. 9 (with the
 sigma_max cap and Debye/atomic-spacing screening), and the per-particle
 updates are accepted with the weight-ratio rejection rule.
 
-Intra-species collisions only in this version (the reference's inter-species
-pairing adds the unequal-set striding); per-pair n12 uses the
-(N_cell - 1) * wmax / dV effective density of the same-species branch.
+Intra-species pairing uses n12 = wmax*(N_cell-1)/dV (same-species branch of
+ElasticCollisionPerez.H:133); inter-species pairing iterates the LARGER set
+once, striding the smaller set (ElasticCollisionPerez.H:103-146) with
+n12 = wmax*min_N/dV and the combined two-species Debye length — realized
+here as sequential "rounds" (larger-set rank // min_N) so each round is a
+conflict-free vectorized scatter.
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ import jax.numpy as jnp
 
 from .. import constants
 
-__all__ = ["intra_species_coulomb"]
+__all__ = ["intra_species_coulomb", "inter_species_coulomb"]
 
 _inv_c2 = constants.inv_c2
 
@@ -172,6 +175,162 @@ def _perez_update(u1, u2, q1, m1, w1, q2, m2, w2, n12, sigma_max, L, bmax,
         jnp.where(take2, p2fz / m2, u2z),
     )
     return u1n, u2n
+
+
+def _cell_of(sp_state, geom, n_cells_tot):
+    """Flat cell index per particle; dead particles parked at n_cells_tot."""
+    ndim = geom.ndim
+    pos = sp_state.positions(ndim)
+    cell = jnp.zeros(sp_state.capacity, jnp.int32)
+    for d in range(ndim):
+        idx = jnp.floor(
+            (pos[d] - geom.prob_lo[d]) / geom.dx[d]
+        ).astype(jnp.int32)
+        idx = jnp.clip(idx, 0, geom.n_cell[d] - 1)
+        cell = cell * geom.n_cell[d] + idx
+    return jnp.where(sp_state.alive, cell, n_cells_tot)
+
+
+def _cell_moments(sp_state, m, cell, n_cells_tot, dV):
+    """Per-cell (count, density, temperature[J]) including a dead slot.
+
+    Density n = sum(w)/dV; T from the proper-velocity variance
+    (reference: ComputeTemperature.H).
+    """
+    w = jnp.where(sp_state.alive, sp_state.w, 0.0)
+    wsum = jnp.zeros(n_cells_tot + 1, w.dtype).at[cell].add(w)
+    nsum = jnp.zeros(n_cells_tot + 1, w.dtype).at[cell].add(
+        sp_state.alive.astype(w.dtype)
+    )
+    nsafe = jnp.maximum(nsum, 1.0)
+    var = jnp.zeros(n_cells_tot + 1, w.dtype)
+    for u in (sp_state.ux, sp_state.uy, sp_state.uz):
+        s = jnp.zeros(n_cells_tot + 1, w.dtype).at[cell].add(
+            jnp.where(sp_state.alive, u, 0.0)
+        )
+        mu = s / nsafe
+        var = var.at[cell].add(
+            jnp.where(sp_state.alive, (u - mu[cell]) ** 2, 0.0)
+        )
+    T = jnp.maximum((m / 3.0) * var / nsafe, 1e-300)
+    return nsum, wsum / dV, T
+
+
+def inter_species_coulomb(
+    sp1, q1: float, m1: float, sp2, q2: float, m2: float,
+    geom, dt: float, rng_key, coulomb_log: float = -1.0,
+):
+    """One inter-species Coulomb collision step between two species.
+
+    The reference strides the smaller per-cell set while walking the larger
+    set once (ElasticCollisionPerez.H:103-146).  Here every larger-set
+    particle gets a fixed partner (its in-cell rank mod min_N) and the
+    sequential reuse of a smaller-set particle becomes "rounds"
+    (rank // min_N), applied one after another under lax.while_loop so each
+    round's scatters are conflict-free.  Returns (sp1', sp2', key).
+    """
+    n_cells_tot = 1
+    for d in range(geom.ndim):
+        n_cells_tot *= geom.n_cell[d]
+    dV = geom.cell_volume
+
+    cell1 = _cell_of(sp1, geom, n_cells_tot)
+    cell2 = _cell_of(sp2, geom, n_cells_tot)
+    key, k_s1, k_s2, k_p1, k_p2 = jax.random.split(rng_key, 5)
+    order1 = jnp.lexsort((jax.random.uniform(k_s1, (sp1.capacity,)), cell1))
+    order2 = jnp.lexsort((jax.random.uniform(k_s2, (sp2.capacity,)), cell2))
+
+    N1, n1, T1 = _cell_moments(sp1, m1, cell1, n_cells_tot, dV)
+    N2, n2, T2 = _cell_moments(sp2, m2, cell2, n_cells_tot, dV)
+    # exclusive prefix of per-cell counts = start of each cell's block in the
+    # (cell, random)-sorted order
+    start1 = jnp.concatenate([jnp.zeros(1, N1.dtype), jnp.cumsum(N1)[:-1]])
+    start2 = jnp.concatenate([jnp.zeros(1, N2.dtype), jnp.cumsum(N2)[:-1]])
+
+    # combined Debye length & atomic spacing (ElasticCollisionPerez.H:74-90)
+    if coulomb_log > 0.0:
+        lmdD = jnp.ones(n_cells_tot + 1)
+    else:
+        lmdD = 1.0 / jnp.sqrt(jnp.maximum(
+            n1 * q1 * q1 / (T1 * constants.ep0)
+            + n2 * q2 * q2 / (T2 * constants.ep0),
+            1e-300,
+        ))
+    maxn = jnp.maximum(jnp.maximum(n1, n2), 1e-300)
+    rmin = 1.0 / jnp.cbrt(4.0 * math.pi / 3.0 * maxn)
+    bmax_c = jnp.maximum(lmdD, rmin)
+    sigma_max_c = 1.0 / (maxn * rmin)
+    minN = jnp.minimum(N1, N2)
+
+    mom1 = (sp1.ux, sp1.uy, sp1.uz)
+    mom2 = (sp2.ux, sp2.uy, sp2.uz)
+
+    def one_pass(momL, momS, spL, spS, qL, mL, qS, mS,
+                 orderL, cellL, startL, startS, orderS, cell_mask, pkey):
+        """Walk species L (the larger set in the masked cells), colliding
+        each alive L-particle with its strided S partner, round by round."""
+        capL = spL.capacity
+        j = jnp.arange(capL)
+        origL = orderL
+        cL = cellL[orderL]
+        rank = j - startL[cL].astype(j.dtype)
+        mN = minN[cL]
+        active = (cL < n_cells_tot) & spL.alive[orderL] & (mN > 0) & cell_mask[cL]
+        mN_s = jnp.maximum(mN, 1.0).astype(j.dtype)
+        partner_slot = jnp.clip(
+            startS[cL].astype(j.dtype) + rank % mN_s, 0, spS.capacity - 1
+        )
+        origS = orderS[partner_slot]
+        rounds = jnp.where(active, rank // mN_s, -1)
+        n_rounds = jnp.max(rounds) + 1
+
+        wL = spL.w[origL]
+        wS = spS.w[origS]
+        n12 = jnp.maximum(wL, wS) * minN[cL].astype(wL.dtype) / dV
+        sig = sigma_max_c[cL]
+        bmx = bmax_c[cL]
+
+        def body(carry):
+            (uLx, uLy, uLz), (uSx, uSy, uSz), r = carry
+            mask = active & (rounds == r)
+            rk = jax.random.fold_in(pkey, r)
+            draws = jax.random.uniform(rk, (5, capL))
+            uL = (uLx[origL], uLy[origL], uLz[origL])
+            uS = (uSx[origS], uSy[origS], uSz[origS])
+            uLn, uSn = _perez_update(
+                uL, uS, qL, mL, wL, qS, mS, wS,
+                jnp.where(mask, n12, 0.0), sig, coulomb_log, bmx,
+                dt, *draws,
+            )
+            uLx = uLx.at[origL].set(jnp.where(mask, uLn[0], uL[0]))
+            uLy = uLy.at[origL].set(jnp.where(mask, uLn[1], uL[1]))
+            uLz = uLz.at[origL].set(jnp.where(mask, uLn[2], uL[2]))
+            uSx = uSx.at[origS].set(jnp.where(mask, uSn[0], uS[0]))
+            uSy = uSy.at[origS].set(jnp.where(mask, uSn[1], uS[1]))
+            uSz = uSz.at[origS].set(jnp.where(mask, uSn[2], uS[2]))
+            return (uLx, uLy, uLz), (uSx, uSy, uSz), r + 1
+
+        def cond(carry):
+            return carry[2] < n_rounds
+
+        momL2, momS2, _ = jax.lax.while_loop(
+            cond, body, (momL, momS, jnp.asarray(0, rounds.dtype))
+        )
+        return momL2, momS2
+
+    # pass 1: cells where species 1 is the larger (or equal) set
+    mom1, mom2 = one_pass(
+        mom1, mom2, sp1, sp2, q1, m1, q2, m2,
+        order1, cell1, start1, start2, order2, N1 >= N2, k_p1,
+    )
+    # pass 2: cells where species 2 is strictly larger
+    mom2, mom1 = one_pass(
+        mom2, mom1, sp2, sp1, q2, m2, q1, m1,
+        order2, cell2, start2, start1, order1, N2 > N1, k_p2,
+    )
+    sp1 = sp1.replace(ux=mom1[0], uy=mom1[1], uz=mom1[2])
+    sp2 = sp2.replace(ux=mom2[0], uy=mom2[1], uz=mom2[2])
+    return sp1, sp2, key
 
 
 def intra_species_coulomb(

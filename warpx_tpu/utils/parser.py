@@ -20,6 +20,21 @@ from .expression import evaluate_constant
 __all__ = ["Deck"]
 
 
+def _has_open_quote(line: str) -> bool:
+    """True if a quoted token starts on this line but does not close
+    (ParmParse quoted values may span physical lines)."""
+    in_quote = None
+    for ch in line:
+        if in_quote:
+            if ch == in_quote:
+                in_quote = None
+        elif ch in "\"'":
+            in_quote = ch
+        elif ch == "#":
+            break
+    return in_quote is not None
+
+
 class Deck:
     """A parsed input deck: ordered multi-token values per flat key."""
 
@@ -50,6 +65,10 @@ class Deck:
             cont = ""
             if line.rstrip().endswith("\\"):
                 cont = line.rstrip()[:-1] + " "
+                continue
+            if _has_open_quote(line):
+                # ParmParse quoted values may span physical lines
+                cont = line + " "
                 continue
             logical_lines.append(line)
         if cont:
