@@ -161,6 +161,16 @@ class SimConfig:
     b_ext_particle: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # electrostatic solver (reference: ElectrostaticSolverAlgo)
     electrostatic: str = "none"  # none | labframe | relativistic
+    # hyperbolic divergence cleaning (reference: warpx.do_dive_cleaning /
+    # do_divb_cleaning; EvolveF.cpp / EvolveG.cpp)
+    do_dive_cleaning: bool = False
+    do_divb_cleaning: bool = False
+    # initial grid fields (reference: warpx.B_ext_grid_init_style):
+    # None | ("constant", (vx,vy,vz)) | ("parse", (expr_x, expr_y, expr_z))
+    e_ext_grid: Tuple | None = None
+    b_ext_grid: Tuple | None = None
+    # deck my_constants, for expression evaluation at init
+    user_constants: Tuple = ()
     # PSATD knobs (reference: WarpX.cpp:1409-1520)
     psatd_order: int = 16  # -1 = infinite order (periodic single box)
     psatd_update_with_rho: bool = False

@@ -282,6 +282,26 @@ def config_from_deck(deck: Deck) -> SimConfig:
             )
         )
 
+    # initial grid fields (reference: WarpXInitData.cpp InitLevelData;
+    # warpx.B_ext_grid_init_style = constant | parse_B_ext_grid_function)
+    def ext_grid(which):
+        style = (
+            deck.get_string(f"warpx.{which}_ext_grid_init_style", "") or ""
+        ).strip('"').lower()
+        if style == "constant":
+            return ("constant", tuple(
+                deck.get_reals(f"warpx.{which}_external_grid", (0.0,) * 3)
+            ))
+        if style.startswith("parse"):
+            exprs = []
+            for comp in ("x", "y", "z"):
+                found = deck.get_expr_string(
+                    "warpx", f"{which}{comp}_external_grid_function"
+                )
+                exprs.append(found[0] if found else "0")
+            return ("parse", tuple(exprs))
+        return None
+
     lasers = tuple(
         _laser_from_deck(deck, nm)
         for nm in deck.get_strings("lasers.names", [])
@@ -329,4 +349,9 @@ def config_from_deck(deck: Deck) -> SimConfig:
         psatd_update_with_rho=psatd_update_rho,
         psatd_current_correction=psatd_cc,
         psatd_periodic_single_box=psatd_single_box,
+        do_dive_cleaning=dive_cleaning,
+        do_divb_cleaning=deck.get_bool("warpx.do_divb_cleaning", False),
+        e_ext_grid=ext_grid("E"),
+        b_ext_grid=ext_grid("B"),
+        user_constants=tuple(sorted(deck.my_constants.items())),
     )

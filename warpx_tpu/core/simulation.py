@@ -187,6 +187,53 @@ class Simulation:
                     current_origin(self.state, self.cfg),
                 )
 
+    def _init_external_grid(self, fields, shapes):
+        """Initial E/B grid fields (reference: WarpXInitData.cpp
+        InitLevelData; warpx.B_ext_grid_init_style constant|parse)."""
+        cfg = self.cfg
+        geom = cfg.geometry
+        if cfg.e_ext_grid is None and cfg.b_ext_grid is None:
+            return fields
+        if self.is_bounded:
+            from .domain import DomainLayout
+
+            origin = DomainLayout.from_config(cfg).static_origin()
+        else:
+            origin = geom.prob_lo
+        from ..utils.expression import compile_expression
+
+        consts = dict(cfg.user_constants)
+        axes = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[geom.ndim]
+        upd = {}
+        for spec, comps in (
+            (cfg.e_ext_grid, ("Ex", "Ey", "Ez")),
+            (cfg.b_ext_grid, ("Bx", "By", "Bz")),
+        ):
+            if spec is None:
+                continue
+            style, vals = spec
+            for ci, comp in enumerate(comps):
+                shape = shapes[comp]
+                if style == "constant":
+                    upd[comp] = jnp.full(shape, vals[ci], self.dtype)
+                    continue
+                flags = self.staggering[comp]
+                coords = []
+                for d in range(geom.ndim):
+                    off = 0.0 if flags[d] == 1 else 0.5
+                    coords.append(
+                        origin[d] + (np.arange(shape[d]) + off) * geom.dx[d]
+                    )
+                mesh = np.meshgrid(*coords, indexing="ij")
+                xyz = [np.zeros(shape)] * 3
+                for d, a in enumerate(axes):
+                    xyz[a] = mesh[d]
+                fn = compile_expression(vals[ci], ("x", "y", "z"), consts)
+                upd[comp] = jnp.broadcast_to(
+                    jnp.asarray(fn(*xyz), self.dtype), shape
+                )
+        return fields.replace(**upd)
+
     def init(self, seed: int | None = None) -> SimState:
         cfg = self.cfg
         geom = cfg.geometry
@@ -200,14 +247,18 @@ class Simulation:
         else:
             shapes = {
                 nm: geom.n_cell
-                for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz", "jx", "jy", "jz")
+                for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz",
+                           "jx", "jy", "jz", "F", "G")
             }
         zeros = lambda nm: jnp.zeros(shapes[nm], dtype=self.dtype)  # noqa: E731
         fields = FieldState(
             Ex=zeros("Ex"), Ey=zeros("Ey"), Ez=zeros("Ez"),
             Bx=zeros("Bx"), By=zeros("By"), Bz=zeros("Bz"),
             jx=zeros("jx"), jy=zeros("jy"), jz=zeros("jz"),
+            F=zeros("F") if cfg.do_dive_cleaning else None,
+            G=zeros("G") if cfg.do_divb_cleaning else None,
         )
+        fields = self._init_external_grid(fields, shapes)
         species = {}
         aux = {}
         wdir = cfg.moving_window_dir

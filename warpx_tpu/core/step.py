@@ -199,9 +199,10 @@ def pic_step(
             species_mut[sp_cfg.ionization_product_species] = prod
         state = state.replace(species=species_mut, rng=rng)
 
-    need_rho = cfg.em_solver == "psatd" and (
-        cfg.psatd_current_correction or cfg.psatd_update_with_rho
-    )
+    need_rho = (
+        cfg.em_solver == "psatd"
+        and (cfg.psatd_current_correction or cfg.psatd_update_with_rho)
+    ) or cfg.do_dive_cleaning
     rho_old = rho_new = None
     if need_rho:
         from ..ops.deposit import deposit_rho
@@ -309,11 +310,28 @@ def pic_step(
         )
     else:
         # Field advance: B half, E full, B half (WarpXEvolve.cpp:418-446);
-        # collocated grids use centered differences (CartesianNodalAlgorithm)
+        # collocated grids use centered differences (CartesianNodalAlgorithm).
+        # With divergence cleaning the scalars advance half steps around the
+        # B pushes (WarpXEvolve.cpp:416-437: F,G,B | E | F,G,B).
         algo = "nodal" if cfg.grid_type == "collocated" else cfg.em_solver
+        F, G = fields.F, fields.G
+        if cfg.do_dive_cleaning:
+            F = yee.evolve_f(F, fields, rho_old, geom, 0.5 * dt, algo)
+        if cfg.do_divb_cleaning:
+            G = yee.evolve_g(G, fields, geom, 0.5 * dt, algo)
         fields = yee.evolve_b(fields, geom, 0.5 * dt, algo)
+        if cfg.do_divb_cleaning:
+            fields = yee.add_grad_g(fields, G, geom, 0.5 * dt, algo)
         fields = yee.evolve_e(fields, geom, dt, algo)
+        if cfg.do_dive_cleaning:
+            fields = yee.add_grad_f(fields, F, geom, dt, algo)
+            F = yee.evolve_f(F, fields, rho_new, geom, 0.5 * dt, algo)
+        if cfg.do_divb_cleaning:
+            G = yee.evolve_g(G, fields, geom, 0.5 * dt, algo)
         fields = yee.evolve_b(fields, geom, 0.5 * dt, algo)
+        if cfg.do_divb_cleaning:
+            fields = yee.add_grad_g(fields, G, geom, 0.5 * dt, algo)
+        fields = fields.replace(F=F, G=G)
 
     return state.replace(
         fields=fields,

@@ -17,12 +17,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..constants import c as _c
+from ..constants import ep0 as _ep0
 from ..constants import mu0 as _mu0
 from ..core.state import FieldState
 
 __all__ = [
     "evolve_b", "evolve_e", "compute_dt_yee", "compute_dt_ckc",
     "compute_div_e", "compute_div_b",
+    "evolve_f", "evolve_g", "add_grad_f", "add_grad_g",
 ]
 
 _c2 = _c * _c
@@ -228,6 +230,83 @@ def evolve_e(fields: FieldState, geom, dt: float, algo: str = "yee") -> FieldSta
         Ey = fields.Ey + k * (_down(Bx, 0, idz) - _mu0 * jy)
         Ez = fields.Ez + k * (-_mu0 * jz)
     return fields.replace(Ex=Ex, Ey=Ey, Ez=Ez)
+
+
+def evolve_f(F, fields: FieldState, rho, geom, dt: float, algo: str = "yee"):
+    """div-E cleaning scalar: F += dt*(divE - rho/eps0)
+    (reference: EvolveF.cpp:119-126; F lives on nodes for staggered grids)."""
+    ndim = geom.ndim
+    d = _centered if algo == "nodal" else _down
+    inv = [1.0 / x for x in geom.dx]
+    if ndim == 3:
+        div = (
+            d(fields.Ex, 0, inv[0]) + d(fields.Ey, 1, inv[1])
+            + d(fields.Ez, 2, inv[2])
+        )
+    elif ndim == 2:
+        div = d(fields.Ex, 0, inv[0]) + d(fields.Ez, 1, inv[1])
+    else:
+        div = d(fields.Ez, 0, inv[0])
+    return F + dt * (div - rho / _ep0)
+
+
+def evolve_g(G, fields: FieldState, geom, dt: float, algo: str = "yee"):
+    """div-B cleaning scalar: G += c^2*dt*divB
+    (reference: EvolveG.cpp:108-112; G is cell-centered for staggered grids)."""
+    ndim = geom.ndim
+    d = _centered if algo == "nodal" else _up
+    inv = [1.0 / x for x in geom.dx]
+    if ndim == 3:
+        div = (
+            d(fields.Bx, 0, inv[0]) + d(fields.By, 1, inv[1])
+            + d(fields.Bz, 2, inv[2])
+        )
+    elif ndim == 2:
+        div = d(fields.Bx, 0, inv[0]) + d(fields.Bz, 1, inv[1])
+    else:
+        div = d(fields.Bz, 0, inv[0])
+    return G + _c2 * dt * div
+
+
+def add_grad_f(fields: FieldState, F, geom, dt: float, algo: str = "yee"):
+    """Hyperbolic charge-conservation correction: E += c^2*dt*grad(F)
+    (reference: EvolveE.cpp:218-240)."""
+    ndim = geom.ndim
+    d = _centered if algo == "nodal" else _up
+    inv = [1.0 / x for x in geom.dx]
+    k = _c2 * dt
+    if ndim == 3:
+        return fields.replace(
+            Ex=fields.Ex + k * d(F, 0, inv[0]),
+            Ey=fields.Ey + k * d(F, 1, inv[1]),
+            Ez=fields.Ez + k * d(F, 2, inv[2]),
+        )
+    if ndim == 2:
+        return fields.replace(
+            Ex=fields.Ex + k * d(F, 0, inv[0]),
+            Ez=fields.Ez + k * d(F, 1, inv[1]),
+        )
+    return fields.replace(Ez=fields.Ez + k * d(F, 0, inv[0]))
+
+
+def add_grad_g(fields: FieldState, G, geom, dt: float, algo: str = "yee"):
+    """div-B cleaning correction: B += dt*grad(G)
+    (reference: EvolveB.cpp:192-209)."""
+    ndim = geom.ndim
+    d = _centered if algo == "nodal" else _down
+    inv = [1.0 / x for x in geom.dx]
+    if ndim == 3:
+        return fields.replace(
+            Bx=fields.Bx + dt * d(G, 0, inv[0]),
+            By=fields.By + dt * d(G, 1, inv[1]),
+            Bz=fields.Bz + dt * d(G, 2, inv[2]),
+        )
+    if ndim == 2:
+        return fields.replace(
+            Bx=fields.Bx + dt * d(G, 0, inv[0]),
+            Bz=fields.Bz + dt * d(G, 1, inv[1]),
+        )
+    return fields.replace(Bz=fields.Bz + dt * d(G, 0, inv[0]))
 
 
 def compute_div_e(fields: FieldState, geom) -> jnp.ndarray:
