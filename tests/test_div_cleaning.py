@@ -70,6 +70,90 @@ def test_dive_cleaning_update_relation():
     assert rel < 1e-1, rel
 
 
+@pytest.mark.slow
+def test_reference_dive_cleaning_deck_3d():
+    """Examples/Tests/dive_cleaning (3D): starting from E=0 around a static
+    gaussian charge, div-E cleaning must radiate the error away so E
+    converges to the Gauss-law field (analysis.py:123, atol 0.165*max)."""
+    import os
+
+    from scipy.special import gammainc
+
+    from warpx_tpu.core.simulation import Simulation
+    from warpx_tpu.diagnostics.fields import cell_centered_output
+
+    from .conftest import REFERENCE
+
+    deck = os.path.join(
+        REFERENCE, "Examples/Tests/dive_cleaning/inputs_test_3d_dive_cleaning"
+    )
+    sim = Simulation.from_deck(
+        deck,
+        overrides=(
+            "amr.n_cell = 32 32 32",  # half resolution: same physics
+            "max_step = 64",
+            "diagnostics.diags_names =",
+        ),
+    )
+    sim.init()
+    sim.evolve()
+    out = cell_centered_output(sim.state, sim.cfg, sim.staggering)
+    E = np.sqrt(out["Ex"] ** 2 + out["Ey"] ** 2 + out["Ez"] ** 2)
+
+    Qtot, r0 = -1.0e-20, 2.0e-6
+    n = 32
+    lo, hi = -50e-6, 50e-6
+    x = lo + (hi - lo) / n * (0.5 + np.arange(n))
+    x3, y3, z3 = np.meshgrid(x, x, x, indexing="ij")
+    r2 = x3**2 + y3**2 + z3**2
+    factor = (
+        Qtot / (4 * np.pi * constants.ep0 * r2**1.5)
+        * gammainc(1.5, r2 / (2.0 * r0**2))
+    )
+    E_th = np.sqrt((factor * x3) ** 2 + (factor * y3) ** 2 + (factor * z3) ** 2)
+    # at 32^3 the r0=2um beam core is under-resolved (dx=3.1um): gate the
+    # resolved region (the reference's 0.165 gate is at 64^3); the far field
+    # is where the cleaning has to build the correct Gauss-law E from zero
+    dx = (hi - lo) / n
+    mask = r2 > (2.5 * dx) ** 2
+    rel = np.abs(E - E_th)[mask].max() / E_th[mask].max()
+    assert rel < 0.05, rel
+
+
+@pytest.mark.slow
+def test_reference_divb_cleaning_deck_3d():
+    """Examples/Tests/divb_cleaning (3D): dG/dt = c^2 divB to 10%
+    (analysis.py:44-54) on the real deck (PML + parse external B)."""
+    import os
+
+    from warpx_tpu.core.simulation import Simulation
+    from warpx_tpu.diagnostics.fields import cell_centered_output
+
+    from .conftest import REFERENCE
+
+    deck = os.path.join(
+        REFERENCE, "Examples/Tests/divb_cleaning/inputs_test_3d_divb_cleaning"
+    )
+    sim = Simulation.from_deck(
+        deck,
+        overrides=("max_step = 60", "diagnostics.diags_names ="),
+    )
+    sim.init()
+    sim.evolve(57)
+    G = []
+    divB = []
+    for _ in range(3):
+        out = cell_centered_output(sim.state, sim.cfg, sim.staggering)
+        G.append(out["G"])
+        divB.append(out["divB"])
+        sim.evolve(1)
+    dt, c2 = sim.cfg.dt, constants.c**2
+    x = G[2] - G[0]
+    y = 2 * dt * c2 * divB[1]
+    rel = np.abs(x - y).max() / np.abs(y).max()
+    assert rel < 1e-1, rel
+
+
 def test_cleaning_inert_when_divergence_free():
     """G stays identically zero for a divergence-free B; fields match the
     no-cleaning run exactly."""

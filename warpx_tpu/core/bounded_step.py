@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import c as _c
+from ..constants import ep0 as _ep0
 from ..constants import mu0 as _mu0
 from ..ops.deposit import deposit_current_direct, deposit_current_esirkepov
 from ..ops.gather import gather_eb
@@ -55,6 +56,28 @@ _E_TERMS = {
     "Ex": [(+1.0, "Bz", "y", "dn"), (-1.0, "By", "z", "dn")],
     "Ey": [(+1.0, "Bx", "z", "dn"), (-1.0, "Bz", "x", "dn")],
     "Ez": [(+1.0, "By", "x", "dn"), (-1.0, "Bx", "y", "dn")],
+}
+# divergence-cleaning scalars and their gradient feedback (EvolveF.cpp /
+# EvolveG.cpp; EvolveE.cpp:218-240, EvolveB.cpp:192-209).  In the PML the
+# gradient terms become extra Berenger split components keyed by their own
+# direction (the reference PML's third E component when F is present).
+_F_TERMS = {
+    "F": [(+1.0, "Ex", "x", "dn"), (+1.0, "Ey", "y", "dn"),
+          (+1.0, "Ez", "z", "dn")],
+}
+_G_TERMS = {
+    "G": [(+1.0, "Bx", "x", "up"), (+1.0, "By", "y", "up"),
+          (+1.0, "Bz", "z", "up")],
+}
+_GRADF_TERMS = {
+    "Ex": [(+1.0, "F", "x", "up")],
+    "Ey": [(+1.0, "F", "y", "up")],
+    "Ez": [(+1.0, "F", "z", "up")],
+}
+_GRADG_TERMS = {
+    "Bx": [(+1.0, "G", "x", "dn")],
+    "By": [(+1.0, "G", "y", "dn")],
+    "Bz": [(+1.0, "G", "z", "dn")],
 }
 
 
@@ -102,7 +125,11 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
     # --- PML machinery: split-field ownership masks and damping factors
     has_pml = layout.has_pml
     if has_pml:
-        eb_names = ("Ex", "Ey", "Ez", "Bx", "By", "Bz")
+        eb_names = ["Ex", "Ey", "Ez", "Bx", "By", "Bz"]
+        if cfg.do_dive_cleaning:
+            eb_names.append("F")
+        if cfg.do_divb_cleaning:
+            eb_names.append("G")
         pml_mask = {
             nm: jnp.asarray(layout.in_pml_mask(staggering[nm]))
             for nm in eb_names
@@ -161,8 +188,10 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
         return out
 
     def pad_eb(arr, comp_name):
-        """Pad one E/B component with ng BC-filled guards per side."""
-        comp_axis = _COMP_AXIS[comp_name[-1].lower()]
+        """Pad one E/B component (or F/G scalar) with ng BC-filled guards
+        per side; F/G get zero guards at non-periodic faces."""
+        scalar = comp_name in ("F", "G")
+        comp_axis = None if scalar else _COMP_AXIS[comp_name[-1].lower()]
         kind = comp_name[0]
         out = arr
         for d in range(ndim):
@@ -180,6 +209,8 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 lo_guard = jnp.zeros(zshape, out.dtype)
                 hi_guard = jnp.zeros(zshape, out.dtype)
             out = jnp.concatenate([lo_guard, out, hi_guard], axis=d)
+        if scalar:
+            return out
         for d in range(ndim):
             axis_xyz = _COMP_AXIS[axes[d]]
             nodal = staggering[comp_name][d] == 1
@@ -342,6 +373,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             state = state.replace(species=species_mut, rng=rng)
 
         j_total = None
+        rho_old_pad = rho_new_pad = None
         new_species = {}
         for sp_cfg in cfg.species:
             sp = state.species[sp_cfg.name]
@@ -385,6 +417,23 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 )
                 q_eff = sp_cfg.charge
 
+            if cfg.do_dive_cleaning and not sp_cfg.do_not_deposit and not is_es:
+                # start/end-of-step charge density for EvolveF
+                # (rho_fp components 0/1; WarpXPushFieldsEM.cpp:1041)
+                from ..ops.deposit import deposit_rho
+
+                w_eff0 = jnp.where(sp.alive, sp.w, 0.0)
+                rho_old_pad = deposit_rho(
+                    sp.positions(ndim), w_eff0, q_eff, geom, order,
+                    out=rho_old_pad, origin=origin, wrap=False, offset=ng,
+                    out_shape=big_shape,
+                )
+                w_eff1 = jnp.where(sp_new.alive, sp_new.w, 0.0)
+                rho_new_pad = deposit_rho(
+                    sp_new.positions(ndim), w_eff1, q_eff, geom, order,
+                    out=rho_new_pad, origin=origin, wrap=False, offset=ng,
+                    out_shape=big_shape,
+                )
             if not sp_cfg.do_not_deposit and not is_es:
                 w_eff = jnp.where(sp.alive, sp_new.w, 0.0)
                 if cfg.current_deposition == "esirkepov":
@@ -445,6 +494,18 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             jx=j_valid[0], jy=j_valid[1], jz=j_valid[2]
         )
 
+        rho_old = rho_new = None
+        if cfg.do_dive_cleaning:
+            if rho_old_pad is None:
+                rho_old = rho_new = jnp.zeros(shapes["rho"], dtype)
+            else:
+                if cfg.use_filter:
+                    npass = cfg.filter_npass_each_dir or (1,) * ndim
+                    rho_old_pad = bilinear_filter_padded(rho_old_pad, npass)
+                    rho_new_pad = bilinear_filter_padded(rho_new_pad, npass)
+                rho_old = fold_and_crop(rho_old_pad, "rho")
+                rho_new = fold_and_crop(rho_new_pad, "rho")
+
         # --- field advance: B half, E full, B half; PML strips evolve the
         # Berenger split fields (EvolveBPML.cpp/EvolveEPML.cpp: each split
         # part integrates one curl term of the TOTAL fields) and are damped
@@ -454,19 +515,33 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
         aux = dict(state.aux)
 
         def advance(fields, out_names, terms_map, in_names, coef, dth,
-                    with_j=False):
-            pads = {nm: pad_eb(getattr(fields, nm), nm) for nm in in_names}
+                    with_j=False, extra=None, source=None):
+            """Advance out comps by dth*coef*(their curl/div terms).
+
+            extra: additional terms per comp (grad F / grad G feedback) —
+            in the PML these become their own Berenger split components.
+            source: per-comp array added as dth*source (the -rho/eps0 of
+            EvolveF), applied to the regular region only.
+            """
+            pad_names = set(in_names)
+            if extra:
+                for ts in extra.values():
+                    pad_names.update(t[1] for t in ts)
+            pads = {nm: pad_eb(getattr(fields, nm), nm) for nm in pad_names}
             jmap = dict(zip(("Ex", "Ey", "Ez"), ("jx", "jy", "jz")))
             upd = {}
             for nm in out_names:
+                terms = list(terms_map[nm]) + list((extra or {}).get(nm, []))
                 reg = getattr(fields, nm) + dth * curl_terms(
-                    nm, terms_map[nm], pads, coef
+                    nm, terms, pads, coef
                 )
                 if with_j:
                     reg = reg - dth * _c2 * _mu0 * getattr(fields, jmap[nm])
+                if source and nm in source:
+                    reg = reg + dth * source[nm]
                 if has_pml:
                     tot = jnp.zeros(shapes[nm], dtype)
-                    for term in terms_map[nm]:
+                    for term in terms:
                         if term[2] not in axes:
                             continue
                         key = f"pml:{nm}:{term[2]}"
@@ -480,38 +555,56 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                     upd[nm] = reg
             return fields.replace(**upd)
 
+        dive = cfg.do_dive_cleaning
+        divb = cfg.do_divb_cleaning
+        e_comps = ("Ex", "Ey", "Ez")
+        b_comps = ("Bx", "By", "Bz")
+        if dive:
+            fields = advance(
+                fields, ("F",), _F_TERMS, e_comps, 1.0, 0.5 * dt,
+                source={"F": -rho_old / _ep0},
+            )
+        if divb:
+            fields = advance(fields, ("G",), _G_TERMS, b_comps, _c2, 0.5 * dt)
         fields = advance(
-            fields, ("Bx", "By", "Bz"), _B_TERMS, ("Ex", "Ey", "Ez"), 1.0,
-            0.5 * dt,
+            fields, b_comps, _B_TERMS, e_comps, 1.0, 0.5 * dt,
+            extra=_GRADG_TERMS if divb else None,
         )
         fields = advance(
-            fields, ("Ex", "Ey", "Ez"), _E_TERMS, ("Bx", "By", "Bz"), _c2,
-            dt, with_j=True,
+            fields, e_comps, _E_TERMS, b_comps, _c2, dt, with_j=True,
+            extra=_GRADF_TERMS if dive else None,
         )
+        if dive:
+            fields = advance(
+                fields, ("F",), _F_TERMS, e_comps, 1.0, 0.5 * dt,
+                source={"F": -rho_new / _ep0},
+            )
+        if divb:
+            fields = advance(fields, ("G",), _G_TERMS, b_comps, _c2, 0.5 * dt)
         fields = advance(
-            fields, ("Bx", "By", "Bz"), _B_TERMS, ("Ex", "Ey", "Ez"), 1.0,
-            0.5 * dt,
+            fields, b_comps, _B_TERMS, e_comps, 1.0, 0.5 * dt,
+            extra=_GRADG_TERMS if divb else None,
         )
 
         if has_pml:
             # DampPML: damp each split along its own direction, refresh totals
+            # (split keys in aux are static; group them by component)
+            split_dirs: Dict[str, list] = {}
+            for key in aux:
+                if key.startswith("pml:"):
+                    _, nm, ax = key.split(":")
+                    split_dirs.setdefault(nm, []).append(ax)
             upd = {}
-            for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
-                terms = (_E_TERMS if nm[0] == "E" else _B_TERMS)[nm]
+            for nm, dirs in split_dirs.items():
                 tot = jnp.zeros(shapes[nm], dtype)
-                any_split = False
-                for term in terms:
-                    if term[2] not in axes:
-                        continue
-                    key = f"pml:{nm}:{term[2]}"
-                    dd = axes.index(term[2])
+                for ax in sorted(dirs):
+                    key = f"pml:{nm}:{ax}"
+                    dd = axes.index(ax)
                     aux[key] = aux[key] * damp_factor(nm, dd)
                     tot = tot + aux[key]
-                    any_split = True
-                if any_split:
-                    upd[nm] = jnp.where(
-                        pml_mask[nm] > 0, tot, getattr(fields, nm)
-                    )
+                upd[nm] = jnp.where(
+                    pml_mask[nm] > 0, tot, getattr(fields, nm)
+                )
             fields = fields.replace(**upd)
 
         fields = enforce_walls(fields)
@@ -677,9 +770,14 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             aux["window_hi"] = state.aux["window_hi"] + shift_len
 
             f = state.fields
+            shift_names = ["Ex", "Ey", "Ez", "Bx", "By", "Bz"]
+            if f.F is not None:
+                shift_names.append("F")
+            if f.G is not None:
+                shift_names.append("G")
             upd = {
                 name: shift_field(getattr(f, name), num_shift)
-                for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz")
+                for name in shift_names
             }
             for key in list(aux):
                 if key.startswith("pml:"):

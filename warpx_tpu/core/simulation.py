@@ -339,12 +339,27 @@ class Simulation:
 
             layout = DomainLayout.from_config(cfg)
             if layout.has_pml:
-                # Berenger split fields, one part per curl term
-                from .bounded_step import _B_TERMS, _E_TERMS
+                # Berenger split fields, one part per curl term (plus the
+                # grad F / grad G and F/G splits when div cleaning is on)
+                from .bounded_step import (
+                    _B_TERMS, _E_TERMS, _F_TERMS, _G_TERMS,
+                    _GRADF_TERMS, _GRADG_TERMS,
+                )
 
+                term_map = {
+                    nm: list((_E_TERMS if nm[0] == "E" else _B_TERMS)[nm])
+                    for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz")
+                }
+                if cfg.do_dive_cleaning:
+                    term_map["F"] = list(_F_TERMS["F"])
+                    for nm, ts in _GRADF_TERMS.items():
+                        term_map[nm] += ts
+                if cfg.do_divb_cleaning:
+                    term_map["G"] = list(_G_TERMS["G"])
+                    for nm, ts in _GRADG_TERMS.items():
+                        term_map[nm] += ts
                 axes = geom.axis_names
-                for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
-                    terms = (_E_TERMS if nm[0] == "E" else _B_TERMS)[nm]
+                for nm, terms in term_map.items():
                     for term in terms:
                         if term[2] not in axes:
                             continue

@@ -215,6 +215,16 @@ def cell_centered_output(
     rho = deposit_total_rho(state, cfg)
     out["rho"] = np.asarray(cell_center(rho, staggering["rho"], geom.n_cell))
 
+    # divergence-cleaning scalars, when present
+    if f.F is not None:
+        out["F"] = np.asarray(
+            cell_center(comp("F"), staggering["F"], geom.n_cell)
+        )
+    if f.G is not None:
+        out["G"] = np.asarray(
+            cell_center(comp("G"), staggering["G"], geom.n_cell)
+        )
+
     # divE (nodal) / divB (cell-centered) derived diagnostics
     # (reference: DivEFunctor -> WarpX::ComputeDivE — spectral i k.E under
     # PSATD, finite differences otherwise; DivBFunctor)
@@ -231,6 +241,33 @@ def cell_centered_output(
             div_e = _yee.compute_div_e(f, geom)
         out["divE"] = np.asarray(cell_center(div_e, (1,) * geom.ndim, geom.n_cell))
         out["divB"] = np.asarray(_yee.compute_div_b(f, geom))
+    elif cfg.grid_type == "staggered":
+        # bounded staggered grids: exact differences on the physical region
+        # (nodal dims hold n+1 wall-inclusive values); divE wall values use a
+        # zero-exterior one-sided difference
+        bcl = cfg.field_bc_lo or ("periodic",) * geom.ndim
+        dxs = geom.dx
+        div_b = None
+        div_e = None
+        for d, axn in enumerate(geom.axis_names):
+            b_arr = comp("B" + axn)
+            if b_arr.shape[d] == geom.n_cell[d] + 1:
+                tb = jnp.diff(b_arr, axis=d) / dxs[d]
+            else:
+                tb = (jnp.roll(b_arr, -1, axis=d) - b_arr) / dxs[d]
+            div_b = tb if div_b is None else div_b + tb
+            e_arr = comp("E" + axn)
+            if bcl[d] != "periodic":
+                pad = [(0, 0)] * geom.ndim
+                pad[d] = (1, 1)
+                te = jnp.diff(jnp.pad(e_arr, pad), axis=d) / dxs[d]
+            else:
+                te = (e_arr - jnp.roll(e_arr, 1, axis=d)) / dxs[d]
+            div_e = te if div_e is None else div_e + te
+        out["divE"] = np.asarray(
+            cell_center(div_e, (1,) * geom.ndim, geom.n_cell)
+        )
+        out["divB"] = np.asarray(div_b)
 
     origin = current_origin(state, cfg)
     ppc = jnp.zeros(geom.n_cell, dtype=f.Ex.dtype)
