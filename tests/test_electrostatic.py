@@ -43,3 +43,68 @@ def test_electrostatic_sphere(name):
         ),
         rtol=3e-2,
     )
+
+
+@pytest.mark.slow
+def test_open_bc_poisson_igf():
+    """Open-boundary IGF Poisson (warpx.poisson_solver = fft) on the
+    reference's relativistic-beam deck: E must match the Bassetti-Erskine
+    field (analysis.py gates rtol 0.032/0.029 at 128^3; same gate holds at
+    64^3 on the significant region)."""
+    import numpy as np
+    from scipy.constants import epsilon_0, pi
+    from scipy.special import erf
+
+    from warpx_tpu.diagnostics.fields import cell_centered_output
+
+    deck = os.path.join(
+        REFERENCE,
+        "Examples/Tests/open_bc_poisson_solver/"
+        "inputs_test_3d_open_bc_poisson_solver",
+    )
+    sim = Simulation.from_deck(
+        deck, overrides=("amr.n_cell = 64 64 64", "diagnostics.diags_names =")
+    )
+    sim.init()
+    out = cell_centered_output(sim.state, sim.cfg, sim.staggering)
+
+    sigmaz, sigmax, sigmay, Q = 300e-6, 516e-9, 7.7e-9, -3.2e-9
+
+    def w(z):
+        return np.exp(-(z**2)) * (1 + erf(1.0j * z))
+
+    def evaluate_E(x, y, z):
+        den = np.sqrt(2 * (sigmax**2 - sigmay**2))
+        term1 = w((x + 1j * y) / den)
+        arg2 = (x * sigmay / sigmax + 1j * y * sigmax / sigmay) / den
+        term2 = -np.exp(
+            -(x**2) / (2 * sigmax**2) - y**2 / (2 * sigmay**2)
+        ) * w(arg2)
+        factor = (
+            Q / (2.0 * np.sqrt(2.0) * pi * epsilon_0 * sigmaz * den)
+            * np.exp(-(z**2) / (2 * sigmaz**2))
+        )
+        E = factor * (term1 + term2)
+        return E.imag, E.real
+
+    n = 64
+    gx = (np.arange(n) + 0.5) / n * 8 * sigmax - 4 * sigmax
+    gy = (np.arange(n) + 0.5) / n * 8 * sigmay - 4 * sigmay
+    gz = (np.arange(n) + 0.5) / n * 8 * sigmaz - 4 * sigmaz
+    for k in range(4, n - 4, 8):
+        ex_th = evaluate_E(gx, 0.0, gz[k])[0]
+        m = np.abs(ex_th) > 0.05 * np.abs(ex_th).max()
+        rel = (
+            np.abs(out["Ex"][:, n // 2, k] - ex_th)[m].max()
+            / np.abs(ex_th).max()
+        )
+        assert rel < 0.04, (k, rel)
+        ey_th = evaluate_E(0.0, gy, gz[k])[1]
+        m = np.abs(ey_th) > 0.05 * np.abs(ey_th).max()
+        rel = (
+            np.abs(out["Ey"][n // 2, :, k] - ey_th)[m].max()
+            / np.abs(ey_th).max()
+        )
+        assert rel < 0.04, (k, rel)
+    # the relativistic beam must generate B = beta x E / c
+    assert float(np.abs(out["By"]).max()) > 100.0

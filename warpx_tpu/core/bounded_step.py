@@ -874,30 +874,93 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
         return state.replace(species=new_species)
 
     # ------------------------------------------------------------ ES solve
+    # Build per-solve groups at trace time: labframe = one solve over all
+    # species with beta=0 (LabFrameExplicitES); relativistic = one solve per
+    # species in its average rest frame (RelativisticExplicitES.H), beta from
+    # the configured mean momentum.  warpx.poisson_solver=fft with open
+    # boundaries uses the integrated-Green-function free-space solve.
+    es_groups = []
+    poisson_igf = False
+    if is_es:
+        import numpy as _np
+
+        periodic_t = tuple(bc_lo[d] == "periodic" for d in range(ndim))
+        all_open = all(
+            b == "open" for b in tuple(bc_lo) + tuple(bc_hi)
+        )
+        poisson_igf = cfg.poisson_solver == "fft"
+        if poisson_igf and not (all_open and ndim == 3):
+            raise NotImplementedError(
+                "poisson_solver=fft requires 3D open boundaries"
+            )
+        if all_open and not poisson_igf:
+            raise NotImplementedError(
+                "open field boundaries need warpx.poisson_solver = fft"
+            )
+        sp_es = [s for s in cfg.species if not s.do_not_deposit]
+        relativistic = cfg.electrostatic == "relativistic"
+        groups = [[s] for s in sp_es] if relativistic else [sp_es]
+        active_xyz = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[ndim]
+        for grp in groups:
+            beta3 = _np.zeros(3)
+            if relativistic and grp and grp[0].momentum_distribution in (
+                "constant", "gaussian"
+            ):
+                u = _np.array([grp[0].ux, grp[0].uy, grp[0].uz], float)
+                beta3 = u / math.sqrt(1.0 + float(u @ u))
+            beta_active = tuple(float(beta3[a]) for a in active_xyz)
+            if poisson_igf:
+                from ..solvers.electrostatic import igf_greens_hat
+
+                cell_scaled = tuple(
+                    dxs[d] / math.sqrt(1.0 - beta_active[d] ** 2)
+                    for d in range(ndim)
+                )
+                g_hat = igf_greens_hat(shapes["rho"], cell_scaled)
+                es_groups.append(
+                    ([s.name for s in grp], beta3, beta_active, g_hat)
+                )
+            else:
+                from ..solvers.electrostatic import PoissonSolver
+
+                solver = PoissonSolver(
+                    geom, periodic_t,
+                    beta2=tuple(b * b for b in beta_active),
+                )
+                es_groups.append(
+                    ([s.name for s in grp], beta3, beta_active, solver)
+                )
+
     def solve_es(state: SimState) -> SimState:
         """ComputeSpaceChargeField (WarpXSolveFieldsES.cpp:16): deposit rho,
-        Poisson solve with the per-dim boundary mix, E = -grad(phi)."""
+        Poisson solve per group, E = -(1-bb^T)grad(phi), B = -(b x grad)/c."""
         from ..diagnostics.fields import deposit_total_rho
-        from ..solvers.electrostatic import PoissonSolver, phi_to_e
+        from ..solvers.electrostatic import (
+            phi_to_b, phi_to_e_beta, solve_open_igf,
+        )
 
         periodic = tuple(bc_lo[d] == "periodic" for d in range(ndim))
-        rho = deposit_total_rho(state, cfg)
-        solver = PoissonSolver(geom, periodic)
-        phi = solver.solve(rho)
-        e_active = phi_to_e(phi, geom, periodic)
-        # map active-axis E to components; transverse comps (e.g. Ey in 2D)
-        # stay zero
-        fields = state.fields
         names = {1: ["Ez"], 2: ["Ex", "Ez"], 3: ["Ex", "Ey", "Ez"]}[ndim]
-        upd = {}
-        for nm, e in zip(names, e_active):
-            upd[nm] = e.astype(dtype)
-        zero_names = [
-            n for n in ("Ex", "Ey", "Ez") if n not in names
-        ]
-        for nm in zero_names:
-            upd[nm] = jnp.zeros(shapes[nm], dtype)
-        return state.replace(fields=fields.replace(**upd))
+        upd = {
+            nm: jnp.zeros(shapes[nm], dtype)
+            for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz")
+        }
+        for (grp_names, beta3, beta_active, backend) in es_groups:
+            rho = deposit_total_rho(state, cfg, only=grp_names)
+            if poisson_igf:
+                phi = solve_open_igf(rho, backend)
+            else:
+                phi = backend.solve(rho)
+            e_active = phi_to_e_beta(phi, geom, periodic, beta_active)
+            for nm, e in zip(names, e_active):
+                upd[nm] = upd[nm] + e.astype(dtype)
+            if any(b != 0.0 for b in beta3):
+                b_map = phi_to_b(phi, geom, periodic, tuple(beta3))
+                for xyz_i, arr in b_map.items():
+                    if arr is not None:
+                        bn = "B" + "xyz"[xyz_i]
+                        upd[bn] = upd[bn] + arr.astype(dtype)
+        return state.replace(fields=state.fields.replace(**upd))
 
     return (
         jax.jit(step_main),

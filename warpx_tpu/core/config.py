@@ -161,6 +161,9 @@ class SimConfig:
     b_ext_particle: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # electrostatic solver (reference: ElectrostaticSolverAlgo)
     electrostatic: str = "none"  # none | labframe | relativistic
+    # Poisson solver backend (reference: warpx.poisson_solver): multigrid
+    # (here: direct transform) | fft (open-boundary integrated Green fn)
+    poisson_solver: str = "multigrid"
     # hyperbolic divergence cleaning (reference: warpx.do_dive_cleaning /
     # do_divb_cleaning; EvolveF.cpp / EvolveG.cpp)
     do_dive_cleaning: bool = False

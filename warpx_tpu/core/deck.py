@@ -343,6 +343,10 @@ def config_from_deck(deck: Deck) -> SimConfig:
         collisions=tuple(collisions),
         pml_ncell=deck.get_int("pml_ncell", deck.get_int("warpx.pml_ncell", 10)),
         electrostatic=es_solver,
+        poisson_solver=(
+            deck.get_string("warpx.poisson_solver", "multigrid")
+            or "multigrid"
+        ).lower(),
         e_ext_particle=e_ext,
         b_ext_particle=b_ext,
         psatd_order=psatd_order,

@@ -51,7 +51,9 @@ def current_origin(state: SimState, cfg: SimConfig):
     return origin
 
 
-def deposit_total_rho(state: SimState, cfg: SimConfig) -> jnp.ndarray:
+def deposit_total_rho(
+    state: SimState, cfg: SimConfig, only=None
+) -> jnp.ndarray:
     """Nodal charge density summed over species at current positions
     (reference: RhoFunctor -> GetChargeDensity over all containers incl.
     lasers, then ApplyFilterandSumBoundaryRho: filter with guards, fold
@@ -70,6 +72,8 @@ def deposit_total_rho(state: SimState, cfg: SimConfig) -> jnp.ndarray:
             sp = state.species[sp_cfg.name]
             if sp.capacity == 0 or sp_cfg.do_not_deposit:
                 continue
+            if only is not None and sp_cfg.name not in only:
+                continue
             w_eff = jnp.where(sp.alive, sp.w, 0.0)
             rho = deposit_rho(
                 sp.positions(ndim), w_eff, sp_cfg.charge, geom,
@@ -85,6 +89,8 @@ def deposit_total_rho(state: SimState, cfg: SimConfig) -> jnp.ndarray:
     for sp_cfg in cfg.species:
         sp = state.species[sp_cfg.name]
         if sp.capacity == 0 or sp_cfg.do_not_deposit:
+            continue
+        if only is not None and sp_cfg.name not in only:
             continue
         w_eff = jnp.where(sp.alive, sp.w, 0.0)
         rho = deposit_rho(

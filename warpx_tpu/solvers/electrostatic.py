@@ -25,7 +25,10 @@ import numpy as np
 
 from ..constants import ep0 as _ep0
 
-__all__ = ["PoissonSolver", "phi_to_e"]
+__all__ = [
+    "PoissonSolver", "phi_to_e", "igf_greens_hat", "solve_open_igf",
+    "phi_to_e_beta", "phi_to_b",
+]
 
 
 def _dst1(arr: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -116,6 +119,147 @@ class PoissonSolver:
                 pad[d] = (1, 1)
                 x = jnp.pad(x, pad)
         return x
+
+
+def _integrated_potential(x, y, z):
+    """Closed-form integral of 1/|r| over a cell corner (reference:
+    IntegratedGreenFunctionSolver.H:37-50)."""
+    r = np.sqrt(x * x + y * y + z * z)
+    return (
+        -0.5 * z * z * np.arctan(x * y / (z * r))
+        - 0.5 * y * y * np.arctan(x * z / (y * r))
+        - 0.5 * x * x * np.arctan(y * z / (x * r))
+        + y * z * np.arcsinh(x / np.sqrt(y * y + z * z))
+        + x * z * np.arcsinh(y / np.sqrt(x * x + z * z))
+        + x * y * np.arcsinh(z / np.sqrt(x * x + y * y))
+    )
+
+
+def igf_greens_hat(n_nodes, cell, dtype=np.float64):
+    """rfftn of the integrated Green function on the 2x zero-padding grid
+    (reference: IntegratedGreenFunctionSolver.cpp:140-190 — mirror-symmetric
+    fill; host-side, baked as a compile-time constant).
+
+    n_nodes: nodal extents (nx, ny, nz); cell: (dx, dy, dz), possibly
+    gamma-stretched for a relativistic solve (PoissonSolver.H:263-265).
+    """
+    dists = []
+    for n, d in zip(n_nodes, cell):
+        i = np.arange(2 * n)
+        dists.append(np.minimum(i, 2 * n - i).astype(np.float64) * d)
+    X = dists[0][:, None, None]
+    Y = dists[1][None, :, None]
+    Z = dists[2][None, None, :]
+    dx, dy, dz = cell
+    G = np.zeros((2 * n_nodes[0], 2 * n_nodes[1], 2 * n_nodes[2]))
+    for sx in (+1, -1):
+        for sy in (+1, -1):
+            for sz in (+1, -1):
+                G += (sx * sy * sz) * _integrated_potential(
+                    X + sx * 0.5 * dx, Y + sy * 0.5 * dy, Z + sz * 0.5 * dz
+                )
+    G *= 1.0 / (4.0 * np.pi * _ep0)
+    return np.fft.rfftn(G.astype(dtype))
+
+
+def solve_open_igf(rho: jnp.ndarray, g_hat) -> jnp.ndarray:
+    """Open-boundary (free-space) Poisson solve via Hockney-Eastwood
+    zero-padded FFT convolution with the integrated Green function."""
+    nx, ny, nz = rho.shape
+    full = (2 * nx, 2 * ny, 2 * nz)
+    pad = jnp.zeros(full, rho.dtype).at[:nx, :ny, :nz].set(rho)
+    phi = jnp.fft.irfftn(jnp.fft.rfftn(pad) * jnp.asarray(g_hat), s=full)
+    return phi[:nx, :ny, :nz].astype(rho.dtype)
+
+
+def _stag_diff(phi, d, dx, periodic):
+    """Staggered first difference of nodal phi along dim d (n+1 -> n for
+    bounded dims; roll for periodic)."""
+    if periodic:
+        return (jnp.roll(phi, -1, axis=d) - phi) / dx
+    hi = [slice(None)] * phi.ndim
+    lo = [slice(None)] * phi.ndim
+    hi[d] = slice(1, None)
+    lo[d] = slice(0, -1)
+    return (phi[tuple(hi)] - phi[tuple(lo)]) / dx
+
+
+def _avg(arr, d, periodic):
+    """Average adjacent values along d (node -> center)."""
+    if periodic:
+        return 0.5 * (arr + jnp.roll(arr, -1, axis=d))
+    hi = [slice(None)] * arr.ndim
+    lo = [slice(None)] * arr.ndim
+    hi[d] = slice(1, None)
+    lo[d] = slice(0, -1)
+    return 0.5 * (arr[tuple(hi)] + arr[tuple(lo)])
+
+
+def phi_to_e_beta(phi, geom, periodic, beta):
+    """E = -(1 - beta beta^T) grad(phi) at the staggered E sites
+    (reference: ElectrostaticSolver.cpp computeE:255-330)."""
+    ndim = geom.ndim
+    out = []
+    for d in range(ndim):
+        e = -(1.0 - beta[d] * beta[d]) * _stag_diff(
+            phi, d, geom.dx[d], periodic[d]
+        )
+        for dp in range(ndim):
+            if dp == d or beta[d] * beta[dp] == 0.0:
+                continue
+            g = _stag_diff(phi, dp, geom.dx[dp], periodic[dp])
+            g = _avg(g, d, periodic[d])
+            # re-center along dp: pad back to nodal extent by edge repeat
+            if not periodic[dp]:
+                pad = [(0, 0)] * ndim
+                pad[dp] = (1, 0)
+                g = jnp.pad(g, pad, mode="edge")
+            else:
+                g = 0.5 * (g + jnp.roll(g, 1, axis=dp))
+            out_d_shape_fix = g
+            e = e - beta[d] * beta[dp] * out_d_shape_fix
+        out.append(e)
+    return out
+
+
+def phi_to_b(phi, geom, periodic, beta):
+    """B = -(beta x grad(phi))/c at the staggered B sites
+    (reference: ElectrostaticSolver.cpp computeB:384-460).
+
+    Returns {comp_xyz_index: array or None}; only built for the active
+    dims — transverse gradients of inactive dims are zero.
+    """
+    from ..constants import c as _c
+
+    ndim = geom.ndim
+    # active-axis index per xyz axis (None if inactive)
+    axis_of = {1: {2: 0}, 2: {0: 0, 2: 1}, 3: {0: 0, 1: 1, 2: 2}}[ndim]
+
+    def grad_at(b_axis_xyz, g_axis_xyz):
+        """d(phi)/d(g_axis) averaged to the B_{b_axis} staggered site."""
+        if g_axis_xyz not in axis_of:
+            return None
+        d = axis_of[g_axis_xyz]
+        g = _stag_diff(phi, d, geom.dx[d], periodic[d])
+        for other_xyz, od in axis_of.items():
+            if other_xyz in (b_axis_xyz, g_axis_xyz):
+                continue
+            g = _avg(g, od, periodic[od])
+        return g
+
+    out = {}
+    eps = [(0, 1, 2), (1, 2, 0), (2, 0, 1)]
+    for (i, j, k) in eps:
+        t1 = grad_at(i, k)  # beta_j * dphi/dk
+        t2 = grad_at(i, j)  # beta_k * dphi/dj
+        # B_i = (1/c) * (-beta_j dphi/dk + beta_k dphi/dj)
+        b = None
+        if beta[j] != 0.0 and t1 is not None:
+            b = -beta[j] * t1
+        if beta[k] != 0.0 and t2 is not None:
+            b = (0.0 if b is None else b) + beta[k] * t2
+        out[i] = None if b is None else b / _c
+    return out
 
 
 def phi_to_e(phi: jnp.ndarray, geom, periodic: Sequence[bool]):
