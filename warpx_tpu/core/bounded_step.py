@@ -150,6 +150,73 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             shape[dd] = cnt
             return jnp.asarray(v.reshape(shape))
 
+    # --- Silver-Mueller absorbing boundary: one stateful guard cell per
+    # side; transverse B guards evolve ONLY via the first-order absorbing
+    # relation (ApplySilverMuellerBoundary.cpp:185-330), applied once per
+    # step after the first half B push with full-dt coefficients
+    # (WarpXFieldBoundaries.cpp:136-140).
+    import numpy as _np
+
+    sm_lo = [bc_lo[d] == "absorbing_silver_mueller" for d in range(ndim)]
+    sm_hi = [bc_hi[d] == "absorbing_silver_mueller" for d in range(ndim)]
+    any_sm = any(sm_lo) or any(sm_hi)
+    if any_sm:
+        if has_pml:
+            raise NotImplementedError("mixing PML and Silver-Mueller")
+        sm_mask = {}
+        for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
+            m = _np.zeros(shapes[nm], bool)
+            for d in range(ndim):
+                if sm_lo[d]:
+                    m[(slice(None),) * d + (0,)] = True
+                if sm_hi[d]:
+                    m[(slice(None),) * d + (shapes[nm][d] - 1,)] = True
+            sm_mask[nm] = jnp.asarray(m)
+        sm_c1, sm_c2 = {}, {}
+        for d in range(ndim):
+            cdt = _c * dt / dxs[d]
+            sm_c1[d] = (1.0 - cdt) / (1.0 + cdt)
+            sm_c2[d] = 2.0 * cdt / (1.0 + cdt) / _c
+
+        def _levi(i, j, k):
+            return ((i - j) * (j - k) * (k - i)) // 2  # +1 cyclic, -1 anti
+
+        def apply_silver_mueller(fields):
+            upd = {nm: getattr(fields, nm) for nm in ("Bx", "By", "Bz")}
+            for d in range(ndim):
+                if not (sm_lo[d] or sm_hi[d]):
+                    continue
+                ia = _COMP_AXIS[axes[d]]
+                for it in range(3):
+                    if it == ia:
+                        continue
+                    ip = 3 - ia - it
+                    sgn_hi = -float(_levi(ia, it, ip))
+                    tname = "B" + "xyz"[it]
+                    pname = "E" + "xyz"[ip]
+                    B = upd[tname]
+                    E = getattr(fields, pname)
+
+                    def at(i, arr):
+                        sl = [slice(None)] * ndim
+                        sl[d] = i
+                        return tuple(sl)
+
+                    if sm_hi[d]:
+                        gi = B.shape[d] - 1
+                        ei = E.shape[d] - 2  # wall node inside the guard
+                        B = B.at[at(gi, B)].set(
+                            sm_c1[d] * B[at(gi, B)]
+                            + sgn_hi * sm_c2[d] * E[at(ei, E)]
+                        )
+                    if sm_lo[d]:
+                        B = B.at[at(0, B)].set(
+                            sm_c1[d] * B[at(0, B)]
+                            - sgn_hi * sm_c2[d] * E[at(1, E)]
+                        )
+                    upd[tname] = B
+            return fields.replace(**upd)
+
     attr_fns = {}
     for sp_cfg in cfg.species:
         attr_fns[sp_cfg.name] = [
@@ -553,6 +620,11 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                     upd[nm] = jnp.where(pml_mask[nm] > 0, tot, reg)
                 else:
                     upd[nm] = reg
+                if any_sm and nm in sm_mask:
+                    # Silver-Mueller guard cells never evolve via curls
+                    upd[nm] = jnp.where(
+                        sm_mask[nm], getattr(fields, nm), upd[nm]
+                    )
             return fields.replace(**upd)
 
         dive = cfg.do_dive_cleaning
@@ -570,6 +642,8 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             fields, b_comps, _B_TERMS, e_comps, 1.0, 0.5 * dt,
             extra=_GRADG_TERMS if divb else None,
         )
+        if any_sm:
+            fields = apply_silver_mueller(fields)
         fields = advance(
             fields, e_comps, _E_TERMS, b_comps, _c2, dt, with_j=True,
             extra=_GRADF_TERMS if dive else None,

@@ -43,10 +43,26 @@ class DomainLayout:
         return self.bc_lo[d] != "periodic"
 
     def ext_lo(self, d: int) -> int:
-        return self.pml_ncell if self.bc_lo[d] == "pml" else 0
+        if self.bc_lo[d] == "pml":
+            return self.pml_ncell
+        # Silver-Mueller keeps one stateful absorbing guard cell
+        # (reference: ApplySilverMuellerBoundary.cpp "innermost guard cell")
+        if self.bc_lo[d] == "absorbing_silver_mueller":
+            return 1
+        return 0
 
     def ext_hi(self, d: int) -> int:
-        return self.pml_ncell if self.bc_hi[d] == "pml" else 0
+        if self.bc_hi[d] == "pml":
+            return self.pml_ncell
+        if self.bc_hi[d] == "absorbing_silver_mueller":
+            return 1
+        return 0
+
+    @property
+    def has_ext(self) -> bool:
+        return any(
+            self.ext_lo(d) or self.ext_hi(d) for d in range(self.geom.ndim)
+        )
 
     def n_alloc(self, d: int, nodal: bool) -> int:
         """Allocated extent of a component along dim d (cells + strips +

@@ -251,11 +251,11 @@ def update_antenna(
     amplitude = fill_amplitude(laser, ndim, Xp, Yp, t)
     sign_charge = jnp.where(sp.w > 0, -1.0, 1.0)
     v_over_c = sign_charge * mobility * amplitude
-    p = np.array(laser.polarization, dtype=float)
-    p = p / np.linalg.norm(p)
-    vx = constants.c * v_over_c * p[0]
-    vy = constants.c * v_over_c * p[1]
-    vz = constants.c * v_over_c * p[2]
+    # velocity is along p_X: the polarization projected orthogonal to the
+    # propagation direction (LaserParticleContainer.cpp:904-906 tmp_p_X)
+    vx = constants.c * v_over_c * u_X[0]
+    vy = constants.c * v_over_c * u_X[1]
+    vz = constants.c * v_over_c * u_X[2]
     gamma = 1.0 / jnp.sqrt(1.0 - v_over_c * v_over_c)
     ux = gamma * vx
     uy = gamma * vy

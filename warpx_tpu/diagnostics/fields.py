@@ -175,7 +175,7 @@ def _phys_crop(cfg, staggering):
     from ..core.domain import DomainLayout
 
     layout = DomainLayout.from_config(cfg)
-    if not layout.has_pml:
+    if not layout.has_ext:
         return None
     return {
         name: layout.phys_slice(flags) for name, flags in staggering.items()
