@@ -212,3 +212,53 @@ def test_leveling_thinning_conserves_charge():
         totals.append(float(np.sum(np.asarray(out.w)[alive])))
         assert int(alive.sum()) < n_before
     assert abs(np.mean(totals) - q_before) < 0.02 * q_before
+
+
+def test_velocity_coincidence_thinning_conserves():
+    """VCT merging: cluster weight, momentum and kinetic energy conserved
+    exactly; particle count reduced (reference: VelocityCoincidenceThinning
+    two-particle Vranic solve)."""
+    import jax
+
+    from warpx_tpu.ops.resampling import velocity_coincidence_thinning
+
+    sim = _aniso_sim()
+    sim.init()
+    sp = sim.state.species["electrons"]
+    m = constants.m_e
+    c2 = constants.c**2
+
+    def totals(s):
+        alive = np.asarray(s.alive)
+        w = np.asarray(s.w)[alive]
+        u = [np.asarray(x)[alive] for x in (s.ux, s.uy, s.uz)]
+        g = np.sqrt(1 + (u[0] ** 2 + u[1] ** 2 + u[2] ** 2) / c2)
+        return (
+            w.sum(),
+            np.array([(w * x).sum() * m for x in u]),
+            (w * m * c2 * (g - 1)).sum(),
+            int(alive.sum()),
+        )
+
+    w0, p0, e0, n0 = totals(sp)
+    out, _ = velocity_coincidence_thinning(
+        sp, sim.cfg.geometry, m, jax.random.PRNGKey(7),
+        grid_type="spherical", delta_ur=0.05 * constants.c,
+        n_theta=2, n_phi=2,
+    )
+    w1, p1, e1, n1 = totals(out)
+    assert n1 < n0, (n0, n1)
+    assert abs(w1 - w0) < 1e-12 * w0
+    assert np.all(np.abs(p1 - p0) < 1e-10 * np.abs(p0).max() + 1e-40)
+    assert abs(e1 - e0) < 1e-10 * e0
+
+    # cartesian grid variant
+    out2, _ = velocity_coincidence_thinning(
+        sp, sim.cfg.geometry, m, jax.random.PRNGKey(8),
+        grid_type="cartesian",
+        delta_u=(0.05 * constants.c,) * 3,
+    )
+    w2, p2, e2, n2 = totals(out2)
+    assert n2 < n0
+    assert abs(w2 - w0) < 1e-12 * w0
+    assert abs(e2 - e0) < 1e-10 * e0

@@ -98,6 +98,18 @@ class SpeciesConfig:
     z_cut: float = float("inf")
     # runtime attributes: (name, expression(x,y,z,ux,uy,uz,t), is_integer)
     attributes: Tuple[Tuple[str, str, bool], ...] = ()
+    # resampling (reference: Resampling.cpp / ResamplingTrigger.cpp)
+    do_resampling: bool = False
+    resampling_algorithm: str = "leveling_thinning"
+    resampling_trigger_intervals: Tuple[str, ...] = ("0",)
+    resampling_trigger_max_avg_ppc: float = float("inf")
+    resampling_target_ratio: float = 1.5
+    resampling_min_ppc: int = 1
+    resampling_velocity_grid_type: str = "spherical"
+    resampling_delta_ur: float = 0.0
+    resampling_n_theta: int = 1
+    resampling_n_phi: int = 1
+    resampling_delta_u: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # extra particle capacity headroom factor for continuous injection
     capacity_factor: float = 1.0
     # ADK field ionization (reference: PhysicalParticleContainer ionization)

@@ -105,6 +105,35 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
         physical_element=gs("physical_element", "") or "",
         ionization_initial_level=deck.get_int(f"{name}.ionization_initial_level", 0),
         ionization_product_species=gs("ionization_product_species", "") or "",
+        do_resampling=bool(deck.get_int(f"{name}.do_resampling", 0)),
+        resampling_algorithm=(
+            gs("resampling_algorithm", "leveling_thinning")
+            or "leveling_thinning"
+        ).lower(),
+        resampling_trigger_intervals=tuple(
+            deck.get_strings(f"{name}.resampling_trigger_intervals", ["0"])
+        ),
+        resampling_trigger_max_avg_ppc=g(
+            "resampling_trigger_max_avg_ppc", math.inf
+        ),
+        resampling_target_ratio=g("resampling_algorithm_target_ratio", 1.5),
+        resampling_min_ppc=deck.get_int(f"{name}.resampling_min_ppc", 1),
+        resampling_velocity_grid_type=(
+            gs("resampling_algorithm_velocity_grid_type", "spherical")
+            or "spherical"
+        ).lower(),
+        resampling_delta_ur=g("resampling_algorithm_delta_ur", 0.0),
+        resampling_n_theta=deck.get_int(
+            f"{name}.resampling_algorithm_n_theta", 1
+        ),
+        resampling_n_phi=deck.get_int(
+            f"{name}.resampling_algorithm_n_phi", 1
+        ),
+        resampling_delta_u=tuple(
+            deck.get_reals(
+                f"{name}.resampling_algorithm_delta_u", (0.0, 0.0, 0.0)
+            )
+        ),
         x_rms=g("x_rms", 0.0), y_rms=g("y_rms", 0.0), z_rms=g("z_rms", 0.0),
         x_m=g("x_m", 0.0), y_m=g("y_m", 0.0), z_m=g("z_m", 0.0),
         npart=deck.get_int(f"{name}.npart", 0),

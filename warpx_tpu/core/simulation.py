@@ -395,6 +395,7 @@ class Simulation:
                 self.state = self._half_push(self.state, dt_half=-0.5 * cfg.dt)
                 self.is_synchronized = False
             self.state = self._step_main(self.state)
+            self._do_resampling(step + 1)
             if step == cfg.max_step - 1:
                 # synchronize: forward half push with the new fields
                 # (WarpXEvolve.cpp:222-229 -> Synchronize :65)
@@ -416,6 +417,59 @@ class Simulation:
                 self.state = self._solve_es(self.state)
             self.flush_diagnostics(step + 1)
         return self.state
+
+    def _do_resampling(self, timestep: int):
+        """Apply per-species resampling when triggered (reference:
+        WarpXEvolve.cpp:212 doResampling(istep+1); ResamplingTrigger:
+        interval match OR avg ppc above threshold)."""
+        cfg = self.cfg
+        resampled = [s for s in cfg.species if s.do_resampling]
+        if not resampled:
+            return
+        import numpy as _np
+
+        from ..utils.intervals import IntervalsParser
+
+        if not hasattr(self, "_resampling_triggers"):
+            self._resampling_triggers = {
+                s.name: IntervalsParser(list(s.resampling_trigger_intervals))
+                for s in resampled
+            }
+        n_cells = float(_np.prod(cfg.geometry.n_cell))
+        for sp_cfg in resampled:
+            fire = self._resampling_triggers[sp_cfg.name].contains(timestep)
+            if not fire and _np.isfinite(sp_cfg.resampling_trigger_max_avg_ppc):
+                n_alive = float(
+                    _np.asarray(self.state.species[sp_cfg.name].alive).sum()
+                )
+                fire = (
+                    n_alive / n_cells > sp_cfg.resampling_trigger_max_avg_ppc
+                )
+            if not fire:
+                continue
+            sp = self.state.species[sp_cfg.name]
+            if sp_cfg.resampling_algorithm == "velocity_coincidence_thinning":
+                from ..ops.resampling import velocity_coincidence_thinning
+
+                sp, rng = velocity_coincidence_thinning(
+                    sp, cfg.geometry, sp_cfg.mass, self.state.rng,
+                    grid_type=sp_cfg.resampling_velocity_grid_type,
+                    delta_ur=sp_cfg.resampling_delta_ur,
+                    n_theta=sp_cfg.resampling_n_theta,
+                    n_phi=sp_cfg.resampling_n_phi,
+                    delta_u=sp_cfg.resampling_delta_u,
+                    min_ppc=sp_cfg.resampling_min_ppc,
+                )
+            else:
+                from ..ops.resampling import leveling_thinning
+
+                sp, rng = leveling_thinning(
+                    sp, cfg.geometry, self.state.rng,
+                    target_ratio=sp_cfg.resampling_target_ratio,
+                )
+            species = dict(self.state.species)
+            species[sp_cfg.name] = sp
+            self.state = self.state.replace(species=species, rng=rng)
 
     def evolve_fused(self, numsteps: int) -> SimState:
         """Advance ``numsteps`` interior steps inside ONE compiled lax.scan.
