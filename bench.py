@@ -70,17 +70,36 @@ def run_once(n, ppc, steps):
         int(np.asarray(state.species[s.name].alive).sum()) for s in cfg.species
     )
 
-    # chained async dispatch (device-side pipeline); block once per rep and
-    # take the best rep to reject tunnel hiccups
-    state = sim._step(state)  # compile + warm
-    jax.block_until_ready(state.fields.Ex)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state = sim._step(state)
+    # fuse the whole measured span into ONE compiled lax.scan: a single
+    # dispatch per rep, so host/tunnel launch latency cannot pollute the
+    # measurement (BENCH_FUSED=0 falls back to per-step dispatch)
+    fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    if fused:
+        step = sim._step
+
+        def run(s, n):
+            return jax.lax.scan(lambda st, _: (step(st), None), s, None,
+                                length=n)[0]
+
+        run_j = jax.jit(run, static_argnums=1)
+        state = run_j(state, steps)  # compile + warm
         jax.block_until_ready(state.fields.Ex)
-        best = min(best, time.perf_counter() - t0)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state = run_j(state, steps)
+            jax.block_until_ready(state.fields.Ex)
+            best = min(best, time.perf_counter() - t0)
+    else:
+        state = sim._step(state)  # compile + warm
+        jax.block_until_ready(state.fields.Ex)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state = sim._step(state)
+            jax.block_until_ready(state.fields.Ex)
+            best = min(best, time.perf_counter() - t0)
 
     steps_per_sec = steps / best
     pushes_per_sec = n_particles * steps_per_sec

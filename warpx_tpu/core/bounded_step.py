@@ -411,6 +411,10 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz")
         }
         gather_stag = staggering
+        if cfg.use_nci_corr:
+            from .step import _apply_nci
+
+            farr_pad = _apply_nci(farr_pad, cfg)
         if mc_gather:
             farr_pad = mc_aux_pads(farr_pad)
             gather_stag = nodal_stag

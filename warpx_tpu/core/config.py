@@ -146,6 +146,9 @@ class SimConfig:
     grid_type: str = "staggered"  # staggered | collocated
     use_filter: bool = False
     filter_npass_each_dir: Tuple[int, ...] = ()
+    # Godfrey NCI corrector applied to the gather fields
+    # (reference: warpx.use_fdtd_nci_corr; NCIGodfreyFilter.cpp)
+    use_nci_corr: bool = False
     species: Tuple[SpeciesConfig, ...] = ()
     cfl: float = 0.999
     verbose: bool = False

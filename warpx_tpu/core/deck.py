@@ -355,6 +355,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
         ).lower(),
         grid_type=grid_type,
         use_filter=deck.get_bool("warpx.use_filter", False),
+        use_nci_corr=deck.get_bool("warpx.use_fdtd_nci_corr", False),
         filter_npass_each_dir=filter_npass,
         species=species + laser_species,
         cfl=cfl,

@@ -113,6 +113,27 @@ def push_momenta_half(
     return state.replace(species=new_species)
 
 
+def _apply_nci(farr, cfg):
+    """Godfrey NCI corrector on the GATHER fields along z (reference:
+    WarpXComm.cpp UpdateAuxilaryData applies nci_godfrey_filter_exeybz /
+    _bxbyez to the aux fields; requires Esirkepov deposition)."""
+    from ..constants import c as _c_
+    from ..solvers.filter import apply_z_stencil, nci_godfrey_stencil
+
+    geom = cfg.geometry
+    zax = geom.ndim - 1
+    cdtodz = _c_ * cfg.dt / geom.dx[zax]
+    nodal = cfg.field_gathering == "momentum-conserving"
+    s1 = nci_godfrey_stencil(cdtodz, "ExEyBz", nodal)
+    s2 = nci_godfrey_stencil(cdtodz, "BxByEz", nodal)
+    out = dict(farr)
+    for nm in ("Ex", "Ey", "Bz"):
+        out[nm] = apply_z_stencil(out[nm], s1, zax)
+    for nm in ("Bx", "By", "Ez"):
+        out[nm] = apply_z_stencil(out[nm], s2, zax)
+    return out
+
+
 def pic_step(
     state: SimState, cfg: SimConfig, staggering: Dict, psatd=None
 ) -> SimState:
@@ -121,6 +142,8 @@ def pic_step(
     dt = cfg.dt
     farr = _field_dict(state.fields)
     gather_stag = staggering
+    if cfg.use_nci_corr:
+        farr = _apply_nci(farr, cfg)
     if cfg.field_gathering == "momentum-conserving":
         farr = _nodal_aux(farr, staggering)
         gather_stag = {k: (1,) * geom.ndim for k in staggering}
