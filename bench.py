@@ -191,6 +191,21 @@ def main():
             print(f"bench: {spec} failed: {e}", file=sys.stderr, flush=True)
             last_err = e
             continue
+    if os.environ.get("BENCH_FUSED", "1") == "1":
+        # the fused lax.scan occasionally faults this TPU's tunnel; retry
+        # everything per-step-dispatch in a FRESH process (the fault kills
+        # the device client in this one)
+        import subprocess
+
+        env = dict(os.environ, BENCH_FUSED="0")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=560,
+        )
+        sys.stderr.write(out.stderr[-2000:])
+        if out.stdout.strip():
+            print(out.stdout.strip().splitlines()[-1], flush=True)
+            return
     print(
         json.dumps(
             {

@@ -1,0 +1,94 @@
+"""Galilean PSATD operator tests.
+
+The spectral operator is validated exactly: a vacuum plane wave advances
+with the analytic phase in the Galilean (grid-comoving) frame, and the
+coefficients reduce to standard PSATD as v_gal -> 0.
+
+Known gap: on the reference's nci_psatd_stability decks the full PIC loop
+still shows residual NCI-scale growth (the reference suppresses it to its
+noise floor); under investigation.  The deck runs end-to-end and the
+operator-level behavior is gated here.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from warpx_tpu import constants
+from warpx_tpu.core.grid import Geometry, yee_staggering
+from warpx_tpu.core.state import FieldState
+from warpx_tpu.solvers.psatd import PsatdSolver
+
+c = constants.c
+
+
+def test_galilean_vacuum_advection_phase():
+    """A +z-propagating EM wave must advance by exp(-i k (c - v_g) dt)
+    per step in the comoving frame (exact for the analytic operator)."""
+    n, L = 32, 19.34
+    geom = Geometry(3, (4, 4, n), (-L / 2,) * 3, (L / 2,) * 3, (True,) * 3)
+    stag = yee_staggering(3)
+    dt = (L / n) / c
+    vg = 0.99498743710662 * c
+    z1 = jnp.zeros((4, 4, n))
+    zc = np.arange(n) * L / n
+    m = 4
+    k1 = 2 * np.pi / L * m
+    ex = np.tile(np.cos(k1 * zc), (4, 4, 1))
+    f = FieldState(
+        Ex=jnp.asarray(ex), Ey=z1, Ez=z1,
+        Bx=z1, By=jnp.asarray(ex / c), Bz=z1,
+        jx=z1, jy=z1, jz=z1,
+    )
+    s = PsatdSolver(geom, stag, dt, n_order=-1, update_with_rho=True,
+                    v_galilean=(0.0, 0.0, vg))
+    g = f
+    steps = 8
+    for _ in range(steps):
+        g = s.push(g, (z1, z1))
+    F0 = np.fft.fft(np.asarray(f.Ex)[0, 0])
+    F1 = np.fft.fft(np.asarray(g.Ex)[0, 0])
+    measured = np.angle(F1[m] / F0[m])
+    expected = -(k1 * (c - vg) * dt * steps)
+    expected = (expected + np.pi) % (2 * np.pi) - np.pi
+    assert abs(measured - expected) < 1e-10, (measured, expected)
+    # amplitude exactly preserved (unitary vacuum operator)
+    assert abs(abs(F1[m] / F0[m]) - 1.0) < 1e-12
+
+
+def test_galilean_coefficients_reduce_to_standard():
+    geom = Geometry(3, (16, 16, 16), (0.0,) * 3, (1e-5,) * 3, (True,) * 3)
+    stag = yee_staggering(3)
+    dt = 0.99 * 1e-5 / 16 / c / np.sqrt(3)
+    s0 = PsatdSolver(geom, stag, dt, n_order=8)
+    s1 = PsatdSolver(geom, stag, dt, n_order=8,
+                     v_galilean=(0.0, 0.0, 1e-8 * c))
+    for nm in ("_X1", "_X2", "_X3"):
+        a = np.asarray(getattr(s0, nm))
+        b = np.asarray(getattr(s1, nm))
+        assert np.abs(b - a).max() / np.abs(a).max() < 1e-6, nm
+    assert np.abs(np.asarray(s1._T2) - 1.0).max() < 1e-6
+
+
+@pytest.mark.slow
+def test_galilean_deck_runs():
+    """The reference 2D Galilean deck runs end-to-end (fields finite)."""
+    import os
+
+    from warpx_tpu.core.simulation import Simulation
+
+    from .conftest import REFERENCE, reference_available
+
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    sim = Simulation.from_deck(
+        os.path.join(
+            REFERENCE,
+            "Examples/Tests/nci_psatd_stability/inputs_test_2d_galilean_psatd",
+        ),
+        overrides=("diagnostics.diags_names =", "max_step = 50"),
+    )
+    sim.init()
+    sim.evolve()
+    assert np.isfinite(np.asarray(sim.state.fields.Ex)).all()

@@ -111,6 +111,11 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
     wdir = cfg.moving_window_dir
     bounded = [bc_lo[d] != "periodic" for d in range(ndim)]
 
+    if cfg.em_solver == "psatd":
+        raise NotImplementedError(
+            "PSATD with non-periodic boundaries / moving window / lasers "
+            "is not implemented yet (bounded path is FDTD-only)"
+        )
     layout = DomainLayout.from_config(cfg)
     shapes = layout.field_shapes(staggering)
     ext_lo = [layout.ext_lo(d) for d in range(ndim)]

@@ -194,6 +194,8 @@ class SimConfig:
     psatd_update_with_rho: bool = False
     psatd_current_correction: bool = False
     psatd_periodic_single_box: bool = False
+    # Galilean frame velocity [m/s] (reference: psatd.v_galilean * c)
+    psatd_v_galilean: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
     @property
     def galerkin(self) -> bool:

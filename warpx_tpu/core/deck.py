@@ -262,13 +262,23 @@ def config_from_deck(deck: Deck) -> SimConfig:
         deck.get_string("algo.current_deposition", dep_default) or dep_default
     ).lower()
     psatd_single_box = deck.get_bool("psatd.periodic_single_box_fft", False)
-    psatd_order = deck.get_int("psatd.nox", -1 if psatd_single_box else 16)
+    psatd_order = deck.get_int("psatd.nox", 16)
     dive_cleaning = deck.get_bool("warpx.do_dive_cleaning", False)
     cc_default = not (
         current_dep in ("esirkepov", "villasenor", "vay") or dive_cleaning
     )
     psatd_cc = deck.get_bool("psatd.current_correction", cc_default)
-    psatd_update_rho = deck.get_bool("psatd.update_with_rho", dive_cleaning)
+    # Galilean velocity given in units of c (WarpX.cpp:1530,1553)
+    v_gal = tuple(
+        v * 299792458.0
+        for v in deck.get_reals("psatd.v_galilean", (0.0, 0.0, 0.0))
+    )
+    is_galilean = any(v != 0.0 for v in v_gal)
+    # update_with_rho defaults to true for Galilean/comoving PSATD
+    # (WarpX.cpp:1591-1599), else to do_dive_cleaning
+    psatd_update_rho = deck.get_bool(
+        "psatd.update_with_rho", dive_cleaning or is_galilean
+    )
     pusher = (deck.get_string("algo.particle_pusher", "boris") or "boris").lower()
     species_names = deck.get_strings("particles.species_names", [])
     import dataclasses
@@ -383,6 +393,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
         psatd_update_with_rho=psatd_update_rho,
         psatd_current_correction=psatd_cc,
         psatd_periodic_single_box=psatd_single_box,
+        psatd_v_galilean=v_gal,
         do_dive_cleaning=dive_cleaning,
         do_divb_cleaning=deck.get_bool("warpx.do_divb_cleaning", False),
         e_ext_grid=ext_grid("E"),

@@ -59,10 +59,12 @@ class Simulation:
                     cfg.geometry,
                     self.staggering,
                     cfg.dt,
-                    n_order=-1 if cfg.psatd_periodic_single_box else cfg.psatd_order,
+                    n_order=cfg.psatd_order,
                     collocated_grid=(cfg.grid_type == "collocated"),
                     update_with_rho=cfg.psatd_update_with_rho,
                     current_correction=cfg.psatd_current_correction,
+                    v_galilean=cfg.psatd_v_galilean,
+                    single_box=cfg.psatd_periodic_single_box,
                     dtype=self.dtype,
                 )
             self.psatd = psatd
@@ -90,7 +92,6 @@ class Simulation:
             nonperiodic
             or cfg.do_moving_window
             or bool(cfg.lasers)
-            or cfg.use_filter
             or cfg.electrostatic != "none"
         )
 

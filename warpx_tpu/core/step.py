@@ -148,6 +148,17 @@ def pic_step(
         farr = _nodal_aux(farr, staggering)
         gather_stag = {k: (1,) * geom.ndim for k in staggering}
 
+    # Galilean PSATD: the grid coordinates drift at v_galilean every step
+    # (WarpXEvolve.cpp:234 ShiftGalileanBoundary, unconditionally), realized
+    # here as a time-dependent deposition/gather origin.
+    gal_origin = None
+    if any(cfg.psatd_v_galilean):
+        _ax = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[geom.ndim]
+        gal_origin = [
+            geom.prob_lo[d] + cfg.psatd_v_galilean[_ax[d]] * state.time
+            for d in range(geom.ndim)
+        ]
+
     # binary collisions then ionization before the main push
     # (WarpXEvolve.cpp:157-166 doFieldIonization / doCollisions ordering)
     coulomb_cols = [c for c in cfg.collisions if c.kind == "pairwisecoulomb"]
@@ -247,7 +258,7 @@ def pic_step(
             w_eff0 = jnp.where(sp.alive, sp.w, 0.0)
             rho_old = deposit_rho(
                 pos, w_eff0, sp_cfg.charge, geom, cfg.particle_shape,
-                out=rho_old,
+                out=rho_old, origin=gal_origin,
             )
         if sp_cfg.do_not_gather:
             zeros = jnp.zeros_like(sp.ux)
@@ -256,7 +267,7 @@ def pic_step(
             ex, ey, ez, bx, by, bz = _add_ext(
                 gather_eb(
                     pos, farr, gather_stag, geom, cfg.particle_shape,
-                    cfg.galerkin,
+                    cfg.galerkin, origin=gal_origin,
                 ),
                 cfg,
             )
@@ -278,11 +289,13 @@ def pic_step(
                     new_pos, ux, uy, uz, w_eff, sp_cfg.charge,
                     geom, dt, cfg.particle_shape,
                     chunk_size=cfg.deposit_chunk_size,
+                    origin=gal_origin,
                 )
             else:
                 jx, jy, jz = deposit_current_direct(
                     new_pos, ux, uy, uz, w_eff, sp_cfg.charge,
                     geom, staggering, dt, cfg.particle_shape,
+                    origin=gal_origin,
                 )
             j_total = (
                 (jx, jy, jz)
@@ -296,7 +309,7 @@ def pic_step(
             w_eff1 = jnp.where(sp.alive, sp.w, 0.0)
             rho_new = deposit_rho(
                 new_pos, w_eff1, sp_cfg.charge, geom, cfg.particle_shape,
-                out=rho_new,
+                out=rho_new, origin=gal_origin,
             )
 
         sp_new = sp.replace(ux=ux, uy=uy, uz=uz)

@@ -92,6 +92,8 @@ class PsatdSolver:
         collocated_grid: bool = False,
         update_with_rho: bool = False,
         current_correction: bool = False,
+        v_galilean=(0.0, 0.0, 0.0),
+        single_box: bool = False,
         dtype=jnp.float64,
     ):
         self.geom = geom
@@ -99,10 +101,14 @@ class PsatdSolver:
         self.dt = dt
         self.update_with_rho = update_with_rho
         self.current_correction = current_correction
+        self.v_galilean = tuple(v_galilean)
+        self.is_galilean = any(v != 0.0 for v in self.v_galilean)
         ndim = geom.ndim
         # guard cells: nox_fft/2 staggered, nox_fft collocated
-        # (GuardCellManager.cpp:205-208); infinite order -> periodic single box
-        if n_order == -1:
+        # (GuardCellManager.cpp:205-208).  With periodic_single_box the FFT
+        # spans the whole periodic domain exactly (no guards) at the same
+        # stencil order; infinite order implies single box.
+        if n_order == -1 or single_box:
             self.ng = 0
         else:
             self.ng = n_order if collocated_grid else n_order // 2
@@ -145,18 +151,71 @@ class PsatdSolver:
         om2 = om * om
         C = np.cos(om * dt)
         S_ck = np.where(om != 0.0, np.sin(om * dt) / np.where(om == 0, 1, om), dt)
-        X1 = np.where(om != 0.0, (1.0 - C) / (_ep0 * np.where(om2 == 0, 1, om2)),
-                      0.5 * dt * dt / _ep0)
-        X2 = np.where(
-            om != 0.0,
-            _c2 * (dt - S_ck) / (_ep0 * dt * np.where(om2 == 0, 1, om2)),
-            _c2 * dt * dt / (6.0 * _ep0),
-        )
-        X3 = np.where(
-            om != 0.0,
-            _c2 * (dt * C - S_ck) / (_ep0 * dt * np.where(om2 == 0, 1, om2)),
-            -_c2 * dt * dt / (3.0 * _ep0),
-        )
+        if self.is_galilean:
+            # Galilean PSATD (PsatdAlgorithmJConstantInTime.cpp:400-520):
+            # w_c = k_centered . v_gal built on the CENTERED (collocated)
+            # finite-order modified k for both grid types
+            active_axes = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[ndim]
+            w_c = np.zeros(self.n_fft)
+            for d in range(ndim):
+                vg = self.v_galilean[active_axes[d]]
+                if vg == 0.0:
+                    continue
+                kc = modified_k(ks[d], geom.dx[d], n_order, True)
+                w_c = w_c + self._np_bcast(kc, d, ndim) * vg
+            self._w_c = jnp.asarray(w_c)
+            theta = np.exp(1j * w_c * dt * 0.5)
+            theta_star = np.conj(theta)
+            T2 = theta * theta
+            om2_m_w2 = om2 - w_c * w_c
+            nz = (om != 0.0) | (w_c != 0.0)
+            X1 = np.where(
+                nz,
+                (1.0 - T2 * C + 1j * w_c * T2 * S_ck)
+                / (_ep0 * np.where(om2_m_w2 == 0, 1, om2_m_w2)),
+                0.5 * dt * dt / _ep0,
+            )
+            tmp = np.where(
+                om != 0.0,
+                (1.0 - C) / (_ep0 * np.where(om2 == 0, 1, om2)),
+                0.5 * dt * dt / _ep0,
+            )
+            dth = np.where(theta_star - theta == 0, 1, theta_star - theta)
+            wnz = w_c != 0.0
+            X2 = np.where(
+                wnz,
+                _c2 * (theta_star * X1 - theta * tmp) / dth,
+                np.where(
+                    om != 0.0,
+                    _c2 * (dt - S_ck) / (_ep0 * dt * np.where(om2 == 0, 1, om2)),
+                    _c2 * dt * dt / (6.0 * _ep0),
+                ),
+            )
+            X3 = np.where(
+                wnz,
+                _c2 * (theta_star * X1 - theta_star * tmp) / dth,
+                np.where(
+                    om != 0.0,
+                    _c2 * (dt * C - S_ck) / (_ep0 * dt * np.where(om2 == 0, 1, om2)),
+                    -_c2 * dt * dt / (3.0 * _ep0),
+                ),
+            )
+            X4 = 1j * w_c * X1 - T2 * S_ck / _ep0
+            self._T2 = jnp.asarray(T2)
+            self._X4 = jnp.asarray(X4)
+        else:
+            X1 = np.where(om != 0.0, (1.0 - C) / (_ep0 * np.where(om2 == 0, 1, om2)),
+                          0.5 * dt * dt / _ep0)
+            X2 = np.where(
+                om != 0.0,
+                _c2 * (dt - S_ck) / (_ep0 * dt * np.where(om2 == 0, 1, om2)),
+                _c2 * dt * dt / (6.0 * _ep0),
+            )
+            X3 = np.where(
+                om != 0.0,
+                _c2 * (dt * C - S_ck) / (_ep0 * dt * np.where(om2 == 0, 1, om2)),
+                -_c2 * dt * dt / (3.0 * _ep0),
+            )
         self._C = jnp.asarray(C)
         self._S_ck = jnp.asarray(S_ck)
         self._X1 = jnp.asarray(X1)
@@ -250,10 +309,25 @@ class PsatdSolver:
         if self.current_correction:
             # F = [k.J - i (rho_new - rho_old)/dt] / k^2; J <- J - F k
             # (PsatdAlgorithmJConstantInTime::CurrentCorrection:719-800);
-            # the corrected J is also transformed back to real space
-            # (PSATDBackwardTransformJ) and becomes the diagnostic current
+            # the Galilean variant replaces the time derivative with the
+            # theta2-weighted difference (:764-775).  The corrected J is
+            # also transformed back to real space (PSATDBackwardTransformJ)
+            # and becomes the diagnostic current
             k_dot_J = kx * J[0] + ky * J[1] + kz * J[2]
-            F = (k_dot_J - I * (rho_new_k - rho_old_k) / dt) * self._inv_k2
+            if self.is_galilean:
+                w_c = self._w_c
+                t2 = jnp.exp(I * w_c * dt)
+                den = jnp.where(t2 == 1.0, 1.0, 1.0 - t2)
+                F_gal = (
+                    k_dot_J
+                    - w_c * (rho_new_k - rho_old_k * t2) / den
+                ) * self._inv_k2
+                F_std = (
+                    k_dot_J - I * (rho_new_k - rho_old_k) / dt
+                ) * self._inv_k2
+                F = jnp.where(w_c != 0.0, F_gal, F_std)
+            else:
+                F = (k_dot_J - I * (rho_new_k - rho_old_k) / dt) * self._inv_k2
             J = [J[0] - F * kx, J[1] - F * ky, J[2] - F * kz]
             corrected_j = {
                 nm: self.backward(Jc, nm) for nm, Jc in zip(names_j, J)
@@ -266,36 +340,50 @@ class PsatdSolver:
             rho_new = rho_new_k
         else:
             rho_old = I * _ep0 * k_dot_E
-            rho_new = rho_old - I * k_dot_J * dt
+            if self.is_galilean:
+                w_c = self._w_c
+                T2g = jnp.exp(I * w_c * dt)
+                rho_new = jnp.where(
+                    w_c != 0.0,
+                    T2g * rho_old
+                    + (1.0 - T2g) * k_dot_J / jnp.where(w_c == 0, 1, w_c),
+                    rho_old - I * k_dot_J * dt,
+                )
+            else:
+                rho_new = rho_old - I * k_dot_J * dt
 
         C, S_ck, X1, X2, X3 = self._C, self._S_ck, self._X1, self._X2, self._X3
-        rho_fac = X2 * rho_new - X3 * rho_old
+        if self.is_galilean:
+            T2, X4 = self._T2, self._X4
+        else:
+            T2, X4 = 1.0, -S_ck / _ep0
+        rho_fac = X2 * rho_new - T2 * X3 * rho_old
 
         Ex = (
-            C * E[0]
-            + I * _c2 * S_ck * (ky * B[2] - kz * B[1])
-            - S_ck / _ep0 * J[0]
+            T2 * C * E[0]
+            + I * _c2 * T2 * S_ck * (ky * B[2] - kz * B[1])
+            + X4 * J[0]
             - I * rho_fac * kx
         )
         Ey = (
-            C * E[1]
-            + I * _c2 * S_ck * (kz * B[0] - kx * B[2])
-            - S_ck / _ep0 * J[1]
+            T2 * C * E[1]
+            + I * _c2 * T2 * S_ck * (kz * B[0] - kx * B[2])
+            + X4 * J[1]
             - I * rho_fac * ky
         )
         Ez = (
-            C * E[2]
-            + I * _c2 * S_ck * (kx * B[1] - ky * B[0])
-            - S_ck / _ep0 * J[2]
+            T2 * C * E[2]
+            + I * _c2 * T2 * S_ck * (kx * B[1] - ky * B[0])
+            + X4 * J[2]
             - I * rho_fac * kz
         )
-        Bx = C * B[0] - I * S_ck * (ky * E[2] - kz * E[1]) + I * X1 * (
+        Bx = T2 * C * B[0] - I * T2 * S_ck * (ky * E[2] - kz * E[1]) + I * X1 * (
             ky * J[2] - kz * J[1]
         )
-        By = C * B[1] - I * S_ck * (kz * E[0] - kx * E[2]) + I * X1 * (
+        By = T2 * C * B[1] - I * T2 * S_ck * (kz * E[0] - kx * E[2]) + I * X1 * (
             kz * J[0] - kx * J[2]
         )
-        Bz = C * B[2] - I * S_ck * (kx * E[1] - ky * E[0]) + I * X1 * (
+        Bz = T2 * C * B[2] - I * T2 * S_ck * (kx * E[1] - ky * E[0]) + I * X1 * (
             kx * J[1] - ky * J[0]
         )
 
