@@ -73,7 +73,7 @@ def run_once(n, ppc, steps):
     # fuse the whole measured span into ONE compiled lax.scan: a single
     # dispatch per rep, so host/tunnel launch latency cannot pollute the
     # measurement (BENCH_FUSED=0 falls back to per-step dispatch)
-    fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    fused = os.environ.get("BENCH_FUSED", "0") == "1"
     if fused:
         step = sim._step
 
@@ -136,7 +136,7 @@ def run_lwfa(steps):
     sim.reduced = []
     state = sim.init()
     sim.evolve(2)  # compile + warm the per-step kernels
-    fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    fused = os.environ.get("BENCH_FUSED", "0") == "1"
     if fused:
         sim.evolve_fused(steps)  # compile the scanned span (same length)
     jax.block_until_ready(sim.state.fields.Ex)
@@ -191,7 +191,7 @@ def main():
             print(f"bench: {spec} failed: {e}", file=sys.stderr, flush=True)
             last_err = e
             continue
-    if os.environ.get("BENCH_FUSED", "1") == "1":
+    if os.environ.get("BENCH_FUSED", "0") == "1":
         # the fused lax.scan occasionally faults this TPU's tunnel; retry
         # everything per-step-dispatch in a FRESH process (the fault kills
         # the device client in this one)

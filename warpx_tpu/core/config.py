@@ -98,6 +98,14 @@ class SpeciesConfig:
     z_cut: float = float("inf")
     # runtime attributes: (name, expression(x,y,z,ux,uy,uz,t), is_integer)
     attributes: Tuple[Tuple[str, str, bool], ...] = ()
+    # flux injection (reference: PlasmaInjector flux keys; AddPlasmaFlux)
+    surface_flux_pos: float = 0.0
+    flux_normal_axis: str = "z"
+    flux_direction: int = 1
+    flux: float = 0.0
+    flux_expr: str = ""
+    flux_tmin: float = -1.0
+    flux_tmax: float = -1.0
     # resampling (reference: Resampling.cpp / ResamplingTrigger.cpp)
     do_resampling: bool = False
     resampling_algorithm: str = "leveling_thinning"

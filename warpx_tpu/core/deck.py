@@ -105,6 +105,17 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
         physical_element=gs("physical_element", "") or "",
         ionization_initial_level=deck.get_int(f"{name}.ionization_initial_level", 0),
         ionization_product_species=gs("ionization_product_species", "") or "",
+        surface_flux_pos=g("surface_flux_pos", 0.0),
+        flux_normal_axis=(gs("flux_normal_axis", "z") or "z").lower(),
+        flux_direction=deck.get_int(f"{name}.flux_direction", 1),
+        flux=g("flux", 0.0),
+        flux_expr=(
+            (deck.get_expr_string(name, "flux_function") or [""])[0]
+            if (gs("flux_profile", "") or "").lower().startswith("parse")
+            else ""
+        ),
+        flux_tmin=g("flux_tmin", -1.0),
+        flux_tmax=g("flux_tmax", -1.0),
         do_resampling=bool(deck.get_int(f"{name}.do_resampling", 0)),
         resampling_algorithm=(
             gs("resampling_algorithm", "leveling_thinning")

@@ -21,7 +21,7 @@ from .config import SimConfig
 from .deck import config_from_deck
 from .grid import collocated_staggering, yee_staggering
 from .injection import inject_species
-from .state import FieldState, SimState
+from .state import FieldState, ParticleState, SimState
 from .step import pic_step, push_momenta_half
 
 __all__ = ["Simulation"]
@@ -289,6 +289,20 @@ class Simulation:
                 from .injection import inject_gaussian_beam
 
                 ps = inject_gaussian_beam(sp_cfg, geom, np_dtype, rng)
+            elif sp_cfg.injection_style == "nfluxpercell":
+                # empty container sized for per-step plane emission
+                from .flux_injection import flux_capacity
+
+                cap = min(
+                    flux_capacity(sp_cfg, geom, cfg.max_step), 5_000_000
+                )
+                zerosp = np.zeros(cap, np_dtype)
+                ps = ParticleState(
+                    w=zerosp.copy(), ux=zerosp.copy(), uy=zerosp.copy(),
+                    uz=zerosp.copy(), alive=np.zeros(cap, bool),
+                ).with_positions(
+                    geom.ndim, [zerosp.copy() for _ in range(geom.ndim)]
+                )
             else:
                 capacity = product_capacity.get(sp_cfg.name)
                 if sp_cfg.do_continuous_injection and cfg.do_moving_window:
@@ -396,6 +410,7 @@ class Simulation:
                 self.state = self._half_push(self.state, dt_half=-0.5 * cfg.dt)
                 self.is_synchronized = False
             self.state = self._step_main(self.state)
+            self._do_flux_injection()
             self._do_resampling(step + 1)
             if step == cfg.max_step - 1:
                 # synchronize: forward half push with the new fields
@@ -418,6 +433,35 @@ class Simulation:
                 self.state = self._solve_es(self.state)
             self.flush_diagnostics(step + 1)
         return self.state
+
+    def _do_flux_injection(self):
+        """Per-step plane emission for NFluxPerCell species (reference:
+        ContinuousFluxInjection within PhysicalParticleContainer::Evolve)."""
+        cfg = self.cfg
+        flux_sp = [
+            s for s in cfg.species if s.injection_style == "nfluxpercell"
+        ]
+        if not flux_sp:
+            return
+        if not hasattr(self, "_flux_injectors"):
+            from .flux_injection import make_flux_injector
+
+            self._flux_injectors = {
+                s.name: jax.jit(
+                    make_flux_injector(s, cfg.geometry, cfg.dt, self.dtype)
+                )
+                for s in flux_sp
+            }
+        for sp_cfg in flux_sp:
+            rng, sub = jax.random.split(self.state.rng)
+            sp = self._flux_injectors[sp_cfg.name](
+                self.state.species[sp_cfg.name],
+                self.state.time - cfg.dt,
+                sub,
+            )
+            species = dict(self.state.species)
+            species[sp_cfg.name] = sp
+            self.state = self.state.replace(species=species, rng=rng)
 
     def _do_resampling(self, timestep: int):
         """Apply per-species resampling when triggered (reference:
