@@ -72,3 +72,57 @@ def test_reduced_diags(tmp_path):
         assert vals and all(np.isfinite(v) for v in vals.values()), kind
     e = compute_reduced("FieldEnergy", sim.state, sim.cfg, sim.staggering)
     assert e["total_lev0(J)"] > 0
+
+
+def test_new_reduced_diagnostics(tmp_path):
+    """BeamRelevant / ParticleHistogram / FieldProbe / FieldReduction
+    (reference: Source/Diagnostics/ReducedDiags)."""
+    import numpy as np
+
+    from warpx_tpu import constants
+    from warpx_tpu.diagnostics.reduced import compute_reduced
+    from warpx_tpu.core.config import SimConfig, SpeciesConfig
+    from warpx_tpu.core.grid import Geometry
+    from warpx_tpu.core.simulation import Simulation
+
+    geom = Geometry(3, (8, 8, 8), (-4e-6,) * 3, (4e-6,) * 3, (True,) * 3)
+    beam = SpeciesConfig(
+        name="beam", charge=-constants.q_e, mass=constants.m_e,
+        injection_style="gaussian_beam",
+        x_rms=5e-7, y_rms=5e-7, z_rms=5e-7,
+        npart=5000, q_tot=-1e-12,
+        momentum_distribution="gaussian", uz=100.0,
+        ux_th=0.5, uy_th=0.5, uz_th=1.0,
+    )
+    cfg = SimConfig(geometry=geom, max_step=1, dt=1e-16, species=(beam,))
+    sim = Simulation(cfg)
+    sim.init()
+
+    br = compute_reduced("BeamRelevant", sim.state, cfg, sim.staggering,
+                         params={"species": "beam"})
+    assert abs(br["charge(C)"] - (-1e-12)) < 1e-15
+    assert abs(br["gamma_mean()"] - np.sqrt(1 + 100.0**2)) < 0.5
+    assert 3e-7 < br["x_rms(m)"] < 7e-7
+    assert br["emittance_x(m)"] > 0
+
+    ph = compute_reduced(
+        "ParticleHistogram", sim.state, cfg, sim.staggering,
+        params={"species": "beam", "bin_number": 8,
+                "bin_min": 90.0, "bin_max": 110.0,
+                "histogram_function": "uz"},
+    )
+    total_w = sum(ph.values())
+    assert abs(total_w - 1e-12 / constants.q_e) < 0.1 * 1e-12 / constants.q_e
+
+    fr = compute_reduced(
+        "FieldReduction", sim.state, cfg, sim.staggering,
+        params={"reduced_function": "Ex*Ex+Ey*Ey+Ez*Ez",
+                "reduction_type": "Maximum"},
+    )
+    assert fr["value()"] >= 0.0
+
+    fp = compute_reduced(
+        "FieldProbe", sim.state, cfg, sim.staggering,
+        params={"x_probe": 0.0, "y_probe": 0.0, "z_probe": 0.0},
+    )
+    assert "part_Ex_lev0-(V/m)" in fp

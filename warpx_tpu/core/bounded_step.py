@@ -481,6 +481,13 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 if sp_cfg.do_not_push:
                     ux, uy, uz = sp.ux, sp.uy, sp.uz
                     new_pos = pos
+                elif sp_cfg.species_type == "photon":
+                    from ..ops.push import photon_position_step
+
+                    ux, uy, uz = sp.ux, sp.uy, sp.uz
+                    new_pos = photon_position_step(
+                        pos, ux, uy, uz, dt, ndim
+                    )
                 else:
                     pusher = PUSHERS[sp_cfg.pusher]
                     ux, uy, uz = pusher(
@@ -903,20 +910,57 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                     alive = alive & (pos[d] <= hi[d])
             upd_pos = list(pos)
             u = {"x": sp.ux, "y": sp.uy, "z": sp.uz}
+            rng_loc = state.rng
+
+            def thermalize(ref, d, side_sign):
+                """Thermal wall re-emission (ParticleBoundaries_K.H:82-90):
+                tangential u ~ c*N(0,uth); normal u ~ c*fluxGaussian(0,uth)
+                directed into the domain."""
+                nonlocal rng_loc, u
+                from .flux_injection import sample_gaussian_flux
+
+                uth = sp_cfg.boundary_u_th
+                if uth <= 0.0:
+                    for ax2 in ("x", "y", "z"):
+                        u[ax2] = jnp.where(ref, 0.0, u[ax2])
+                    return
+                cap_loc = sp.capacity
+                rng_loc, k1, k2, k3 = jax.random.split(rng_loc, 4)
+                ax_n = axes[d]
+                un = sample_gaussian_flux(k1, cap_loc, 0.0, uth, dtype) * _c
+                u[ax_n] = jnp.where(ref, side_sign * un, u[ax_n])
+                ks = [k2, k3]
+                for ax2 in ("x", "y", "z"):
+                    if ax2 == ax_n:
+                        continue
+                    kk = ks.pop()
+                    u[ax2] = jnp.where(
+                        ref,
+                        uth * _c * jax.random.normal(kk, (cap_loc,), dtype),
+                        u[ax2],
+                    )
+
             for d in range(ndim):
                 ax = axes[d]
-                if pbc_lo[d] == "reflecting":
+                if pbc_lo[d] in ("reflecting", "thermal"):
                     ref = upd_pos[d] < origin[d]
                     upd_pos[d] = jnp.where(
                         ref, 2 * origin[d] - upd_pos[d], upd_pos[d]
                     )
-                    u[ax] = jnp.where(ref, -u[ax], u[ax])
-                if pbc_hi[d] == "reflecting":
+                    if pbc_lo[d] == "thermal":
+                        thermalize(ref, d, +1.0)
+                    else:
+                        u[ax] = jnp.where(ref, -u[ax], u[ax])
+                if pbc_hi[d] in ("reflecting", "thermal"):
                     ref = upd_pos[d] > hi[d]
                     upd_pos[d] = jnp.where(
                         ref, 2 * hi[d] - upd_pos[d], upd_pos[d]
                     )
-                    u[ax] = jnp.where(ref, -u[ax], u[ax])
+                    if pbc_hi[d] == "thermal":
+                        thermalize(ref, d, -1.0)
+                    else:
+                        u[ax] = jnp.where(ref, -u[ax], u[ax])
+            state = state.replace(rng=rng_loc)
             sp = sp.replace(alive=alive, ux=u["x"], uy=u["y"], uz=u["z"])
             sp = sp.with_positions(ndim, upd_pos)
             new_species[sp_cfg.name] = sp
@@ -936,7 +980,9 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
         new_species = {}
         for sp_cfg in cfg.species:
             sp = state.species[sp_cfg.name]
-            if sp_cfg.do_not_push or sp.capacity == 0 or is_laser[sp_cfg.name]:
+            if (sp_cfg.do_not_push or sp.capacity == 0
+                    or is_laser[sp_cfg.name]
+                    or sp_cfg.species_type == "photon"):
                 new_species[sp_cfg.name] = sp
                 continue
             pos = sp.positions(ndim)

@@ -98,6 +98,10 @@ class SpeciesConfig:
     z_cut: float = float("inf")
     # runtime attributes: (name, expression(x,y,z,ux,uy,uz,t), is_integer)
     attributes: Tuple[Tuple[str, str, bool], ...] = ()
+    # physical species type ("photon" switches to the massless pusher)
+    species_type: str = ""
+    # thermal particle-boundary re-emission velocity (boundary.<sp>.u_th)
+    boundary_u_th: float = 0.0
     # flux injection (reference: PlasmaInjector flux keys; AddPlasmaFlux)
     surface_flux_pos: float = 0.0
     flux_normal_axis: str = "z"

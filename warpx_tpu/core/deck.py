@@ -105,6 +105,8 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
         physical_element=gs("physical_element", "") or "",
         ionization_initial_level=deck.get_int(f"{name}.ionization_initial_level", 0),
         ionization_product_species=gs("ionization_product_species", "") or "",
+        species_type=species_type,
+        boundary_u_th=deck.get_real(f"boundary.{name}.u_th", 0.0),
         surface_flux_pos=g("surface_flux_pos", 0.0),
         flux_normal_axis=(gs("flux_normal_axis", "z") or "z").lower(),
         flux_direction=deck.get_int(f"{name}.flux_direction", 1),

@@ -139,8 +139,28 @@ class Simulation:
                 writer = ReducedDiagWriter(
                     f"{output_dir}/reducedfiles", nm, kind
                 )
+                params = {}
+                for key in ("species", "reduction_type", "normalization"):
+                    v = deck.get_string(f"{nm}.{key}", "")
+                    if v:
+                        params[key] = v
+                for key in ("bin_number",):
+                    v = deck.get_int(f"{nm}.{key}", 0)
+                    if v:
+                        params[key] = v
+                for key in ("bin_min", "bin_max",
+                            "x_probe", "y_probe", "z_probe"):
+                    v = deck.get_real(f"{nm}.{key}", None)
+                    if v is not None:
+                        params[key] = v
+                for base in ("histogram_function", "filter_function",
+                             "reduced_function"):
+                    found = deck.get_expr_string(nm, base)
+                    if found:
+                        params[base] = found[0]
                 self.reduced.append({"name": nm, "kind": kind,
-                                     "intervals": iv, "writer": writer})
+                                     "intervals": iv, "writer": writer,
+                                     "params": params})
 
     def flush_diagnostics(self, step: int):
         """Write due outputs for ``step`` (post-step user step number)."""
@@ -151,7 +171,8 @@ class Simulation:
                 from ..diagnostics.reduced import compute_reduced
 
                 vals = compute_reduced(
-                    rd["kind"], self.state, self.cfg, self.staggering
+                    rd["kind"], self.state, self.cfg, self.staggering,
+                    params=rd.get("params"),
                 )
                 rd["writer"].write(step, float(self.state.time), vals)
         for dg in getattr(self, "diags", []):

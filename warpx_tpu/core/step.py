@@ -94,7 +94,8 @@ def push_momenta_half(
     new_species = {}
     for sp_cfg in cfg.species:
         sp = state.species[sp_cfg.name]
-        if sp_cfg.do_not_push or sp.capacity == 0:
+        if (sp_cfg.do_not_push or sp.capacity == 0
+                or sp_cfg.species_type == "photon"):
             new_species[sp_cfg.name] = sp
             continue
         pos = sp.positions(geom.ndim)
@@ -274,6 +275,13 @@ def pic_step(
         if sp_cfg.do_not_push:
             ux, uy, uz = sp.ux, sp.uy, sp.uz
             new_pos = pos
+        elif sp_cfg.species_type == "photon":
+            # massless: free-streaming at c along u, momentum unchanged
+            # (PhotonParticleContainer::PushPX)
+            from ..ops.push import photon_position_step
+
+            ux, uy, uz = sp.ux, sp.uy, sp.uz
+            new_pos = photon_position_step(pos, ux, uy, uz, dt, geom.ndim)
         else:
             pusher = PUSHERS[sp_cfg.pusher]
             ux, uy, uz = pusher(

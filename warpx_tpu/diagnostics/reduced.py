@@ -164,23 +164,6 @@ def load_balance_efficiency(state, cfg, staggering) -> Dict[str, float]:
     return {"lev0_efficiency()": 1.0 if total else 1.0}
 
 
-REDUCED_DIAGS = {
-    "FieldEnergy": field_energy,
-    "FieldMaximum": field_maximum,
-    "FieldMomentum": field_momentum,
-    "ParticleEnergy": particle_energy,
-    "ParticleMomentum": particle_momentum,
-    "ParticleNumber": particle_number,
-    "ParticleExtrema": particle_extrema,
-    "RhoMaximum": rho_maximum,
-    "LoadBalanceEfficiency": load_balance_efficiency,
-}
-
-
-def compute_reduced(kind: str, state, cfg, staggering) -> Dict[str, float]:
-    return REDUCED_DIAGS[kind](state, cfg, staggering)
-
-
 class ReducedDiagWriter:
     """CSV time-series writer in the reference's ReducedDiags format
     (header row of '#', then step, time, columns)."""
@@ -203,3 +186,189 @@ class ReducedDiagWriter:
         row = [str(step), repr(time)] + [repr(v) for v in values.values()]
         with open(self.path, "a") as fh:
             fh.write(",".join(row) + "\n")
+
+
+def beam_relevant(state, cfg, staggering, params) -> Dict[str, float]:
+    """Weighted beam moments (reference: BeamRelevant.cpp:40-300): means of
+    position/momentum, gamma, rms sizes, normalized emittances, charge."""
+    import numpy as np
+
+    from .. import constants as _cst
+
+    name = params["species"]
+    sp_cfg = next(s for s in cfg.species if s.name == name)
+    sp = state.species[name]
+    alive = np.asarray(sp.alive)
+    w = np.asarray(sp.w)[alive]
+    wsum = w.sum() or 1.0
+    ndim = cfg.geometry.ndim
+    pos = [np.asarray(p)[alive] for p in sp.positions(ndim)]
+    xyz = {1: {"z": 0}, 2: {"x": 0, "z": 1}, 3: {"x": 0, "y": 1, "z": 2}}[ndim]
+    m = sp_cfg.mass
+    u = {c: np.asarray(getattr(sp, "u" + c))[alive] for c in "xyz"}
+    gam = np.sqrt(1 + (u["x"]**2 + u["y"]**2 + u["z"]**2) / _cst.c**2)
+    out = {}
+    for c in "xyz":
+        if c in xyz:
+            out[f"{c}_mean(m)"] = float((w * pos[xyz[c]]).sum() / wsum)
+    for c in "xyz":
+        out[f"p{c}_mean(kg*m/s)"] = float((w * m * u[c]).sum() / wsum)
+    out["gamma_mean()"] = float((w * gam).sum() / wsum)
+    for c in "xyz":
+        if c in xyz:
+            d = pos[xyz[c]] - out[f"{c}_mean(m)"]
+            out[f"{c}_rms(m)"] = float(np.sqrt((w * d * d).sum() / wsum))
+    for c in "xyz":
+        p = m * u[c] - out[f"p{c}_mean(kg*m/s)"]
+        out[f"p{c}_rms(kg*m/s)"] = float(np.sqrt((w * p * p).sum() / wsum))
+    out["gamma_rms()"] = float(
+        np.sqrt((w * (gam - out["gamma_mean()"]) ** 2).sum() / wsum)
+    )
+    for c in "xyz":
+        if c in xyz:
+            d = pos[xyz[c]] - out[f"{c}_mean(m)"]
+            p = m * u[c] - out[f"p{c}_mean(kg*m/s)"]
+            x2 = (w * d * d).sum() / wsum
+            p2 = (w * p * p).sum() / wsum
+            xp = (w * d * p).sum() / wsum
+            out[f"emittance_{c}(m)"] = float(
+                np.sqrt(max(x2 * p2 - xp * xp, 0.0)) / (m * _cst.c)
+            )
+    out["charge(C)"] = float(sp_cfg.charge * wsum if w.size else 0.0)
+    return out
+
+
+def particle_histogram(state, cfg, staggering, params) -> Dict[str, float]:
+    """Weighted histogram of a parsed particle function
+    (reference: ParticleHistogram.cpp; function of (t,x,y,z,ux,uy,uz) with
+    optional filter, ux in units of c)."""
+    import numpy as np
+
+    from .. import constants as _cst
+    from ..utils.expression import compile_expression
+
+    name = params["species"]
+    sp = state.species[name]
+    alive = np.asarray(sp.alive)
+    w = np.asarray(sp.w)[alive]
+    ndim = cfg.geometry.ndim
+    pos = [np.asarray(p)[alive] for p in sp.positions(ndim)]
+    xyz = [np.zeros_like(w)] * 3
+    act = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[ndim]
+    for d, a in enumerate(act):
+        xyz[a] = pos[d]
+    u = [np.asarray(getattr(sp, "u" + c))[alive] / _cst.c for c in "xyz"]
+    t = float(state.time)
+    args = [t, xyz[0], xyz[1], xyz[2], u[0], u[1], u[2]]
+    fn = compile_expression(
+        params["histogram_function"], ("t", "x", "y", "z", "ux", "uy", "uz")
+    )
+    vals = np.asarray(fn(*args))
+    if params.get("filter_function"):
+        ffn = compile_expression(
+            params["filter_function"], ("t", "x", "y", "z", "ux", "uy", "uz")
+        )
+        keep = np.asarray(ffn(*args)) > 0
+        vals, w = vals[keep], w[keep]
+    nbin = int(params.get("bin_number", 10))
+    lo = float(params.get("bin_min", 0.0))
+    hi = float(params.get("bin_max", 1.0))
+    hist, _ = np.histogram(vals, bins=nbin, range=(lo, hi), weights=w)
+    if params.get("normalization") == "unity_particle_weight":
+        hist2, _ = np.histogram(vals, bins=nbin, range=(lo, hi))
+        hist = hist2.astype(float)
+    return {f"bin{i+1}()": float(hist[i]) for i in range(nbin)}
+
+
+def field_probe(state, cfg, staggering, params) -> Dict[str, float]:
+    """Point probe of the cell-centered E/B (reference: FieldProbe.cpp,
+    probe_geometry=Point; interpolation from the cell-centered output)."""
+    import numpy as np
+
+    from .fields import cell_centered_output, current_origin
+
+    out_fields = cell_centered_output(state, cfg, staggering)
+    geom = cfg.geometry
+    origin = current_origin(state, cfg)
+    act = {1: ("z",), 2: ("x", "z"), 3: ("x", "y", "z")}[geom.ndim]
+    idx = []
+    for d, c in enumerate(act):
+        p = float(params.get(f"{c}_probe", 0.0))
+        i = (p - origin[d]) / geom.dx[d] - 0.5
+        idx.append(int(np.clip(round(i), 0, geom.n_cell[d] - 1)))
+    out = {}
+    for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
+        out[f"part_{nm}_lev0-(V/m)" if nm[0] == "E" else f"part_{nm}_lev0-(T)"] = float(
+            out_fields[nm][tuple(idx)]
+        )
+    e2 = sum(out_fields[n][tuple(idx)] ** 2 for n in ("Ex", "Ey", "Ez"))
+    out["part_S_lev0-(W/m^2)"] = float(e2) ** 0.5  # |E| magnitude proxy
+    return out
+
+
+def field_reduction(state, cfg, staggering, params) -> Dict[str, float]:
+    """Parsed reduction over the cell-centered fields (reference:
+    FieldReduction.cpp; reduced_function(x,y,z,Ex..Bz[,jx..jz]),
+    reduction_type Maximum|Minimum|Integral)."""
+    import numpy as np
+
+    from ..utils.expression import compile_expression
+    from .fields import cell_centered_output, current_origin
+
+    fields = cell_centered_output(state, cfg, staggering)
+    geom = cfg.geometry
+    origin = current_origin(state, cfg)
+    coords = [
+        origin[d] + (np.arange(geom.n_cell[d]) + 0.5) * geom.dx[d]
+        for d in range(geom.ndim)
+    ]
+    mesh = np.meshgrid(*coords, indexing="ij")
+    xyz = [np.zeros(geom.n_cell)] * 3
+    act = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[geom.ndim]
+    for d, a in enumerate(act):
+        xyz[a] = mesh[d]
+    names = ("Ex", "Ey", "Ez", "Bx", "By", "Bz", "jx", "jy", "jz")
+    fn = compile_expression(
+        params["reduced_function"], ("x", "y", "z") + names
+    )
+    vals = np.asarray(fn(*xyz, *[fields[n] for n in names]))
+    rt = (params.get("reduction_type") or "Maximum").lower()
+    if rt == "maximum":
+        v = float(np.max(vals))
+    elif rt == "minimum":
+        v = float(np.min(vals))
+    else:  # integral
+        v = float(np.sum(vals) * geom.cell_volume)
+    return {"value()": v}
+
+
+REDUCED_DIAGS = {
+    "BeamRelevant": beam_relevant,
+    "ParticleHistogram": particle_histogram,
+    "FieldProbe": field_probe,
+    "FieldReduction": field_reduction,
+    "FieldEnergy": field_energy,
+    "FieldMaximum": field_maximum,
+    "FieldMomentum": field_momentum,
+    "ParticleEnergy": particle_energy,
+    "ParticleMomentum": particle_momentum,
+    "ParticleNumber": particle_number,
+    "ParticleExtrema": particle_extrema,
+    "RhoMaximum": rho_maximum,
+    "LoadBalanceEfficiency": load_balance_efficiency,
+}
+
+
+_PARAM_KINDS = {
+    "BeamRelevant", "ParticleHistogram", "FieldProbe", "FieldReduction",
+}
+
+
+def compute_reduced(
+    kind: str, state, cfg, staggering, params=None
+) -> Dict[str, float]:
+    if kind in _PARAM_KINDS:
+        return REDUCED_DIAGS[kind](state, cfg, staggering, params or {})
+    return REDUCED_DIAGS[kind](state, cfg, staggering)
+
+

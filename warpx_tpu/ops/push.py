@@ -144,3 +144,20 @@ def position_step(pos, ux, uy, uz, dt, ndim):
         return (x + ux * invg * dt, z + uz * invg * dt)
     x, y, z = pos
     return (x + ux * invg * dt, y + uy * invg * dt, z + uz * invg * dt)
+
+
+def photon_position_step(pos, ux, uy, uz, dt, ndim):
+    """Photon free-streaming x += dt * c * u/|u| (reference:
+    PhotonParticleContainer::PushPX — massless, velocity is c along u)."""
+    from ..constants import c as _c
+
+    umag = jnp.sqrt(ux * ux + uy * uy + uz * uz)
+    inv = _c / jnp.maximum(umag, 1e-300)
+    if ndim == 1:
+        (z,) = pos
+        return (z + uz * inv * dt,)
+    if ndim == 2:
+        x, z = pos
+        return (x + ux * inv * dt, z + uz * inv * dt)
+    x, y, z = pos
+    return (x + ux * inv * dt, y + uy * inv * dt, z + uz * inv * dt)
