@@ -85,7 +85,7 @@ def run_once(n, ppc, steps):
         state = run_j(state, steps)  # compile + warm
         jax.block_until_ready(state.fields.Ex)
         best = float("inf")
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.perf_counter()
             state = run_j(state, steps)
             jax.block_until_ready(state.fields.Ex)
@@ -94,7 +94,7 @@ def run_once(n, ppc, steps):
         state = sim._step(state)  # compile + warm
         jax.block_until_ready(state.fields.Ex)
         best = float("inf")
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.perf_counter()
             for _ in range(steps):
                 state = sim._step(state)
@@ -169,14 +169,14 @@ def run_lwfa(steps):
 def main():
     """Try descending problem sizes; the TPU tunnel in this environment can
     fault on large compiles, so report the best size that completes."""
-    n = int(os.environ.get("BENCH_NCELL", 96))
+    n = int(os.environ.get("BENCH_NCELL", 64))
     ppc = int(os.environ.get("BENCH_PPC", 2))
-    steps = int(os.environ.get("BENCH_STEPS", 10))
+    steps = int(os.environ.get("BENCH_STEPS", 6))
     mode = os.environ.get("BENCH_MODE", "uniform")
     attempts = []
     if mode == "lwfa":
         attempts.append(("lwfa", steps))
-    attempts += [(n, ppc, steps), (64, 2, 10), (64, 1, 10), (32, 1, 5)]
+    attempts += [(n, ppc, steps), (64, 1, 5), (32, 1, 5)]
     last_err = None
     for spec in attempts:
         try:

@@ -123,9 +123,31 @@ class Simulation:
                 f"{nm}.fields_to_plot",
                 ["Ex", "Ey", "Ez", "Bx", "By", "Bz", "jx", "jy", "jz"],
             )
+            # particle output selection (reference: Diagnostics.cpp species
+            # list + FilterFunctors: plot_filter_function / uniform_stride /
+            # random_fraction)
+            sp_names = deck.get_strings(f"{nm}.species", []) or None
+            pfilters = {}
+            all_sp = [s.name for s in self.cfg.species]
+            for spn in (sp_names or all_sp):
+                f = {}
+                found = deck.get_expr_string(
+                    f"{nm}.{spn}", "plot_filter_function"
+                )
+                if found:
+                    f["filter"] = found[0]
+                stride = deck.get_int(f"{nm}.{spn}.uniform_stride", 0)
+                if stride:
+                    f["stride"] = stride
+                frac = deck.get_real(f"{nm}.{spn}.random_fraction", None)
+                if frac is not None:
+                    f["fraction"] = frac
+                if f:
+                    pfilters[spn] = f
             self.diags.append(
                 {"name": nm, "type": dtype_, "format": fmt,
-                 "intervals": iv, "fields": fields}
+                 "intervals": iv, "fields": fields,
+                 "species": sp_names, "pfilters": pfilters}
             )
         self.reduced = []
         for nm in deck.get_strings("warpx.reduced_diags_names", []):
@@ -202,12 +224,60 @@ class Simulation:
                     }
                 else:
                     fields = {}
+                select = self._particle_select(dg.get("pfilters") or {})
                 write_openpmd_iteration(
                     f"{self.output_dir}/{dg['name']}.h5", step,
                     self.state, self.cfg, fields,
                     float(self.state.time), self.cfg.dt,
                     current_origin(self.state, self.cfg),
+                    species_names=dg.get("species"),
+                    select=select,
                 )
+
+    def _particle_select(self, pfilters):
+        """Per-species output masks from the diag's particle filters
+        (reference: Source/Diagnostics/FilterFunctors: parsed filter of
+        (t,x,y,z,ux,uy,uz) with ux in units of c, uniform stride, random
+        fraction)."""
+        if not pfilters:
+            return None
+        import numpy as np
+
+        from .. import constants as _cst
+        from ..utils.expression import compile_expression
+
+        select = {}
+        geom = self.cfg.geometry
+        act = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[geom.ndim]
+        rng = np.random.default_rng(self.cfg.seed + int(self.state.step))
+        for spn, f in pfilters.items():
+            sp = self.state.species[spn]
+            n = sp.capacity
+            mask = np.ones(n, bool)
+            if "filter" in f:
+                xyz = [np.zeros(n)] * 3
+                pos = [np.asarray(p) for p in sp.positions(geom.ndim)]
+                for d, a in enumerate(act):
+                    xyz[a] = pos[d]
+                u = [
+                    np.asarray(getattr(sp, "u" + c)) / _cst.c
+                    for c in "xyz"
+                ]
+                fn = compile_expression(
+                    f["filter"], ("t", "x", "y", "z", "ux", "uy", "uz"),
+                    dict(self.cfg.user_constants),
+                )
+                mask &= np.asarray(
+                    fn(float(self.state.time), *xyz, *u)
+                ) > 0
+            if "stride" in f:
+                idx = np.zeros(n, bool)
+                idx[:: max(int(f["stride"]), 1)] = True
+                mask &= idx
+            if "fraction" in f:
+                mask &= rng.random(n) < float(f["fraction"])
+            select[spn] = mask
+        return select
 
     def _init_external_grid(self, fields, shapes):
         """Initial E/B grid fields (reference: WarpXInitData.cpp

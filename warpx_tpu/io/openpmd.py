@@ -42,6 +42,8 @@ def write_openpmd_iteration(
     time: float,
     dt: float,
     origin,
+    species_names=None,
+    select=None,
 ):
     """Append one iteration (fields + particles) in openPMD layout."""
     import h5py
@@ -102,7 +104,11 @@ def write_openpmd_iteration(
             sp = state.species[sp_cfg.name]
             if sp.capacity == 0:
                 continue
+            if species_names is not None and sp_cfg.name not in species_names:
+                continue
             alive = np.asarray(sp.alive)
+            if select is not None and sp_cfg.name in select:
+                alive = alive & select[sp_cfg.name]
             grp = parts.require_group(sp_cfg.name)
             grp.attrs["charge"] = sp_cfg.charge
             grp.attrs["mass"] = sp_cfg.mass
