@@ -144,7 +144,9 @@ class Cartesian1DGrid(_Grid):
 
 
 class ElectromagneticSolver:
-    def __init__(self, grid, method="Yee", cfl=None, **kw):
+    def __init__(self, grid, method="Yee", cfl=None, source_smoother=None,
+                 **kw):
+        self.source_smoother = source_smoother
         self.grid = grid
         self.method = (method or "Yee").lower()
         self.cfl = cfl if cfl is not None else 0.999
@@ -205,6 +207,68 @@ class Checkpoint:
         self.name = name or "chk"
 
 
+class CoulombCollisions:
+    """Pairwise Coulomb collisions (reference picmi: CoulombCollisions)."""
+
+    def __init__(self, name, species, CoulombLog=None, ndt=None, **kw):
+        self.name = name
+        self.species = species  # [sp1, sp2]
+        self.CoulombLog = CoulombLog
+        self.ndt = ndt or 1
+
+
+class ConstantAppliedField:
+    def __init__(self, Ex=None, Ey=None, Ez=None, Bx=None, By=None, Bz=None,
+                 **kw):
+        self.E = (Ex or 0.0, Ey or 0.0, Ez or 0.0)
+        self.B = (Bx or 0.0, By or 0.0, Bz or 0.0)
+
+
+class AnalyticInitialField:
+    """Initial grid fields from expressions (reference picmi:
+    AnalyticInitialField / LoadInitialField)."""
+
+    def __init__(self, Ex_expression=None, Ey_expression=None,
+                 Ez_expression=None, Bx_expression=None, By_expression=None,
+                 Bz_expression=None, **kw):
+        self.E_expr = (Ex_expression, Ey_expression, Ez_expression)
+        self.B_expr = (Bx_expression, By_expression, Bz_expression)
+        self.user_vars = kw
+
+
+class BinomialSmoother:
+    def __init__(self, n_pass=None, **kw):
+        if n_pass is None:
+            n_pass = 1
+        self.n_pass = n_pass if isinstance(n_pass, (list, tuple)) else None
+        self.n_pass_scalar = None if self.n_pass else int(n_pass)
+
+
+class ReducedDiagnostic:
+    """Reduced diagnostics (reference picmi: ReducedDiagnostic)."""
+
+    def __init__(self, diag_type, name=None, period=1, species=None, **kw):
+        self.type = diag_type
+        self.name = name or diag_type
+        self.period = period
+        self.species = getattr(species, "name", species)
+        self.kw = kw
+
+
+class UniformFluxDistribution:
+    """Plane flux emission (reference picmi: UniformFluxDistribution)."""
+
+    def __init__(self, flux, surface_flux_position, flux_normal_axis,
+                 flux_direction, rms_velocity=None, directed_velocity=None,
+                 gaussian_flux_momentum_distribution=True, **kw):
+        self.flux = flux
+        self.surface_flux_position = surface_flux_position
+        self.flux_normal_axis = flux_normal_axis
+        self.flux_direction = flux_direction
+        self.rms_velocity = rms_velocity or [0.0, 0.0, 0.0]
+        self.directed_velocity = directed_velocity or [0.0, 0.0, 0.0]
+
+
 class Simulation:
     """PICMI Simulation: collects components, builds SimConfig, steps."""
 
@@ -226,6 +290,8 @@ class Simulation:
         self.laser_injections: List = []
         self.diagnostics: List = []
         self._sim = None
+        self.applied_fields = list(kw.pop("applied_fields", []) or [])
+        self.collisions = list(kw.pop("collisions", []) or [])
 
     def add_species(self, species, layout=None, initialize_self_field=False):
         self.species.append(species)
@@ -234,6 +300,9 @@ class Simulation:
     def add_laser(self, laser, injection_method=None):
         self.lasers.append(laser)
         self.laser_injections.append(injection_method)
+
+    def add_applied_field(self, field):
+        self.applied_fields.append(field)
 
     def add_diagnostic(self, diag):
         self.diagnostics.append(diag)
@@ -294,6 +363,31 @@ class Simulation:
                     )
                 else:
                     kw.update(momentum_distribution="at_rest")
+            elif isinstance(dist, UniformFluxDistribution):
+                inv_c = 1.0 / _const.c
+                v = dist.directed_velocity
+                axn = (
+                    dist.flux_normal_axis
+                    if isinstance(dist.flux_normal_axis, str)
+                    else "xyz"[dist.flux_normal_axis]
+                )
+                kw.update(
+                    injection_style="nfluxpercell",
+                    num_particles_per_cell=(
+                        layout.n_macroparticle_per_cell[0]
+                        if isinstance(layout, GriddedLayout)
+                        else (getattr(layout, "n_macroparticles_per_cell", None) or 2)
+                    ),
+                    flux=dist.flux,
+                    surface_flux_pos=dist.surface_flux_position,
+                    flux_normal_axis=axn,
+                    flux_direction=int(dist.flux_direction),
+                    momentum_distribution="gaussianflux",
+                    ux=v[0] * inv_c, uy=v[1] * inv_c, uz=v[2] * inv_c,
+                    ux_th=dist.rms_velocity[0] * inv_c,
+                    uy_th=dist.rms_velocity[1] * inv_c,
+                    uz_th=dist.rms_velocity[2] * inv_c,
+                )
             elif isinstance(dist, GaussianBunchDistribution):
                 n_mac = layout.n_macroparticles if layout else 100
                 inv_c = 1.0 / _const.c
@@ -383,6 +477,38 @@ class Simulation:
             dt = compute_dt_yee(geom, cfl)
 
         dep_default = "direct" if (es or em_solver == "psatd") else "esirkepov"
+        from ..core.config import CollisionConfig
+
+        collision_cfgs = tuple(
+            CollisionConfig(
+                name=c.name,
+                species=tuple(getattr(x, "name", x) for x in c.species),
+                coulomb_log=c.CoulombLog if c.CoulombLog else -1.0,
+                ndt=c.ndt,
+            )
+            for c in self.collisions
+        )
+        e_ext = (0.0, 0.0, 0.0)
+        b_ext = (0.0, 0.0, 0.0)
+        e_grid = b_grid = None
+        for af in self.applied_fields:
+            if isinstance(af, ConstantAppliedField):
+                e_ext = tuple(a + b for a, b in zip(e_ext, af.E))
+                b_ext = tuple(a + b for a, b in zip(b_ext, af.B))
+            elif isinstance(af, AnalyticInitialField):
+                if any(e is not None for e in af.E_expr):
+                    e_grid = ("parse", tuple(e or "0" for e in af.E_expr))
+                if any(e is not None for e in af.B_expr):
+                    b_grid = ("parse", tuple(e or "0" for e in af.B_expr))
+        smoother = getattr(self.solver, "source_smoother", None)
+        filter_npass = ()
+        use_filter = bool(self.use_filter)
+        if smoother is not None:
+            use_filter = True
+            if smoother.n_pass:
+                filter_npass = tuple(smoother.n_pass)[:ndim]
+            else:
+                filter_npass = (smoother.n_pass_scalar,) * ndim
         return SimConfig(
             geometry=geom,
             max_step=self.max_steps or 0,
@@ -392,7 +518,13 @@ class Simulation:
             electrostatic="labframe" if es else "none",
             current_deposition=self.current_deposition or dep_default,
             field_gathering=self.field_gathering or "energy-conserving",
-            use_filter=bool(self.use_filter),
+            use_filter=use_filter,
+            filter_npass_each_dir=filter_npass,
+            collisions=collision_cfgs,
+            e_ext_particle=e_ext,
+            b_ext_particle=b_ext,
+            e_ext_grid=e_grid,
+            b_ext_grid=b_grid,
             species=tuple(species_cfgs) + laser_species,
             cfl=cfl,
             field_bc_lo=bc_lo,

@@ -105,12 +105,17 @@ def compile_expression(
     The result is coerced to a float array.
     """
     src = _translate(expr)
+    if "__" in expr:
+        # physics expressions never need dunders; blocking them keeps the
+        # restricted eval safe while __import__ stays available for jax's
+        # lazy imports triggered inside the eval frame
+        raise ValueError(f"invalid deck expression: {expr!r}")
     namespace: dict = {}
     namespace.update(_FUNCS)
     namespace.update(constants.EXPRESSION_CONSTANTS)
     if user_constants:
         namespace.update(user_constants)
-    namespace["__builtins__"] = {}
+    namespace["__builtins__"] = {"__import__": __import__}
 
     code = compile(src, f"<deck-expr: {expr[:60]}>", "eval")
 
