@@ -67,7 +67,11 @@ def test_reduced_diags(tmp_path):
     sim = Simulation.from_deck(DECK_1D, output_dir=str(tmp_path))
     sim.init()
     sim.evolve(10)
+    from warpx_tpu.diagnostics.reduced import _PARAM_KINDS
+
     for kind in REDUCED_DIAGS:
+        if kind in _PARAM_KINDS:
+            continue  # exercised with params in test_new_reduced_diagnostics
         vals = compute_reduced(kind, sim.state, sim.cfg, sim.staggering)
         assert vals and all(np.isfinite(v) for v in vals.values()), kind
     e = compute_reduced("FieldEnergy", sim.state, sim.cfg, sim.staggering)

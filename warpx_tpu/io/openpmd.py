@@ -112,14 +112,26 @@ def write_openpmd_iteration(
             grp = parts.require_group(sp_cfg.name)
             grp.attrs["charge"] = sp_cfg.charge
             grp.attrs["mass"] = sp_cfg.mass
+            # batch the alive-masked gathers through the native (GIL-free,
+            # multithreaded) compactor; numpy fallback inside
+            from ..native import compact
+
+            names = _axis_labels(ndim)
+            float_arrays = (
+                [np.asarray(a) for a in sp.positions(ndim)]
+                + [np.asarray(a) for a in (sp.ux, sp.uy, sp.uz)]
+                + [np.asarray(sp.w)]
+            )
+            packed = compact(alive, float_arrays)
+            pos_data = packed[:ndim]
+            mom_data = packed[ndim:ndim + 3]
+            w_data = packed[ndim + 3]
             pos = grp.require_group("position")
             pos.attrs["unitDimension"] = np.asarray(
                 (1.0, 0, 0, 0, 0, 0, 0), dtype=np.float64
             )
             pos.attrs["timeOffset"] = 0.0
-            names = _axis_labels(ndim)
-            for nm, arr in zip(names, sp.positions(ndim)):
-                data = np.asarray(arr)[alive]
+            for nm, data in zip(names, pos_data):
                 if nm in pos:
                     del pos[nm]
                 ds = pos.create_dataset(nm, data=data)
@@ -129,16 +141,15 @@ def write_openpmd_iteration(
                 (1.0, 1.0, -1.0, 0, 0, 0, 0), dtype=np.float64
             )
             mom.attrs["timeOffset"] = 0.0
-            for nm, arr in (("x", sp.ux), ("y", sp.uy), ("z", sp.uz)):
-                data = np.asarray(arr)[alive] * sp_cfg.mass
+            for nm, data in zip(("x", "y", "z"), mom_data):
                 if nm in mom:
                     del mom[nm]
-                ds = mom.create_dataset(nm, data=data)
+                ds = mom.create_dataset(nm, data=data * sp_cfg.mass)
                 ds.attrs["unitSI"] = 1.0
             w = grp.require_group("weighting")
             if "value" in w:
                 del w["value"]
-            ds = w.create_dataset("value", data=np.asarray(sp.w)[alive])
+            ds = w.create_dataset("value", data=w_data)
             ds.attrs["unitSI"] = 1.0
             for aname, arr in sp.extra.items():
                 g = grp.require_group(aname)
