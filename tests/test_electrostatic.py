@@ -108,3 +108,52 @@ def test_open_bc_poisson_igf():
         assert rel < 0.04, (k, rel)
     # the relativistic beam must generate B = beta x E / c
     assert float(np.abs(out["By"]).max()) > 100.0
+
+
+def test_magnetostatic_sinusoidal_current():
+    """labframe-electromagnetostatic: nabla^2 A = -mu0 J, B = curl A.
+    A z-current J_z = J1 sin(kx) must produce B_y = -(mu0 J1/k) cos(kx)
+    (reference: MagnetostaticSolver.cpp)."""
+    import numpy as np
+
+    from warpx_tpu import constants
+    from warpx_tpu.core.config import SimConfig, SpeciesConfig
+    from warpx_tpu.core.grid import Geometry
+    from warpx_tpu.core.simulation import Simulation
+
+    L = 8e-6
+    n = 32
+    geom = Geometry(3, (n, 8, 8), (0.0, 0.0, 0.0), (L, L / 4, L / 4),
+                    (True,) * 3)
+    n0 = 1.0e24
+    uz = 0.1  # gamma*beta
+    sp = SpeciesConfig(
+        name="electrons", charge=-constants.q_e, mass=constants.m_e,
+        injection_style="nuniformpercell",
+        num_particles_per_cell_each_dim=(4, 1, 1),
+        profile="parse_density_function",
+        density_expr=f"{n0}*(1+0.5*sin(2*pi*x/{L}))",
+        momentum_distribution="constant", uz=uz,
+    )
+    cfg = SimConfig(
+        geometry=geom, max_step=1, dt=1e-18, species=(sp,),
+        electrostatic="labframe-electromagnetostatic",
+    )
+    sim = Simulation(cfg)
+    sim.init()  # runs the initial space-charge + magnetostatic solve
+
+    mu0 = constants.mu0
+    gam = np.sqrt(1 + uz**2)
+    vz = uz * constants.c / gam
+    J1 = -constants.q_e * n0 * 0.5 * vz
+    k = 2 * np.pi / L
+    By = np.asarray(sim.state.fields.By)
+    x_by = (np.arange(n) + 0.5) * (L / n)  # By staggered in x
+    by_th = -(mu0 * J1 / k) * np.cos(k * x_by)
+    by_sim = By[:, 0, 0]
+    scale = np.abs(by_th).max()
+    assert scale > 0
+    err = np.abs(by_sim - by_th).max() / scale
+    assert err < 0.02, err
+    # Bz stays ~0 and divB ~ 0
+    assert np.abs(np.asarray(sim.state.fields.Bz)).max() < 0.02 * scale

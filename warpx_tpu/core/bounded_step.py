@@ -1028,6 +1028,11 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             )
         sp_es = [s for s in cfg.species if not s.do_not_deposit]
         relativistic = cfg.electrostatic == "relativistic"
+        magnetostatic = cfg.electrostatic == "labframe-electromagnetostatic"
+        if magnetostatic:
+            from ..solvers.electrostatic import PoissonSolver as _PS
+
+            ms_solver = _PS(geom, periodic_t)
         groups = [[s] for s in sp_es] if relativistic else [sp_es]
         active_xyz = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[ndim]
         for grp in groups:
@@ -1089,6 +1094,40 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                     if arr is not None:
                         bn = "B" + "xyz"[xyz_i]
                         upd[bn] = upd[bn] + arr.astype(dtype)
+
+        if magnetostatic:
+            # magnetostatic: solve nabla^2 A = -mu0 J (nodal), B = curl A
+            # (reference: MagnetostaticSolver.cpp ComputeMagnetostaticField)
+            from ..constants import c as _c_l, ep0 as _ep0_l
+            from ..ops.deposit import deposit_rho
+            from ..solvers.electrostatic import vector_potential_b
+
+            mu0_ep0 = 1.0 / (_c_l * _c_l * _ep0_l) * _ep0_l  # mu0*ep0
+            A3 = {}
+            for xyz_i, uc in ((0, "ux"), (1, "uy"), (2, "uz")):
+                Jn = jnp.zeros(shapes["rho"], dtype)
+                for sp_cfg in cfg.species:
+                    sp = state.species[sp_cfg.name]
+                    if sp.capacity == 0 or sp_cfg.do_not_deposit:
+                        continue
+                    u = getattr(sp, uc)
+                    gam = jnp.sqrt(
+                        1.0
+                        + (sp.ux**2 + sp.uy**2 + sp.uz**2) / (_c_l * _c_l)
+                    )
+                    w_eff = jnp.where(sp.alive, sp.w * u / gam, 0.0)
+                    Jn = deposit_rho(
+                        sp.positions(ndim), w_eff, sp_cfg.charge, geom,
+                        cfg.particle_shape, out=Jn,
+                        wrap=all(periodic_t),
+                    )
+                # PoissonSolver.solve returns L^-1(x/ep0); feed mu0*ep0*J
+                A3[xyz_i] = ms_solver.solve(Jn * mu0_ep0)
+            b_map = vector_potential_b(A3, geom, periodic_t)
+            for xyz_i, arr in b_map.items():
+                if arr is not None:
+                    bn = "B" + "xyz"[xyz_i]
+                    upd[bn] = upd[bn] + arr.astype(dtype)
         return state.replace(fields=state.fields.replace(**upd))
 
     return (

@@ -236,7 +236,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
     ).lower()
     es_map = {
         "none": "none", "labframe": "labframe", "relativistic": "relativistic",
-        "labframe-electromagnetostatic": "labframe", "labframe-effective-potential": "labframe",
+        "labframe-electromagnetostatic": "labframe-electromagnetostatic", "labframe-effective-potential": "labframe",
     }
     es_solver = es_map.get(es_solver, es_solver)
     if solver == "none":

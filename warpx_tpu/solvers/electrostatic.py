@@ -282,3 +282,35 @@ def phi_to_e(phi: jnp.ndarray, geom, periodic: Sequence[bool]):
             e = -(phi[tuple(sl_hi)] - phi[tuple(sl_lo)]) / geom.dx[d]
         out.append(e)
     return out
+
+
+def vector_potential_b(A3, geom, periodic):
+    """B = curl(A) from NODAL vector-potential components onto the staggered
+    B sites (reference: MagnetostaticSolver.cpp computeVectorPotential ->
+    curl of the nodal A).  A3: three nodal arrays indexed by xyz."""
+    ndim = geom.ndim
+    axis_of = {1: {2: 0}, 2: {0: 0, 2: 1}, 3: {0: 0, 1: 1, 2: 2}}[ndim]
+
+    def d_term(b_axis, a_axis, g_axis):
+        """d(A_{a_axis})/d(g_axis) averaged to the B_{b_axis} site."""
+        if g_axis not in axis_of:
+            return None
+        d = axis_of[g_axis]
+        g = _stag_diff(A3[a_axis], d, geom.dx[d], periodic[d])
+        for other_xyz, od in axis_of.items():
+            if other_xyz in (b_axis, g_axis):
+                continue
+            g = _avg(g, od, periodic[od])
+        return g
+
+    out = {}
+    for (i, j, k) in ((0, 1, 2), (1, 2, 0), (2, 0, 1)):
+        t1 = d_term(i, k, j)   # dA_k/dx_j
+        t2 = d_term(i, j, k)   # dA_j/dx_k
+        b = None
+        if t1 is not None:
+            b = t1
+        if t2 is not None:
+            b = (-t2) if b is None else (b - t2)
+        out[i] = b
+    return out
