@@ -31,6 +31,9 @@ def main(argv=None) -> int:
                     help="run this many steps instead of the deck's max_step")
     ap.add_argument("--checksums", action="store_true",
                     help="print reference-format sum-abs checksums at the end")
+    ap.add_argument("--restart", default=None, metavar="CHECKPOINT",
+                    help="resume from a checkpoint directory written by a "
+                    "format=checkpoint diagnostic")
     args = ap.parse_args(argv)
 
     import jax
@@ -43,6 +46,13 @@ def main(argv=None) -> int:
     sim = Simulation.from_deck(args.deck, overrides=tuple(args.overrides),
                                output_dir=args.output_dir)
     sim.init()
+    if args.restart:
+        from warpx_tpu.io.checkpoint import load_checkpoint
+
+        sim.state, sim.is_synchronized = load_checkpoint(
+            args.restart, sim.state
+        )
+        print(f"restarted from {args.restart} at step {int(sim.state.step)}")
     t0 = time.perf_counter()
     sim.evolve(args.steps)
     jax.block_until_ready(sim.state.fields.Ex)
