@@ -7,6 +7,7 @@ checksumAPI.py:38-46).  These run the reference input decks unchanged.
 
 import os
 
+import numpy as np
 import pytest
 
 from warpx_tpu.core.simulation import Simulation
@@ -109,3 +110,38 @@ def test_3d_laser_acceleration():
         os.path.join(GOLDEN, "test_3d_laser_acceleration.json"),
         rtol=1e-9,
     )
+
+
+@pytest.mark.slow
+def test_2d_laser_acceleration_boosted_runs():
+    """Boosted-frame 2D LWFA (gamma_boost=10, CKC, NCI corrector, rigid-ish
+    beam, continuous lab-plasma injection): runs 300 steps stably with
+    physical field/beam scales (full rigid injection + BTD pending)."""
+    deck = os.path.join(
+        REFERENCE,
+        "Examples/Physics_applications/laser_acceleration/"
+        "inputs_test_2d_laser_acceleration_boosted",
+    )
+    sim = Simulation.from_deck(deck, overrides=("diagnostics.diags_names =",))
+    assert sim.cfg.gamma_boost == 10.0
+    sim.init()
+    # lab at-rest plasma streams at -gamma*beta*c in the boosted frame
+    sim.evolve(60)
+    e = sim.state.species["electrons"]
+    alive = np.asarray(e.alive)
+    assert alive.sum() > 0  # continuous injection started
+    uz = np.asarray(e.uz)[alive] / 299792458.0
+    gb = 10.0 * np.sqrt(1 - 1 / 100.0)
+    assert abs(np.median(uz) + gb) < 0.2 * gb, np.median(uz)
+    sim.evolve(240)
+    f = sim.state.fields
+    assert all(
+        np.isfinite(np.asarray(getattr(f, c))).all()
+        for c in ("Ex", "Ey", "Ez", "Bx", "By", "Bz")
+    )
+    b = sim.state.species["beam"]
+    al = np.asarray(b.alive)
+    gam = np.sqrt(
+        1 + (np.asarray(b.ux)[al] ** 2 + np.asarray(b.uz)[al] ** 2) / 9e16
+    )
+    assert 5.0 < gam.mean() < 20.0

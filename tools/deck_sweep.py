@@ -50,6 +50,8 @@ def main():
         except subprocess.TimeoutExpired:
             results.append((name, "TIMEOUT", ""))
         print(f"{results[-1][1]:8s} {name}  {results[-1][2]}", flush=True)
+        with open("/root/repo/DECK_SWEEP.partial", "a") as fh:
+            fh.write(f"{results[-1][1]}\t{name}\t{results[-1][2]}\n")
     npass = sum(1 for r in results if r[1] == "PASS")
     print(f"\n{npass}/{len(results)} decks run for 2 steps without error")
     with open("/root/repo/DECK_SWEEP.md", "w") as fh:

@@ -326,12 +326,56 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 out = out[sl(ng, ng + nv)]
         return out
 
+    # CKC extended stencil for the UPWARD (B-push) differences
+    # (CartesianCKCAlgorithm.H; EvolveB uses it, EvolveE keeps plain Yee)
+    is_ckc = cfg.em_solver == "ckc" and cfg.grid_type != "collocated"
+    if is_ckc:
+        from ..solvers.yee import _ckc_coefs
+
+        ckc = _ckc_coefs(geom)
+
+    def _ckc_up(P, dd, dd_xyz):
+        """CKC upward difference of the padded array (already includes the
+        1/dx factor through the alpha/beta/gamma coefficients)."""
+        base = jnp.roll(P, -1, dd) - P
+        pfx = dd_xyz
+        if ndim == 3:
+            others = [a for a in range(3) if a != dd]
+            a, b = others
+            term = ckc["alpha" + pfx] * base
+            term = term + ckc["beta" + pfx + "xyz"[a]] * (
+                jnp.roll(base, -1, a) + jnp.roll(base, 1, a)
+            )
+            term = term + ckc["beta" + pfx + "xyz"[b]] * (
+                jnp.roll(base, -1, b) + jnp.roll(base, 1, b)
+            )
+            term = term + ckc["gamma" + pfx] * (
+                jnp.roll(jnp.roll(base, -1, a), -1, b)
+                + jnp.roll(jnp.roll(base, 1, a), -1, b)
+                + jnp.roll(jnp.roll(base, -1, a), 1, b)
+                + jnp.roll(jnp.roll(base, 1, a), 1, b)
+            )
+            return term
+        if ndim == 2:
+            other = 1 - dd
+            alpha = ckc["alpha" + ("x" if dd == 0 else "z")]
+            beta = ckc["betaxz"] if dd == 0 else ckc["betazx"]
+            return alpha * base + beta * (
+                jnp.roll(base, -1, other) + jnp.roll(base, 1, other)
+            )
+        return ckc["alphaz"] * base
+
     def curl_term(out_name, term, pads, coef):
         """One curl contribution (sgn * coef * d(in)/d(dd)) for out_name."""
         (sgn, in_name, dd_xyz, kind) = term
         nv = shapes[out_name]
         dd = axes.index(dd_xyz)
         P = pads[in_name]
+        if is_ckc and kind == "up" and in_name[0] == "E":
+            # CKC applies to the E-curl in the B push only
+            G = _ckc_up(P, dd, "xz"[dd] if ndim == 2 else dd_xyz)
+            sl = tuple(slice(ng, ng + nv[d]) for d in range(ndim))
+            return (sgn * coef) * G[sl]
         sl_a = []
         sl_b = []
         for d in range(ndim):
@@ -458,8 +502,12 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 continue
             if is_laser[sp_cfg.name]:
                 laser = laser_cfg[sp_cfg.name]
-                mobility = 0.05 / laser.e_max
-                sp_new = update_antenna(sp, laser, geom, mobility, state.time, dt)
+                # boosted runs: mobility / gamma (LaserParticleContainer:775)
+                mobility = 0.05 / laser.e_max / cfg.gamma_boost
+                sp_new = update_antenna(
+                    sp, laser, geom, mobility, state.time, dt,
+                    gamma_boost=cfg.gamma_boost, z0_lab=laser.z0_lab,
+                )
                 ux, uy, uz = sp_new.ux, sp_new.uy, sp_new.uz
                 new_pos = sp_new.positions(ndim)
                 q_eff = 1.0
@@ -762,11 +810,6 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
 
         pz = pos[:, wdir]
         sel = (pz > cur_pos) & (pz < new_pos)
-        for d in range(ndim):
-            if sp_cfg.bounds_lo:
-                sel &= (pos[:, d] >= sp_cfg.bounds_lo[d]) & (
-                    pos[:, d] <= sp_cfg.bounds_hi[d]
-                )
 
         xyz = [jnp.zeros(npart, dtype) for _ in range(3)]
         if ndim == 1:
@@ -775,6 +818,31 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             xyz[0], xyz[2] = pos[:, 0], pos[:, 1]
         else:
             xyz = [pos[:, 0], pos[:, 1], pos[:, 2]]
+
+        # boosted frame: profiles/bounds are lab quantities at t_lab=0 —
+        # ballistic correction z -> z0_lab at the (traced) boosted time
+        # (PhysicalParticleContainer.cpp applyBallisticCorrection)
+        gb = cfg.gamma_boost
+        if gb > 1.0:
+            from .injection import _bulk_momentum
+
+            bb = math.sqrt(1.0 - 1.0 / gb**2)
+            import numpy as _np_
+
+            ub = _bulk_momentum(sp_cfg)
+            betaz_bulk = float(ub[2] / _np_.sqrt(1.0 + ub @ ub))
+            xyz[2] = gb * (
+                xyz[2] * (1.0 - bb * betaz_bulk)
+                - _c * state.time * (betaz_bulk - bb)
+            )
+
+        axes3 = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[ndim]
+        for d in range(ndim):
+            if sp_cfg.bounds_lo:
+                coord = xyz[axes3[d]]
+                sel &= (coord >= sp_cfg.bounds_lo[d]) & (
+                    coord <= sp_cfg.bounds_hi[d]
+                )
 
         scale_fac = geom.cell_volume / ppc_tot
         if sp_cfg.profile == "constant":
@@ -807,6 +875,18 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             raise NotImplementedError(
                 f"continuous injection with {sp_cfg.momentum_distribution}"
             )
+
+        if gb > 1.0:
+            # lab -> boosted momenta and flux factor (AddPlasma:1243-1246)
+            bb = math.sqrt(1.0 - 1.0 / gb**2)
+            gam_lab = jnp.sqrt(
+                1.0
+                + (u_new[0] ** 2 + u_new[1] ** 2 + u_new[2] ** 2) / (_c * _c)
+            )
+            betaz_lab = u_new[2] / (gam_lab * _c)
+            w_new = w_new * gb * (1.0 - bb * betaz_lab)
+            u_new[2] = gb * (u_new[2] - bb * gam_lab * _c)
+            sel &= w_new > 0
 
         extra_new = {}
         for (aname, fn, is_int) in attr_fns[sp_cfg.name]:

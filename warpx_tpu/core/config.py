@@ -49,6 +49,8 @@ class LaserConfig:
     phi2: float = 0.0
     theta_stc: float = 0.0
     do_continuous_injection: bool = False
+    # lab-frame plane coordinate along the normal (boosted runs)
+    z0_lab: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,6 +74,10 @@ class SpeciesConfig:
     uy_th: float = 0.0
     uz_th: float = 0.0
     momentum_exprs: Optional[Tuple[str, str, str]] = None
+    # maxwell_boltzmann / maxwell_juttner (theta = kT/mc^2)
+    theta: float = 0.0
+    beta_bulk: float = 0.0
+    bulk_vel_dir: str = "x"
     # SingleParticle injection
     single_particle_pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     single_particle_u: Tuple[float, float, float] = (0.0, 0.0, 0.0)
@@ -206,6 +212,10 @@ class SimConfig:
     psatd_update_with_rho: bool = False
     psatd_current_correction: bool = False
     psatd_periodic_single_box: bool = False
+    # boosted frame (reference: warpx.gamma_boost / boost_direction;
+    # geometry given in LAB coordinates and converted at parse time)
+    gamma_boost: float = 1.0
+    boost_direction: str = "z"
     # Galilean frame velocity [m/s] (reference: psatd.v_galilean * c)
     psatd_v_galilean: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 

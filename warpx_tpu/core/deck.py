@@ -39,6 +39,28 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
             density_expr = found[0]
 
     mom = (gs("momentum_distribution_type", "at_rest") or "at_rest").lower()
+    if profile == "predefined":
+        pname = (gs("predefined_profile_name", "") or "").lower()
+        params = deck.get_reals(f"{name}.predefined_profile_params", [])
+        if pname == "parabolic_channel" and len(params) >= 6:
+            # synthesize the reference's parabolic channel
+            # (InjectorDensity.H:74-107) as a parse expression so the whole
+            # injection/continuous-injection machinery applies
+            zs, ru, pl, rd, rc, n0 = params[:6]
+            kp = (
+                1.602176634e-19 / 299792458.0
+                * math.sqrt(n0 / (9.1093837015e-31 * 8.8541878128e-12))
+            )
+            inv = 4.0 / (kp * kp * rc ** 4)
+            lon = (
+                f"(0.5*(1-cos(pi*((z-({zs}))/({ru}))))"
+                f"*(((z-({zs}))>=0)&((z-({zs}))<({ru})))"
+                f" + (((z-({zs}))>=({ru}))&((z-({zs}))<({ru + pl})))"
+                f" + 0.5*(1+cos(pi*((z-({zs}))-({ru + pl}))/({rd})))"
+                f"*(((z-({zs}))>=({ru + pl}))&((z-({zs}))<({ru + pl + rd}))))"
+            )
+            density_expr = f"({n0})*(1+({inv})*(x*x+y*y))*{lon}"
+            profile = "parse_density_function"
     momentum_exprs = None
     if mom == "parse_momentum_function":
         exprs = []
@@ -86,6 +108,9 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
         uy=g("uy_m", g("uy", 0.0)),
         uz=g("uz_m", g("uz", 0.0)),
         ux_th=g("ux_th", 0.0), uy_th=g("uy_th", 0.0), uz_th=g("uz_th", 0.0),
+        theta=g("theta", 0.0),
+        beta_bulk=g("beta", 0.0),
+        bulk_vel_dir=(gs("bulk_vel_dir", "x") or "x").lower(),
         momentum_exprs=momentum_exprs,
         bounds_lo=bounds_lo,
         bounds_hi=bounds_hi,
@@ -186,9 +211,31 @@ def config_from_deck(deck: Deck) -> SimConfig:
         raise NotImplementedError("RZ geometry lands with the RZ solver milestone")
 
     n_cell = tuple(deck.get_ints("amr.n_cell"))
-    prob_lo = tuple(deck.get_reals("geometry.prob_lo"))
-    prob_hi = tuple(deck.get_reals("geometry.prob_hi"))
+    prob_lo = list(deck.get_reals("geometry.prob_lo"))
+    prob_hi = list(deck.get_reals("geometry.prob_hi"))
     assert len(n_cell) == ndim, (n_cell, ndim)
+
+    # boosted frame: deck geometry is in LAB coordinates; convert the boost
+    # axis (ConvertLabParamsToBoost, WarpXUtil.cpp:180-263)
+    gamma_boost = deck.get_real("warpx.gamma_boost", 1.0)
+    boost_dir = (
+        deck.get_string("warpx.boost_direction", "z") or "z"
+    ).lower()
+    if gamma_boost > 1.0:
+        beta_boost = math.sqrt(1.0 - 1.0 / (gamma_boost * gamma_boost))
+        axes_names = {1: ["z"], 2: ["x", "z"], 3: ["x", "y", "z"]}[ndim]
+        d = axes_names.index(boost_dir)
+        beta_window = beta_boost
+        if deck.get_bool("warpx.do_moving_window", False) and (
+            deck.get_string("warpx.moving_window_dir", "z").lower()
+            == boost_dir
+        ):
+            beta_window = deck.get_real("warpx.moving_window_v", 1.0)
+        factor = 1.0 / (gamma_boost * (1.0 - beta_boost * beta_window))
+        prob_lo[d] *= factor
+        prob_hi[d] *= factor
+    prob_lo = tuple(prob_lo)
+    prob_hi = tuple(prob_hi)
 
     field_lo = [b.lower() for b in deck.get_strings("boundary.field_lo", ["periodic"] * ndim)]
     field_hi = [b.lower() for b in deck.get_strings("boundary.field_hi", ["periodic"] * ndim)]
@@ -358,6 +405,16 @@ def config_from_deck(deck: Deck) -> SimConfig:
         _laser_from_deck(deck, nm)
         for nm in deck.get_strings("lasers.names", [])
     )
+    if gamma_boost > 1.0 and lasers:
+        from .laser import boost_laser_position
+
+        lasers = tuple(
+            dataclasses.replace(
+                l, position=boost_laser_position(l, gamma_boost)[0],
+                z0_lab=boost_laser_position(l, gamma_boost)[1],
+            )
+            for l in lasers
+        )
     laser_species = tuple(
         SpeciesConfig(
             name=l.name, charge=1.0, mass=0.0, injection_style="laser",
@@ -378,7 +435,12 @@ def config_from_deck(deck: Deck) -> SimConfig:
         ).lower(),
         grid_type=grid_type,
         use_filter=deck.get_bool("warpx.use_filter", False),
-        use_nci_corr=deck.get_bool("warpx.use_fdtd_nci_corr", False),
+        use_nci_corr=deck.get_bool(
+            "particles.use_fdtd_nci_corr",
+            deck.get_bool("warpx.use_fdtd_nci_corr", False),
+        ),
+        gamma_boost=gamma_boost,
+        boost_direction=boost_dir,
         filter_npass_each_dir=filter_npass,
         species=species + laser_species,
         cfl=cfl,

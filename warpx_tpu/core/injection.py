@@ -46,12 +46,28 @@ def _regular_unit_positions(ppc: Tuple[int, ...], ndim: int) -> np.ndarray:
     return out
 
 
+def _bulk_momentum(sp: SpeciesConfig):
+    """Bulk momentum (units of c) of the distribution, for the boosted-frame
+    ballistic correction (PhysicalParticleContainer.cpp:137-147)."""
+    if sp.momentum_distribution in ("constant", "gaussian"):
+        return np.array([sp.ux, sp.uy, sp.uz], float)
+    if sp.momentum_distribution in ("maxwell_boltzmann", "maxwell_juttner"):
+        b = sp.beta_bulk * (-1.0 if sp.bulk_vel_dir.startswith("-") else 1.0)
+        d = {"x": 0, "y": 1, "z": 2}.get(sp.bulk_vel_dir.strip("+-") or "x", 0)
+        u = np.zeros(3)
+        if abs(b) < 1.0 and b != 0.0:
+            u[d] = b / np.sqrt(1.0 - b * b)
+        return u
+    return np.zeros(3)
+
+
 def inject_species(
     sp: SpeciesConfig,
     geom: Geometry,
     dtype,
     rng: np.random.Generator,
     capacity: int | None = None,
+    gamma_boost: float = 1.0,
 ) -> ParticleState:
     ndim = geom.ndim
     if sp.injection_style == "singleparticle":
@@ -114,12 +130,6 @@ def inject_species(
     pos = cell_lo[:, None, :] + unit_active[None, :, :] * dx[None, None, :]
     pos = pos.reshape(-1, ndim).astype(dtype)
 
-    # --- injection bounds (reference: PhysicalParticleContainer xmin..zmax)
-    mask = np.ones(pos.shape[0], dtype=bool)
-    if sp.bounds_lo:
-        for d in range(ndim):
-            mask &= (pos[:, d] >= sp.bounds_lo[d]) & (pos[:, d] <= sp.bounds_hi[d])
-
     # full xyz coordinates for profile evaluation (inactive axes = 0)
     xyz = np.zeros((pos.shape[0], 3), dtype=dtype)
     if ndim == 3:
@@ -129,6 +139,25 @@ def inject_species(
         xyz[:, 2] = pos[:, 1]
     else:
         xyz[:, 2] = pos[:, 0]
+
+    # boosted frame: profiles/bounds are given at t_lab=0 in LAB coords;
+    # ballistic correction z -> z0_lab (PhysicalParticleContainer.cpp:
+    # applyBallisticCorrection with t=0)
+    if gamma_boost > 1.0:
+        beta_boost = float(np.sqrt(1.0 - 1.0 / gamma_boost**2))
+        ub = _bulk_momentum(sp)
+        betaz_bulk = ub[2] / np.sqrt(1.0 + ub @ ub)
+        xyz = xyz.copy()
+        xyz[:, 2] = gamma_boost * xyz[:, 2] * (1.0 - beta_boost * betaz_bulk)
+
+    # --- injection bounds (reference: PhysicalParticleContainer xmin..zmax;
+    # compared in LAB coordinates when boosted, AddPlasma:1021)
+    mask = np.ones(pos.shape[0], dtype=bool)
+    if sp.bounds_lo:
+        axes3 = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[ndim]
+        for d in range(ndim):
+            coord = xyz[:, axes3[d]]
+            mask &= (coord >= sp.bounds_lo[d]) & (coord <= sp.bounds_hi[d])
 
     # --- density -> weight
     scale_fac = geom.cell_volume / ppc_tot
@@ -158,6 +187,17 @@ def inject_species(
         ux = rng.normal(sp.ux, sp.ux_th or 0.0, n).astype(dtype)
         uy = rng.normal(sp.uy, sp.uy_th or 0.0, n).astype(dtype)
         uz = rng.normal(sp.uz, sp.uz_th or 0.0, n).astype(dtype)
+    elif sp.momentum_distribution in ("maxwell_boltzmann", "maxwell_juttner"):
+        bdir = {"x": 0, "y": 1, "z": 2}.get(sp.bulk_vel_dir.strip("+-") or "x", 0)
+        sampler = (
+            _sample_boltzmann
+            if sp.momentum_distribution == "maxwell_boltzmann"
+            else _sample_juttner
+        )
+        beta_signed = sp.beta_bulk * (
+            -1.0 if sp.bulk_vel_dir.startswith("-") else 1.0
+        )
+        ux, uy, uz = sampler(rng, n, sp.theta, beta_signed, bdir, dtype)
     elif sp.momentum_distribution == "parse_momentum_function":
         fns = [
             compile_expression(e, ["x", "y", "z"], dict(sp.user_constants))
@@ -170,6 +210,14 @@ def inject_species(
         raise NotImplementedError(
             f"momentum distribution {sp.momentum_distribution}"
         )
+    if gamma_boost > 1.0:
+        # transform to the boosted frame (AddPlasma:1243-1246):
+        # dens *= gamma*(1 - beta*betaz_lab); uz' = gamma*(uz - beta*gamma_lab)
+        beta_boost = float(np.sqrt(1.0 - 1.0 / gamma_boost**2))
+        gamma_lab = np.sqrt(1.0 + ux * ux + uy * uy + uz * uz)
+        betaz_lab = uz / gamma_lab
+        w = (w * gamma_boost * (1.0 - beta_boost * betaz_lab)).astype(dtype)
+        uz = gamma_boost * (uz - beta_boost * gamma_lab)
     ux = (ux * constants.c).astype(dtype)
     uy = (uy * constants.c).astype(dtype)
     uz = (uz * constants.c).astype(dtype)
@@ -222,7 +270,8 @@ def inject_species(
 
 
 def inject_gaussian_beam(
-    sp: SpeciesConfig, geom: Geometry, dtype, rng: np.random.Generator
+    sp: SpeciesConfig, geom: Geometry, dtype, rng: np.random.Generator,
+    gamma_boost: float = 1.0,
 ) -> ParticleState:
     """Gaussian beam injection (reference: PhysicalParticleContainer::
     AddGaussianBeam, PhysicalParticleContainer.cpp:503-680): npart particles
@@ -244,6 +293,17 @@ def inject_gaussian_beam(
         uz = np.full(n, sp.uz)
     else:
         ux = uy = uz = np.zeros(n)
+    if gamma_boost > 1.0:
+        # MapParticletoBoostedFrame (PhysicalParticleContainer.cpp:455-492)
+        # at t_lab = 0 and boosted time t0 = 0
+        beta_boost = np.sqrt(1.0 - 1.0 / gamma_boost**2)
+        tpr = -gamma_boost * beta_boost * z / constants.c  # [s]
+        zpr = gamma_boost * z
+        gamma_lab = np.sqrt(1.0 + ux * ux + uy * uy + uz * uz)
+        uz = gamma_boost * uz - gamma_boost * beta_boost * gamma_lab
+        gammapr = np.sqrt(1.0 + ux * ux + uy * uy + uz * uz)
+        vzpr = uz / gammapr * constants.c  # [m/s]
+        z = zpr - tpr * vzpr
     weight = sp.q_tot / (sp.charge * n)
     w = np.where(keep, weight, 0.0).astype(dtype)
     ps = ParticleState(
@@ -259,3 +319,45 @@ def inject_gaussian_beam(
     if ndim == 2:
         return ps.with_positions(2, [x.astype(dtype), z.astype(dtype)])
     return ps.with_positions(3, [x.astype(dtype), y.astype(dtype), z.astype(dtype)])
+
+
+def _sample_boltzmann(rng, n, theta, beta, bdir, dtype):
+    """Maxwell-Boltzmann momenta with drift (InjectorMomentum.H:202-245:
+    u ~ N(0, sqrt(theta)) per comp, Zenitani flipping, boost along bdir)."""
+    u = rng.normal(0.0, np.sqrt(theta), (3, n))
+    gamma = np.sqrt(1.0 + (u * u).sum(axis=0))
+    if beta != 0.0:
+        flip = -beta * u[bdir] / gamma > rng.random(n)
+        u[bdir] = np.where(flip, -u[bdir], u[bdir])
+        u[bdir] = (u[bdir] + gamma * beta) / np.sqrt(1.0 - beta * beta)
+    return u.astype(dtype)
+
+
+def _sample_juttner(rng, n, theta, beta, bdir, dtype):
+    """Maxwell-Juttner momenta via the Sobol method with Zenitani flipping
+    (InjectorMomentum.H:296-360)."""
+    um = np.zeros(n)
+    todo = np.ones(n, bool)
+    while todo.any():
+        m = int(todo.sum())
+        cand = -theta * np.log(
+            rng.random(m) * rng.random(m) * rng.random(m)
+        )
+        gam = np.sqrt(1.0 + cand * cand)
+        acc = cand - gam > theta * np.log(rng.random(m))
+        idx = np.nonzero(todo)[0]
+        um[idx[acc]] = cand[acc]
+        todo[idx[acc]] = False
+    x1 = rng.random(n)
+    x2 = rng.random(n)
+    u = np.zeros((3, n))
+    s_perp = 2.0 * um * np.sqrt(x1 * (1.0 - x1))
+    u[(bdir + 1) % 3] = s_perp * np.sin(2.0 * np.pi * x2)
+    u[(bdir + 2) % 3] = s_perp * np.cos(2.0 * np.pi * x2)
+    u[bdir] = um * (2.0 * x1 - 1.0)
+    gamma = np.sqrt(1.0 + (u * u).sum(axis=0))
+    if beta != 0.0:
+        flip = -beta * u[bdir] / gamma > rng.random(n)
+        u[bdir] = np.where(flip, -u[bdir], u[bdir])
+        u[bdir] = (u[bdir] + gamma * beta) / np.sqrt(1.0 - beta * beta)
+    return u.astype(dtype)

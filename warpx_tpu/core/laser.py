@@ -30,18 +30,36 @@ __all__ = [
 ]
 
 
-def antenna_unit_vectors(laser: LaserConfig):
-    """Orthonormal in-plane vectors (u_X, u_Y) from direction & polarization,
-    mirroring LaserParticleContainer's setup: u_X = polarization (orthogonal to
-    nvec), u_Y = nvec x u_X."""
+def antenna_unit_vectors(laser: LaserConfig, ndim: int = 3):
+    """Plane-lattice vectors (u_X, u_Y), mirroring LaserParticleContainer
+    :205-218: 3D uses the projected polarization p_X and n x p_X; 2D (XZ)
+    uses the in-plane y-hat x n and y-hat; 1D uses x-hat/y-hat.  The antenna
+    VELOCITY is always along p_X (use polarization_p_x for that)."""
+    nvec = np.array(laser.direction, dtype=float)
+    nvec = nvec / np.linalg.norm(nvec)
+    if ndim == 3:
+        u_X = polarization_p_x(laser)
+        u_Y = np.cross(nvec, u_X)
+    elif ndim == 2:
+        u_X = np.cross(np.array([0.0, 1.0, 0.0]), nvec)
+        u_X /= np.linalg.norm(u_X)
+        u_Y = np.array([0.0, 1.0, 0.0])
+    else:
+        u_X = np.array([1.0, 0.0, 0.0])
+        u_Y = np.array([0.0, 1.0, 0.0])
+    return nvec, u_X, u_Y
+
+
+def polarization_p_x(laser: LaserConfig):
+    """The projected, normalized polarization p_X (the antenna velocity
+    direction, LaserParticleContainer:904-906)."""
     nvec = np.array(laser.direction, dtype=float)
     nvec = nvec / np.linalg.norm(nvec)
     p = np.array(laser.polarization, dtype=float)
     p = p / np.linalg.norm(p)
     u_X = p - np.dot(p, nvec) * nvec
     u_X /= np.linalg.norm(u_X)
-    u_Y = np.cross(nvec, u_X)
-    return nvec, u_X, u_Y
+    return u_X
 
 
 def gaussian_amplitude(laser: LaserConfig, Xp, Yp, t):
@@ -110,6 +128,21 @@ def fill_amplitude(laser: LaserConfig, ndim: int, Xp, Yp, t):
     return (stcfactor * jnp.exp(exp_argument)).real
 
 
+def boost_laser_position(laser: LaserConfig, gamma_boost: float):
+    """Antenna plane position in the boosted frame (LaserParticleContainer.
+    cpp:183-196): Z0_boost = Z0_lab/gamma along the propagation normal.
+    Returns (position3, Z0_lab)."""
+    import numpy as _np
+
+    nvec = _np.array(laser.direction, float)
+    nvec = nvec / _np.linalg.norm(nvec)
+    pos = _np.array(laser.position, float)
+    z0_lab = float(nvec @ pos)
+    if gamma_boost > 1.0:
+        pos = pos + (z0_lab / gamma_boost - z0_lab) * nvec
+    return tuple(pos), z0_lab
+
+
 def antenna_particles(
     laser: LaserConfig, geom: Geometry, dtype, capacity_extra: int = 0
 ) -> Tuple[ParticleState, float, float]:
@@ -120,7 +153,7 @@ def antenna_particles(
     two per point with weights +-w; w = ep0/mobility * S_X * S_Y.
     """
     ndim = geom.ndim
-    nvec, u_X, u_Y = antenna_unit_vectors(laser)
+    nvec, u_X, u_Y = antenna_unit_vectors(laser, ndim)
     mobility = 0.05 / laser.e_max
     dxs = geom.dx
     eps = dxs[0] * 1e-50
@@ -219,6 +252,8 @@ def update_antenna(
     mobility: float,
     t,
     dt: float,
+    gamma_boost: float = 1.0,
+    z0_lab: float = 0.0,
 ) -> ParticleState:
     """Prescribed antenna motion for one step (update_laser_particle).
 
@@ -226,7 +261,8 @@ def update_antenna(
     caller then runs the ordinary current deposition over these particles.
     """
     ndim = geom.ndim
-    nvec, u_X, u_Y = antenna_unit_vectors(laser)
+    nvec, u_X, u_Y = antenna_unit_vectors(laser, ndim)
+    p_X = polarization_p_x(laser)
     pos = sp.positions(ndim)
     # laser-plane coordinates
     if ndim == 1:
@@ -248,15 +284,24 @@ def update_antenna(
             + u_Y[1] * (pos[1] - laser.position[1])
             + u_Y[2] * (pos[2] - laser.position[2])
         )
+    # boosted frame: the antenna oscillates at the lab time and recedes at
+    # -beta_boost*c along the normal (LaserParticleContainer.cpp:574-580,
+    # :908-911); the mobility is divided by gamma at construction
+    beta_boost = 0.0
+    if gamma_boost > 1.0:
+        import math as _math
+
+        beta_boost = _math.sqrt(1.0 - 1.0 / gamma_boost**2)
+        t = t / gamma_boost + beta_boost * z0_lab / constants.c
     amplitude = fill_amplitude(laser, ndim, Xp, Yp, t)
     sign_charge = jnp.where(sp.w > 0, -1.0, 1.0)
     v_over_c = sign_charge * mobility * amplitude
     # velocity is along p_X: the polarization projected orthogonal to the
     # propagation direction (LaserParticleContainer.cpp:904-906 tmp_p_X)
-    vx = constants.c * v_over_c * u_X[0]
-    vy = constants.c * v_over_c * u_X[1]
-    vz = constants.c * v_over_c * u_X[2]
-    gamma = 1.0 / jnp.sqrt(1.0 - v_over_c * v_over_c)
+    vx = constants.c * v_over_c * p_X[0] - beta_boost * constants.c * nvec[0]
+    vy = constants.c * v_over_c * p_X[1] - beta_boost * constants.c * nvec[1]
+    vz = constants.c * v_over_c * p_X[2] - beta_boost * constants.c * nvec[2]
+    gamma = gamma_boost / jnp.sqrt(1.0 - v_over_c * v_over_c)
     ux = gamma * vx
     uy = gamma * vy
     uz = gamma * vz

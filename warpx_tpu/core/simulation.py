@@ -379,7 +379,8 @@ class Simulation:
             elif sp_cfg.injection_style == "gaussian_beam":
                 from .injection import inject_gaussian_beam
 
-                ps = inject_gaussian_beam(sp_cfg, geom, np_dtype, rng)
+                ps = inject_gaussian_beam(sp_cfg, geom, np_dtype, rng,
+                                          gamma_boost=cfg.gamma_boost)
             elif sp_cfg.injection_style == "nfluxpercell":
                 # empty container sized for per-step plane emission
                 from .flux_injection import flux_capacity
@@ -416,10 +417,12 @@ class Simulation:
                         cfg.moving_window_v * 299792458.0 * cfg.dt
                         * cfg.max_step / dzw
                     ) + 4
-                    ps0 = inject_species(sp_cfg, geom, np_dtype, rng)
+                    ps0 = inject_species(sp_cfg, geom, np_dtype, rng,
+                                         gamma_boost=cfg.gamma_boost)
                     initial = int(ps0.alive.sum())
                     capacity = initial + travel_cells * cross * ppc_tot
-                ps = inject_species(sp_cfg, geom, np_dtype, rng, capacity)
+                ps = inject_species(sp_cfg, geom, np_dtype, rng, capacity,
+                                    gamma_boost=cfg.gamma_boost)
             if sp_cfg.do_field_ionization:
                 lev = np.full(
                     ps.capacity, sp_cfg.ionization_initial_level, np.int32
