@@ -1150,8 +1150,11 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
         Poisson solve per group, E = -(1-bb^T)grad(phi), B = -(b x grad)/c."""
         from ..diagnostics.fields import deposit_total_rho
         from ..solvers.electrostatic import (
-            phi_to_b, phi_to_e_beta, solve_open_igf,
+            phi_to_b, phi_to_b_nodal, phi_to_e_beta, phi_to_e_nodal,
+            solve_open_igf,
         )
+
+        collocated = cfg.grid_type == "collocated"
 
         periodic = tuple(bc_lo[d] == "periodic" for d in range(ndim))
         names = {1: ["Ez"], 2: ["Ex", "Ez"], 3: ["Ex", "Ey", "Ez"]}[ndim]
@@ -1165,11 +1168,15 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 phi = solve_open_igf(rho, backend)
             else:
                 phi = backend.solve(rho)
-            e_active = phi_to_e_beta(phi, geom, periodic, beta_active)
+            if collocated:
+                e_active = phi_to_e_nodal(phi, geom, periodic, beta_active)
+            else:
+                e_active = phi_to_e_beta(phi, geom, periodic, beta_active)
             for nm, e in zip(names, e_active):
                 upd[nm] = upd[nm] + e.astype(dtype)
             if any(b != 0.0 for b in beta3):
-                b_map = phi_to_b(phi, geom, periodic, tuple(beta3))
+                b_fn = phi_to_b_nodal if collocated else phi_to_b
+                b_map = b_fn(phi, geom, periodic, tuple(beta3))
                 for xyz_i, arr in b_map.items():
                     if arr is not None:
                         bn = "B" + "xyz"[xyz_i]

@@ -189,7 +189,13 @@ def _laser_from_deck(deck: Deck, name: str) -> LaserConfig:
         position=gv("position", (0.0, 0.0, 0.0)),
         direction=gv("direction", (0.0, 0.0, 1.0)),
         polarization=gv("polarization", (1.0, 0.0, 0.0)),
-        e_max=g("e_max", 0.0),
+        e_max=(
+            g("e_max", 0.0)
+            or g("a0", 0.0)
+            * 9.1093837015e-31
+            * (2.0 * math.pi * 299792458.0 / g("wavelength", 1e-6))
+            * 299792458.0 / 1.602176634e-19
+        ),
         wavelength=g("wavelength", 1e-6),
         profile_waist=g("profile_waist", 1e-6),
         profile_duration=g("profile_duration", 1e-15),

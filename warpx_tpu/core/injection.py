@@ -28,6 +28,7 @@ __all__ = ["inject_species", "inject_gaussian_beam"]
 def _regular_unit_positions(ppc: Tuple[int, ...], ndim: int) -> np.ndarray:
     """Unit-cell offsets for NUniformPerCell, ordered like the reference
     (InjectorPosition.H:100-107: i_part decomposes as x-major, then z, then y)."""
+    ppc = tuple(ppc)[:ndim]  # decks may give 3 values in 2D; extras ignored
     if ndim == 3:
         nx, ny, nz = ppc
     elif ndim == 2:

@@ -314,3 +314,63 @@ def vector_potential_b(A3, geom, periodic):
             b = (-t2) if b is None else (b - t2)
         out[i] = b
     return out
+
+
+def _centered_grad(phi, d, dx, periodic):
+    """Centered gradient of nodal phi along d, SAME shape as phi (one-sided
+    at non-periodic walls) — for collocated grids."""
+    if periodic:
+        return (jnp.roll(phi, -1, axis=d) - jnp.roll(phi, 1, axis=d)) / (
+            2.0 * dx
+        )
+    n = phi.shape[d]
+
+    def sl(a, b):
+        idx = [slice(None)] * phi.ndim
+        idx[d] = slice(a, b)
+        return tuple(idx)
+
+    interior = (phi[sl(2, n)] - phi[sl(0, n - 2)]) / (2.0 * dx)
+    lo = (phi[sl(1, 2)] - phi[sl(0, 1)]) / dx
+    hi = (phi[sl(n - 1, n)] - phi[sl(n - 2, n - 1)]) / dx
+    return jnp.concatenate([lo, interior, hi], axis=d)
+
+
+def phi_to_e_nodal(phi, geom, periodic, beta):
+    """Collocated-grid E = -(1 - bb^T) grad(phi), all components nodal."""
+    ndim = geom.ndim
+    grads = [
+        _centered_grad(phi, d, geom.dx[d], periodic[d]) for d in range(ndim)
+    ]
+    out = []
+    for d in range(ndim):
+        e = -(1.0 - beta[d] * beta[d]) * grads[d]
+        for dp in range(ndim):
+            if dp == d or beta[d] * beta[dp] == 0.0:
+                continue
+            e = e - beta[d] * beta[dp] * grads[dp]
+        out.append(e)
+    return out
+
+
+def phi_to_b_nodal(phi, geom, periodic, beta):
+    """Collocated-grid B = -(beta x grad phi)/c, all components nodal."""
+    from ..constants import c as _c
+
+    ndim = geom.ndim
+    axis_of = {1: {2: 0}, 2: {0: 0, 2: 1}, 3: {0: 0, 1: 1, 2: 2}}[ndim]
+    grads = {
+        a: _centered_grad(phi, d, geom.dx[d], periodic[d])
+        for a, d in axis_of.items()
+    }
+    out = {}
+    for (i, j, k) in ((0, 1, 2), (1, 2, 0), (2, 0, 1)):
+        t1 = grads.get(k)
+        t2 = grads.get(j)
+        b = None
+        if beta[j] != 0.0 and t1 is not None:
+            b = -beta[j] * t1
+        if beta[k] != 0.0 and t2 is not None:
+            b = (0.0 if b is None else b) + beta[k] * t2
+        out[i] = None if b is None else b / _c
+    return out

@@ -122,7 +122,7 @@ class Deck:
     def _resolve_my_constants(self) -> None:
         """Evaluate my_constants.* in order, allowing references to earlier ones."""
         pending = {
-            k.split(".", 1)[1]: v[0]
+            k.split(".", 1)[1]: " ".join(str(t) for t in v)
             for k, v in self.table.items()
             if k.startswith("my_constants.")
         }
