@@ -65,6 +65,7 @@ class Simulation:
                     current_correction=cfg.psatd_current_correction,
                     v_galilean=cfg.psatd_v_galilean,
                     single_box=cfg.psatd_periodic_single_box,
+                    vay_deposition=(cfg.current_deposition == "vay"),
                     dtype=self.dtype,
                 )
             self.psatd = psatd

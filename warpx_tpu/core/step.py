@@ -299,6 +299,15 @@ def pic_step(
                     chunk_size=cfg.deposit_chunk_size,
                     origin=gal_origin,
                 )
+            elif cfg.current_deposition == "vay":
+                from ..ops.deposit import deposit_current_vay
+
+                jx, jy, jz = deposit_current_vay(
+                    new_pos, ux, uy, uz, w_eff, sp_cfg.charge,
+                    geom, dt, cfg.particle_shape,
+                    chunk_size=cfg.deposit_chunk_size,
+                    origin=gal_origin,
+                )
             else:
                 jx, jy, jz = deposit_current_direct(
                     new_pos, ux, uy, uz, w_eff, sp_cfg.charge,

@@ -213,9 +213,15 @@ def cell_centered_output(
             out[name] = np.asarray(
                 cell_center(comp(name), staggering[name], geom.n_cell)
             )
+    # Vay deposition stores NODAL J (the D-derived current)
+    j_flags = (
+        {n: (1,) * geom.ndim for n in ("jx", "jy", "jz")}
+        if cfg.current_deposition == "vay"
+        else staggering
+    )
     for name in ("jx", "jy", "jz"):
         out[name] = np.asarray(
-            cell_center(comp(name), staggering[name], geom.n_cell)
+            cell_center(comp(name), j_flags[name], geom.n_cell)
         )
 
     rho = deposit_total_rho(state, cfg)

@@ -389,3 +389,101 @@ def deposit_current_direct(
             _scatter_add(jnp.zeros(shape, dtype=w.dtype), idx_per_dim, values)
         )
     return tuple(out)
+
+
+def deposit_current_vay(
+    positions: Sequence[jnp.ndarray],
+    ux, uy, uz, w,
+    q: float,
+    geom,
+    dt: float,
+    order: int,
+    origin=None,
+    wrap: bool = True,
+    offset: int = 0,
+    out_shape=None,
+    chunk_size: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Vay deposition (PSATD-only): deposits the NODAL D arrays whose k-space
+    division by i*k_mod yields the charge-conserving J
+    (CurrentDeposition.H:1857-2135 doVayDepositionShapeN; the spectral
+    division happens in PsatdSolver.push).  2D/3D only, like the reference.
+    """
+    ndim = geom.ndim
+    if ndim == 1:
+        raise NotImplementedError("Vay deposition not implemented in 1D")
+    n_cell = geom.n_cell
+    shape = out_shape or n_cell
+    lo_corner = origin if origin is not None else geom.prob_lo
+    dxs = geom.dx
+    dtype = positions[0].dtype
+    cap = positions[0].shape[0]
+    invvol = 1.0 / geom.cell_volume
+    invdt = 1.0 / dt
+    gaminv = _gaminv(ux, uy, uz)
+    T = order + 3
+
+    def body(sl):
+        vel3 = [ux[sl] * gaminv[sl], uy[sl] * gaminv[sl], uz[sl] * gaminv[sl]]
+        wq = (q * w[sl]) * invvol
+        taps = []
+        for d in range(ndim):
+            v_act = vel3[d] if ndim == 3 else vel3[(0, 2)[d]]
+            xn = (positions[d][sl] - lo_corner[d]) / dxs[d]
+            xo = xn - v_act * dt / dxs[d]
+            taps.append(_tap_arrays(xn, xo, order))
+        if ndim == 3:
+            (ix, SNx, SOx), (iy, SNy, SOy), (iz, SNz, SOz) = taps
+            # products on the common window, particle axis LAST
+            def outer(a, b, c):
+                return (
+                    a[:, None, None, :] * b[None, :, None, :]
+                    * c[None, None, :, :]
+                )
+            f = wq * invdt
+            t0 = f * (outer(SNx, SNy, SNz) - outer(SOx, SOy, SOz))
+            t1 = f * (outer(SNx, SNy, SOz) - outer(SOx, SOy, SNz))
+            t2 = f * (outer(SNx, SOy, SNz) - outer(SOx, SNy, SOz))
+            t3 = f * (outer(SOx, SNy, SNz) - outer(SNx, SOy, SOz))
+            dxv = (2 * t0 + t1 + t2 - 2 * t3) / 6.0
+            dyv = (2 * t0 + t1 - 2 * t2 + t3) / 6.0
+            dzv = (2 * t0 - 2 * t1 + t2 + t3) / 6.0
+            IX = _tap_idx(ix, T, n_cell[0], wrap, offset)
+            IY = _tap_idx(iy, T, n_cell[1], wrap, offset)
+            IZ = _tap_idx(iz, T, n_cell[2], wrap, offset)
+            idx = [
+                IX[:, None, None, :] + 0 * IY[None, :, None, :] + 0 * IZ[None, None, :, :],
+                0 * IX[:, None, None, :] + IY[None, :, None, :] + 0 * IZ[None, None, :, :],
+                0 * IX[:, None, None, :] + 0 * IY[None, :, None, :] + IZ[None, None, :, :],
+            ]
+            return [(idx, dxv), (idx, dyv), (idx, dzv)]
+        # 2D (x,z): Dy is the direct deposit of wq*vy on averaged shapes
+        (ix, SNx, SOx), (iz, SNz, SOz) = taps
+        f = wq * invdt
+        t0 = f * (
+            SNx[:, None, :] * SNz[None, :, :] - SOx[:, None, :] * SOz[None, :, :]
+        )
+        t1 = f * (
+            SNx[:, None, :] * SOz[None, :, :] - SOx[:, None, :] * SNz[None, :, :]
+        )
+        dxv = 0.5 * (t0 + t1)
+        dzv = 0.5 * (t0 - t1)
+        dyv = (wq * vel3[1] * 0.25) * (
+            (SNx + SOx)[:, None, :] * (SNz + SOz)[None, :, :]
+        )
+        IX = _tap_idx(ix, T, n_cell[0], wrap, offset)
+        IZ = _tap_idx(iz, T, n_cell[1], wrap, offset)
+        idx = [
+            IX[:, None, :] + 0 * IZ[None, :, :],
+            0 * IX[:, None, :] + IZ[None, :, :],
+        ]
+        return [(idx, dxv), (idx, dyv), (idx, dzv)]
+
+    outs = [jnp.zeros(shape, dtype) for _ in range(3)]
+    step_sz = chunk_size or cap
+    for s0 in range(0, cap, max(step_sz, 1)):
+        sl = slice(s0, min(s0 + step_sz, cap))
+        parts = body(sl)
+        for i, (idx, vals) in enumerate(parts):
+            outs[i] = _scatter_add(outs[i], idx, vals)
+    return tuple(outs)

@@ -94,6 +94,7 @@ class PsatdSolver:
         current_correction: bool = False,
         v_galilean=(0.0, 0.0, 0.0),
         single_box: bool = False,
+        vay_deposition: bool = False,
         dtype=jnp.float64,
     ):
         self.geom = geom
@@ -103,12 +104,15 @@ class PsatdSolver:
         self.current_correction = current_correction
         self.v_galilean = tuple(v_galilean)
         self.is_galilean = any(v != 0.0 for v in self.v_galilean)
+        self.vay_deposition = vay_deposition
         ndim = geom.ndim
         # guard cells: nox_fft/2 staggered, nox_fft collocated
         # (GuardCellManager.cpp:205-208).  With periodic_single_box the FFT
         # spans the whole periodic domain exactly (no guards) at the same
         # stencil order; infinite order implies single box.
-        if n_order == -1 or single_box:
+        if n_order == -1 or single_box or vay_deposition:
+            # Vay deposition divides D by k: guard-pad FFT leakage near k=0
+            # would be amplified, so use the exact whole-domain FFT
             self.ng = 0
         else:
             self.ng = n_order if collocated_grid else n_order // 2
@@ -295,10 +299,29 @@ class PsatdSolver:
         names_j = ("jx", "jy", "jz")
         E = [self.forward(getattr(fields, nm), nm) for nm in names_e]
         B = [self.forward(getattr(fields, nm), nm) for nm in names_b]
-        J = [self.forward(getattr(fields, nm), nm) for nm in names_j]
+        if self.vay_deposition:
+            # the deposited arrays are the NODAL D fields; the
+            # charge-conserving J is i*D/k per component
+            # (PsatdAlgorithmJConstantInTime::VayDeposition:805-861)
+            J = [self.forward(getattr(fields, nm), "rho") for nm in names_j]
+        else:
+            J = [self.forward(getattr(fields, nm), nm) for nm in names_j]
         kx, ky, kz = self._k3()
         dt = self.dt
         I = 1j
+
+        corrected_vay = None
+        if self.vay_deposition:
+            def div_k(D, k):
+                if isinstance(k, float):
+                    return jnp.zeros_like(D)
+                return jnp.where(k != 0.0, I * D / jnp.where(k == 0, 1, k), 0.0)
+
+            J = [div_k(J[0], kx), div_k(J[1], ky), div_k(J[2], kz)]
+            # real-space J (nodal) for diagnostics (PSATDBackwardTransformJ)
+            corrected_vay = {
+                nm: self.backward(Jc, "rho") for nm, Jc in zip(names_j, J)
+            }
 
         rho_old_k = rho_new_k = None
         if rho_pair is not None:
@@ -397,4 +420,6 @@ class PsatdSolver:
         )
         if corrected_j is not None:
             out = out.replace(**corrected_j)
+        if corrected_vay is not None:
+            out = out.replace(**corrected_vay)
         return out
