@@ -32,9 +32,24 @@ def main():
         d for d in decks if not any(p in os.path.basename(d) for p in SKIP_PAT)
     ]
     only = sys.argv[1] if len(sys.argv) > 1 else ""
-    if only:
+    if only and only != "--resume":
         decks = [d for d in decks if only in d]
     results = []
+    if only == "--resume" and os.path.exists("/root/repo/DECK_SWEEP.partial"):
+        # keep prior PASSes; retry failures/timeouts and untried decks
+        done = {}
+        for line in open("/root/repo/DECK_SWEEP.partial"):
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2:
+                done[parts[1]] = (parts[0], parts[2] if len(parts) > 2 else "")
+        keep = {n: v for n, v in done.items() if v[0] == "PASS"}
+        results = [(n, v[0], v[1]) for n, v in keep.items()]
+        decks = [d for d in decks if os.path.basename(d) not in keep]
+        os.replace("/root/repo/DECK_SWEEP.partial",
+                   "/root/repo/DECK_SWEEP.partial.bak")
+        with open("/root/repo/DECK_SWEEP.partial", "a") as fh:
+            for n, (st, err) in keep.items():
+                fh.write(f"{st}\t{n}\t{err}\n")
     for deck in decks:
         name = os.path.basename(deck)
         try:

@@ -1062,7 +1062,8 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             sp = state.species[sp_cfg.name]
             if (sp_cfg.do_not_push or sp.capacity == 0
                     or is_laser[sp_cfg.name]
-                    or sp_cfg.species_type == "photon"):
+                    or sp_cfg.species_type == "photon"
+                    or sp_cfg.mass == 0.0):
                 new_species[sp_cfg.name] = sp
                 continue
             pos = sp.positions(ndim)

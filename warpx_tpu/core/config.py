@@ -17,13 +17,56 @@ __all__ = ["SpeciesConfig", "SimConfig"]
 
 
 # species_type -> (charge, mass) in SI (reference: Source/Particles/SpeciesPhysicalProperties.cpp)
+_QE = 1.602176634e-19
+_ME = 9.1093837015e-31
+_MU = 1.66053906660e-27  # atomic mass unit (ablastr m_u)
+
 SPECIES_TYPES = {
-    "electron": (-1.602176634e-19, 9.1093837015e-31),
-    "positron": (1.602176634e-19, 9.1093837015e-31),
-    "proton": (1.602176634e-19, 1.67262192369e-27),
-    "hydrogen": (1.602176634e-19, 1.67262192369e-27),
+    "electron": (-_QE, _ME),
+    "positron": (_QE, _ME),
+    "muon": (-_QE, 206.7682830 * _ME),
+    "antimuon": (_QE, 206.7682830 * _ME),
     "photon": (0.0, 0.0),
-    "neutron": (0.0, 1.67492749804e-27),
+    "neutron": (0.0, 1.0013784193052508 * 1.67262192369e-27),
+    "proton": (_QE, 1.67262192369e-27),
+    "hydrogen": (_QE, 1.00797 * _MU),
+    "hydrogen1": (_QE, 1.00782503223 * _MU),
+    "hydrogen2": (_QE, 2.01410177812 * _MU),
+    "hydrogen3": (_QE, 3.0160492779 * _MU),
+    "helium": (2 * _QE, 4.002602 * _MU),
+    "helium3": (2 * _QE, 3.0160293201 * _MU),
+    "helium4": (2 * _QE, 4.00260325413 * _MU),
+    "alpha": (2 * _QE, 4.001506179127 * _MU),
+    "lithium": (3 * _QE, 6.967 * _MU),
+    "lithium6": (3 * _QE, 6.0151228874 * _MU),
+    "lithium7": (3 * _QE, 7.0160034366 * _MU),
+    "beryllium": (4 * _QE, 9.0121831 * _MU),
+    "beryllium9": (4 * _QE, 9.012183065 * _MU),
+    "boron": (5 * _QE, 10.813 * _MU),
+    "boron10": (5 * _QE, 10.01293695 * _MU),
+    "boron11": (5 * _QE, 11.00930536 * _MU),
+    "carbon": (6 * _QE, 12.0106 * _MU),
+    "carbon12": (6 * _QE, 12.0 * _MU),
+    "carbon13": (6 * _QE, 13.00335483507 * _MU),
+    "carbon14": (6 * _QE, 14.0032419884 * _MU),
+    "nitrogen": (7 * _QE, 14.00685 * _MU),
+    "nitrogen14": (7 * _QE, 14.00307400443 * _MU),
+    "nitrogen15": (7 * _QE, 15.00010889888 * _MU),
+    "oxygen": (8 * _QE, 15.999 * _MU),
+    "oxygen16": (8 * _QE, 15.99491461957 * _MU),
+    "oxygen17": (8 * _QE, 16.9991317565 * _MU),
+    "oxygen18": (8 * _QE, 17.99915961286 * _MU),
+    "fluorine": (9 * _QE, 18.998403163 * _MU),
+    "fluorine19": (9 * _QE, 18.99840316273 * _MU),
+    "neon": (10 * _QE, 20.1797 * _MU),
+    "neon20": (10 * _QE, 19.9924401762 * _MU),
+    "neon21": (10 * _QE, 20.993846685 * _MU),
+    "neon22": (10 * _QE, 21.991385114 * _MU),
+    "aluminium": (13 * _QE, 26.98153853 * _MU),
+    "argon": (18 * _QE, 39.948 * _MU),
+    "copper": (29 * _QE, 63.546 * _MU),
+    "xenon": (54 * _QE, 131.293 * _MU),
+    "gold": (79 * _QE, 196.966569 * _MU),
 }
 
 

@@ -95,7 +95,7 @@ def push_momenta_half(
     for sp_cfg in cfg.species:
         sp = state.species[sp_cfg.name]
         if (sp_cfg.do_not_push or sp.capacity == 0
-                or sp_cfg.species_type == "photon"):
+                or sp_cfg.species_type == "photon" or sp_cfg.mass == 0.0):
             new_species[sp_cfg.name] = sp
             continue
         pos = sp.positions(geom.ndim)
