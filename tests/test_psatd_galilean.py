@@ -92,3 +92,41 @@ def test_galilean_deck_runs():
     sim.init()
     sim.evolve()
     assert np.isfinite(np.asarray(sim.state.fields.Ex)).all()
+
+
+@pytest.mark.slow
+def test_psatd_j_linear_in_time():
+    """psatd.J_in_time=linear (multi-J building block, n_depositions=1):
+    tracks the J-constant solution on a Langmuir wave to the expected
+    scheme-level difference (reference: PsatdAlgorithmJLinearInTime; the
+    full n_depositions=2 + first-order variant is a known gap)."""
+    import os
+
+    from warpx_tpu.core.simulation import Simulation
+
+    from .conftest import REFERENCE, reference_available
+
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    res = {}
+    for jt in ("constant", "linear"):
+        sim = Simulation.from_deck(
+            os.path.join(REFERENCE, "Examples/Tests/langmuir/inputs_base_3d"),
+            overrides=(
+                "diagnostics.diags_names =",
+                "algo.maxwell_solver = psatd",
+                "algo.current_deposition = direct",
+                "psatd.update_with_rho = 1",
+                f"psatd.J_in_time = {jt}",
+                "max_step = 40",
+                "amr.n_cell = 32 32 32",
+            ),
+        )
+        sim.init()
+        sim.evolve()
+        res[jt] = np.asarray(sim.state.fields.Ex)
+    rel = np.abs(res["constant"] - res["linear"]).max() / np.abs(
+        res["constant"]
+    ).max()
+    assert np.isfinite(res["linear"]).all()
+    assert rel < 0.1, rel

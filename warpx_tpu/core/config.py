@@ -259,6 +259,8 @@ class SimConfig:
     # geometry given in LAB coordinates and converted at parse time)
     gamma_boost: float = 1.0
     boost_direction: str = "z"
+    # multi-J: J time dependence (reference: psatd.J_in_time, warpx.do_multi_J)
+    psatd_j_in_time: str = "constant"
     # Galilean frame velocity [m/s] (reference: psatd.v_galilean * c)
     psatd_v_galilean: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 

@@ -475,6 +475,14 @@ def config_from_deck(deck: Deck) -> SimConfig:
         psatd_current_correction=psatd_cc,
         psatd_periodic_single_box=psatd_single_box,
         psatd_v_galilean=v_gal,
+        psatd_j_in_time=(
+            deck.get_string(
+                "psatd.J_in_time",
+                "linear" if deck.get_bool("warpx.do_multi_J", False)
+                else "constant",
+            )
+            or "constant"
+        ).lower(),
         do_dive_cleaning=dive_cleaning,
         do_divb_cleaning=deck.get_bool("warpx.do_divb_cleaning", False),
         e_ext_grid=ext_grid("E"),

@@ -234,10 +234,13 @@ def pic_step(
             species_mut[sp_cfg.ionization_product_species] = prod
         state = state.replace(species=species_mut, rng=rng)
 
+    multi_j = (
+        cfg.em_solver == "psatd" and cfg.psatd_j_in_time == "linear"
+    )
     need_rho = (
         cfg.em_solver == "psatd"
         and (cfg.psatd_current_correction or cfg.psatd_update_with_rho)
-    ) or cfg.do_dive_cleaning
+    ) or cfg.do_dive_cleaning or multi_j
     rho_old = rho_new = None
     if need_rho:
         from ..ops.deposit import deposit_rho
@@ -246,6 +249,7 @@ def pic_step(
         rho_new = jnp.zeros(geom.n_cell, state.fields.Ex.dtype)
 
     j_total = None
+    j_old_total = None
     new_species = {}
     for sp_cfg in cfg.species:
         sp = state.species[sp_cfg.name]
@@ -253,7 +257,7 @@ def pic_step(
             new_species[sp_cfg.name] = sp
             continue
         pos = sp.positions(geom.ndim)
-        if need_rho and not sp_cfg.do_not_deposit:
+        if need_rho and not sp_cfg.do_not_deposit and not multi_j:
             from ..ops.deposit import deposit_rho
 
             w_eff0 = jnp.where(sp.alive, sp.w, 0.0)
@@ -290,7 +294,46 @@ def pic_step(
             )
             new_pos = position_step(pos, ux, uy, uz, dt, geom.ndim)
 
-        if not sp_cfg.do_not_deposit:
+        if multi_j and not sp_cfg.do_not_deposit:
+            # multi-J (n_depositions=1): J and rho sampled at INTEGER times
+            # (OneStep_multiJ, WarpXEvolve.cpp:660-780): J_old/rho_old at
+            # relative time -dt (ballistic back from x^{n+1}), J_new/rho_new
+            # at the new positions
+            from ..ops.deposit import deposit_rho
+
+            w_eff = jnp.where(sp.alive, sp.w, 0.0)
+            jo = deposit_current_direct(
+                new_pos, ux, uy, uz, w_eff, sp_cfg.charge, geom,
+                staggering, dt, cfg.particle_shape,
+                relative_time=-dt, origin=gal_origin,
+            )
+            jn = deposit_current_direct(
+                new_pos, ux, uy, uz, w_eff, sp_cfg.charge, geom,
+                staggering, dt, cfg.particle_shape,
+                relative_time=0.0, origin=gal_origin,
+            )
+            j_old_total = (
+                jo if j_old_total is None
+                else tuple(a + b for a, b in zip(j_old_total, jo))
+            )
+            j_total = (
+                jn if j_total is None
+                else tuple(a + b for a, b in zip(j_total, jn))
+            )
+            from ..ops.push import inv_gamma as _invg
+
+            ig = _invg(ux, uy, uz)
+            vel_act = {
+                3: (ux, uy, uz), 2: (ux, uz), 1: (uz,),
+            }[geom.ndim]
+            pos_ball = [
+                p - v * ig * dt for p, v in zip(new_pos, vel_act)
+            ]
+            rho_old = deposit_rho(
+                pos_ball, w_eff, sp_cfg.charge, geom, cfg.particle_shape,
+                out=rho_old, origin=gal_origin,
+            )
+        elif not sp_cfg.do_not_deposit:
             w_eff = jnp.where(sp.alive, sp.w, 0.0)
             if cfg.current_deposition == "esirkepov":
                 jx, jy, jz = deposit_current_esirkepov(
@@ -358,8 +401,18 @@ def pic_step(
             npass = cfg.filter_npass_each_dir or (1,) * geom.ndim
             rho_old = bilinear_filter(rho_old, npass)
             rho_new = bilinear_filter(rho_new, npass)
+        if multi_j and j_old_total is not None and cfg.use_filter:
+            from ..solvers.filter import bilinear_filter
+
+            npass = cfg.filter_npass_each_dir or (1,) * geom.ndim
+            j_old_total = tuple(
+                bilinear_filter(a, npass) for a in j_old_total
+            )
+        if multi_j and j_old_total is None:
+            j_old_total = j_total
         fields = psatd.push(
-            fields, (rho_old, rho_new) if need_rho else None
+            fields, (rho_old, rho_new) if need_rho else None,
+            j_old=j_old_total if multi_j else None,
         )
     else:
         # Field advance: B half, E full, B half (WarpXEvolve.cpp:418-446);

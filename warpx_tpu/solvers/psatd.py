@@ -288,11 +288,14 @@ class PsatdSolver:
         return self._crop(jnp.fft.ifftn(D).real)
 
     # ------------------------------------------------------------------ push
-    def push(self, fields, rho_pair=None):
+    def push(self, fields, rho_pair=None, j_old=None):
         """One PSATD step: E,B <- analytic k-space advance with J (and rho).
 
         rho_pair = (rho_old_real, rho_new_real) nodal arrays when current
         correction or update_with_rho is active.
+        j_old = (jx,jy,jz) at the START of the step for the J-linear-in-time
+        (multi-J) update (PsatdAlgorithmJLinearInTime.cpp:115-190): fields.j*
+        then hold J at the END of the step.
         """
         names_e = ("Ex", "Ey", "Ez")
         names_b = ("Bx", "By", "Bz")
@@ -381,6 +384,45 @@ class PsatdSolver:
         else:
             T2, X4 = 1.0, -S_ck / _ep0
         rho_fac = X2 * rho_new - T2 * X3 * rho_old
+
+        if j_old is not None:
+            # J linear in time: J(t) interpolates J_old -> J_new
+            # (PsatdAlgorithmJLinearInTime.cpp:160-186); X1..X4 as standard
+            Jo = [self.forward(a, nm) for a, nm in zip(j_old, names_j)]
+            dJ = [J[i] - Jo[i] for i in range(3)]
+            Ex = (
+                C * E[0] + I * _c2 * S_ck * (ky * B[2] - kz * B[1])
+                + X4 * Jo[0] - I * rho_fac * kx - X1 * dJ[0] / dt
+            )
+            Ey = (
+                C * E[1] + I * _c2 * S_ck * (kz * B[0] - kx * B[2])
+                + X4 * Jo[1] - I * rho_fac * ky - X1 * dJ[1] / dt
+            )
+            Ez = (
+                C * E[2] + I * _c2 * S_ck * (kx * B[1] - ky * B[0])
+                + X4 * Jo[2] - I * rho_fac * kz - X1 * dJ[2] / dt
+            )
+            Bx = (
+                C * B[0] - I * S_ck * (ky * E[2] - kz * E[1])
+                + I * X1 * (ky * Jo[2] - kz * Jo[1])
+                + I * X2 / _c2 * (ky * dJ[2] - kz * dJ[1])
+            )
+            By = (
+                C * B[1] - I * S_ck * (kz * E[0] - kx * E[2])
+                + I * X1 * (kz * Jo[0] - kx * Jo[2])
+                + I * X2 / _c2 * (kz * dJ[0] - kx * dJ[2])
+            )
+            Bz = (
+                C * B[2] - I * S_ck * (kx * E[1] - ky * E[0])
+                + I * X1 * (kx * Jo[1] - ky * Jo[0])
+                + I * X2 / _c2 * (kx * dJ[1] - ky * dJ[0])
+            )
+            out = fields.replace(
+                Ex=self.backward(Ex, "Ex"), Ey=self.backward(Ey, "Ey"),
+                Ez=self.backward(Ez, "Ez"), Bx=self.backward(Bx, "Bx"),
+                By=self.backward(By, "By"), Bz=self.backward(Bz, "Bz"),
+            )
+            return out
 
         Ex = (
             T2 * C * E[0]
