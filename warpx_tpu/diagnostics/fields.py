@@ -47,7 +47,9 @@ def current_origin(state: SimState, cfg: SimConfig):
     """Physical coordinate of array index 0 per dim (moving window aware)."""
     origin = list(cfg.geometry.prob_lo)
     if cfg.do_moving_window and "window_lo" in state.aux:
-        origin[cfg.moving_window_dir] = float(state.aux["window_lo"])
+        # may be a traced scalar when called under jit (e.g. ES solve with a
+        # moving window) — keep it symbolic, downstream arithmetic is traceable
+        origin[cfg.moving_window_dir] = state.aux["window_lo"]
     return origin
 
 
