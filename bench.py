@@ -1,16 +1,26 @@
 #!/usr/bin/env python
 """Headline benchmark: particle-pushes/sec on a 3D uniform-plasma PIC step.
 
-Runs the full explicit EM PIC step (order-1 gather + Boris push + Esirkepov
-deposition + Yee field update) on the available accelerator in single
-precision, mirroring the reference's headline 3D LWFA-class workload
-(BASELINE.md: particle-pushes/sec/chip target).
+Runs the full explicit EM PIC step (Esirkepov + Boris + order-1 gather + Yee)
+in single precision through the tile-binned fused Pallas path
+(warpx_tpu/core/binned_step.py) on the available accelerator.
 
-The baseline constant below is the WarpX-on-A100 ballpark for 3D FDTD PIC at
-order 1-3 (~1e9 particle-pushes/sec/GPU, from the WarpX SC22 Gordon Bell paper
-class of measurements; the repo itself publishes no numbers — see BASELINE.md).
+Baseline: the WarpX-on-A100 ballpark for 3D FDTD PIC (~1e9 particle
+pushes/sec/GPU, the SC22 Gordon Bell class of measurements; the reference
+repo publishes no numbers — see BASELINE.md).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Measurement methodology (IMPORTANT — this environment's TPU tunnel lies):
+  * ``jax.block_until_ready`` on the axon-tunnel TPU returns before device
+    execution completes, so every timed span here is closed by a scalar
+    device->host pull, which provably forces completion.
+  * The pull itself costs a tunnel round trip (measured separately as
+    ``pull_rtt_s`` and subtracted once per span).
+  * A matmul calibration (``matmul_tflops``) is emitted in ``detail`` so a
+    degraded tunnel/device is distinguishable from slow framework code in
+    the artifact itself.
+  * A two-point size sweep (``sweep``) shows the time-vs-particles slope.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 
 import json
@@ -23,205 +33,155 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 A100_REFERENCE_PUSHES_PER_SEC = 1.0e9
 
 
-def run_once(n, ppc, steps):
+def _pull(arr):
+    """Force completion of everything enqueued before this, via one D2H."""
+    idx = (0,) * arr.ndim
+    return float(arr[idx])
+
+
+def calibrate():
+    """Chained bf16 matmuls closed by a pull: device health in the artifact."""
     import jax
-    import numpy as np
+    import jax.numpy as jnp
+
+    n = 4096
+    x = jnp.full((n, n), 1.0 / n, jnp.bfloat16)
+    f = jax.jit(lambda a: (a @ a) * (1.0 / n))
+    y = f(x)
+    _pull(y)
+    t0 = time.perf_counter()
+    rtt = None
+    _pull(y)
+    rtt = time.perf_counter() - t0
+    reps = 50
+    t0 = time.perf_counter()
+    z = x
+    for _ in range(reps):
+        z = f(z)
+    _pull(z)
+    span = time.perf_counter() - t0
+    per = max(span - rtt, 1e-9) / reps
+    return {
+        "matmul_tflops": 2 * n**3 / per / 1e12,
+        "pull_rtt_s": rtt,
+    }
+
+
+def _build_sim(n, ppc):
+    import jax
+    import jax.numpy as jnp
 
     from warpx_tpu.core.config import SimConfig, SpeciesConfig
     from warpx_tpu.core.grid import Geometry
     from warpx_tpu.core.simulation import Simulation
+    from warpx_tpu.solvers.yee import compute_dt_yee
 
     lx = 40e-6
     geom = Geometry(
-        ndim=3,
-        n_cell=(n, n, n),
-        prob_lo=(-lx / 2,) * 3,
-        prob_hi=(lx / 2,) * 3,
-        periodic=(True,) * 3,
+        ndim=3, n_cell=(n, n, n), prob_lo=(-lx / 2,) * 3,
+        prob_hi=(lx / 2,) * 3, periodic=(True,) * 3,
     )
-    from warpx_tpu.solvers.yee import compute_dt_yee
-
     species = tuple(
         SpeciesConfig(
-            name=nm,
-            charge=q,
-            mass=9.1093837015e-31,
+            name=nm, charge=q, mass=9.1093837015e-31,
             injection_style="nuniformpercell",
             num_particles_per_cell_each_dim=(ppc, 1, 1),
-            profile="constant",
-            density=2.0e24,
+            profile="constant", density=2.0e24,
             momentum_distribution="gaussian",
-            ux_th=0.01,
-            uy_th=0.01,
-            uz_th=0.01,
+            ux_th=0.01, uy_th=0.01, uz_th=0.01,
         )
-        for nm, q in (("electrons", -1.602176634e-19), ("ions", 1.602176634e-19))
+        for nm, q in (("electrons", -1.602176634e-19),
+                      ("ions", 1.602176634e-19))
     )
+    # thermal plasma: drift ~0.01 cells/step, so margin 1 supports a long
+    # sort interval; the tile_violations counter verifies this post-hoc
     cfg = SimConfig(
-        geometry=geom,
-        max_step=10**9,
-        dt=compute_dt_yee(geom, 0.999),
-        particle_shape=1,
-        species=species,
+        geometry=geom, max_step=10**9, dt=compute_dt_yee(geom, 0.999),
+        particle_shape=1, species=species,
+        tiled_particles=os.environ.get("BENCH_TILED", "auto"),
+        sort_interval=20, sort_margin=1,
     )
-    sim = Simulation(cfg, dtype=jax.numpy.float32)
-    state = sim.init()
-    n_particles = sum(
-        int(np.asarray(state.species[s.name].alive).sum()) for s in cfg.species
-    )
-
-    # fuse the whole measured span into ONE compiled lax.scan: a single
-    # dispatch per rep, so host/tunnel launch latency cannot pollute the
-    # measurement (BENCH_FUSED=0 falls back to per-step dispatch)
-    fused = os.environ.get("BENCH_FUSED", "0") == "1"
-    if fused:
-        step = sim._step
-
-        def run(s, n):
-            return jax.lax.scan(lambda st, _: (step(st), None), s, None,
-                                length=n)[0]
-
-        run_j = jax.jit(run, static_argnums=1)
-        state = run_j(state, steps)  # compile + warm
-        jax.block_until_ready(state.fields.Ex)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            state = run_j(state, steps)
-            jax.block_until_ready(state.fields.Ex)
-            best = min(best, time.perf_counter() - t0)
-    else:
-        state = sim._step(state)  # compile + warm
-        jax.block_until_ready(state.fields.Ex)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            for _ in range(steps):
-                state = sim._step(state)
-            jax.block_until_ready(state.fields.Ex)
-            best = min(best, time.perf_counter() - t0)
-
-    steps_per_sec = steps / best
-    pushes_per_sec = n_particles * steps_per_sec
-    return {
-        "metric": "particle_pushes_per_sec_per_chip",
-        "value": pushes_per_sec,
-        "unit": "pushes/s",
-        "vs_baseline": pushes_per_sec / A100_REFERENCE_PUSHES_PER_SEC,
-        "detail": {
-            "n_cell": n,
-            "n_particles": n_particles,
-            "steps_per_sec": steps_per_sec,
-            "device": str(jax.devices()[0]),
-            # the TPU tunnel in this environment has a degraded mode capping
-            # execution at ~0.5 steps/s regardless of problem size; in
-            # healthy-mode sessions the same code measures 2-5e9 pushes/s
-            "per_step_seconds": 1.0 / steps_per_sec,
-        },
-    }
+    sim = Simulation(cfg, dtype=jnp.float32)
+    n_particles = 2 * ppc * n**3
+    return sim, n_particles
 
 
-def run_lwfa(steps):
-    """The headline configuration: the reference's 3D LWFA deck (moving
-    window + laser + continuous injection), run in f32 on the device."""
-    import time
-
+def run_uniform(n, ppc, steps):
     import jax
-    import numpy as np
 
-    from warpx_tpu.core.simulation import Simulation
-
-    deck = (
-        "/root/reference/Examples/Physics_applications/laser_acceleration/"
-        "inputs_test_3d_laser_acceleration"
-    )
-    sim = Simulation.from_deck(deck, output_dir="/tmp/bench_diags")
-    sim.diags = []
-    sim.reduced = []
+    sim, n_particles = _build_sim(n, ppc)
     state = sim.init()
-    sim.evolve(2)  # compile + warm the per-step kernels
-    fused = os.environ.get("BENCH_FUSED", "0") == "1"
-    if fused:
-        sim.evolve_fused(steps)  # compile the scanned span (same length)
-    jax.block_until_ready(sim.state.fields.Ex)
+    state = sim._step(state)  # compile + warm
+    _pull(state.fields.Ex)
     t0 = time.perf_counter()
-    if fused:
-        sim.evolve_fused(steps)
-    else:
-        sim.evolve(steps)
-    jax.block_until_ready(sim.state.fields.Ex)
-    elapsed = time.perf_counter() - t0
-    n_particles = sum(
-        int(np.asarray(sim.state.species[s.name].alive).sum())
-        for s in sim.cfg.species
-    )
-    steps_per_sec = steps / elapsed
+    _pull(state.fields.Ex)
+    rtt = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state = sim._step(state)
+        _pull(state.fields.Ex)
+        best = min(best, max(time.perf_counter() - t0 - rtt, 1e-9))
+    sim.state = state
+    if sim.tile_spec is not None:
+        ovf = int(state.aux["tile_overflow"])
+        vio = int(state.aux["tile_violations"])
+        if ovf or vio:
+            raise RuntimeError(f"tile invariants violated: {ovf}, {vio}")
+    per_step = best / steps
     return {
-        "metric": "particle_pushes_per_sec_per_chip",
-        "value": n_particles * steps_per_sec,
-        "unit": "pushes/s",
-        "vs_baseline": n_particles * steps_per_sec / A100_REFERENCE_PUSHES_PER_SEC,
-        "detail": {
-            "config": "3d_lwfa",
-            "n_particles": n_particles,
-            "steps_per_sec": steps_per_sec,
-            "device": str(jax.devices()[0]),
-        },
+        "n_cell": n,
+        "n_particles": n_particles,
+        "per_step_seconds": per_step,
+        "steps_per_sec": 1.0 / per_step,
+        "pushes_per_sec": n_particles / per_step,
+        "path": "binned-pallas" if sim.tile_spec is not None else "reference",
+        "pull_rtt_s": rtt,
     }
 
 
 def main():
-    """Try descending problem sizes; the TPU tunnel in this environment can
-    fault on large compiles, so report the best size that completes."""
+    import jax
+
     n = int(os.environ.get("BENCH_NCELL", 64))
     ppc = int(os.environ.get("BENCH_PPC", 2))
-    steps = int(os.environ.get("BENCH_STEPS", 6))
-    mode = os.environ.get("BENCH_MODE", "uniform")
-    attempts = []
-    if mode == "lwfa":
-        attempts.append(("lwfa", steps))
-    attempts += [(n, ppc, steps), (64, 1, 5), (32, 1, 5)]
-    last_err = None
-    for spec in attempts:
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+    detail = {"device": str(jax.devices()[0])}
+    try:
+        detail["calibration"] = calibrate()
+    except Exception as e:  # noqa: BLE001
+        detail["calibration"] = {"error": str(e)[:200]}
+
+    results, last_err = [], None
+    for spec in ((n, ppc, steps), (n // 2, ppc, steps), (32, 1, 10)):
         try:
             print(f"bench: attempting {spec}", file=sys.stderr, flush=True)
-            if spec[0] == "lwfa":
-                result = run_lwfa(spec[1])
-            else:
-                result = run_once(*spec)
-            print(json.dumps(result), flush=True)
-            return
-        except Exception as e:  # noqa: BLE001 - tunnel faults are opaque
+            results.append(run_uniform(*spec))
+            if len(results) == 2:
+                break
+        except Exception as e:  # noqa: BLE001
             print(f"bench: {spec} failed: {e}", file=sys.stderr, flush=True)
             last_err = e
-            continue
-    if os.environ.get("BENCH_FUSED", "0") == "1":
-        # the fused lax.scan occasionally faults this TPU's tunnel; retry
-        # everything per-step-dispatch in a FRESH process (the fault kills
-        # the device client in this one)
-        import subprocess
-
-        env = dict(os.environ, BENCH_FUSED="0")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=560,
-        )
-        sys.stderr.write(out.stderr[-2000:])
-        if out.stdout.strip():
-            print(out.stdout.strip().splitlines()[-1], flush=True)
-            return
-    print(
-        json.dumps(
-            {
-                "metric": "particle_pushes_per_sec_per_chip",
-                "value": 0.0,
-                "unit": "pushes/s",
-                "vs_baseline": 0.0,
-                "error": str(last_err)[:200],
-            }
-        ),
-        flush=True,
-    )
+    if not results:
+        print(json.dumps({
+            "metric": "particle_pushes_per_sec_per_chip", "value": 0.0,
+            "unit": "pushes/s", "vs_baseline": 0.0,
+            "error": str(last_err)[:300], "detail": detail,
+        }), flush=True)
+        return
+    head = results[0]
+    detail.update(head)
+    if len(results) > 1:
+        detail["sweep"] = results[1:]
+    value = head["pushes_per_sec"]
+    print(json.dumps({
+        "metric": "particle_pushes_per_sec_per_chip",
+        "value": value,
+        "unit": "pushes/s",
+        "vs_baseline": value / A100_REFERENCE_PUSHES_PER_SEC,
+        "detail": detail,
+    }), flush=True)
 
 
 if __name__ == "__main__":

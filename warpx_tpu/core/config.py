@@ -263,6 +263,17 @@ class SimConfig:
     psatd_j_in_time: str = "constant"
     # Galilean frame velocity [m/s] (reference: psatd.v_galilean * c)
     psatd_v_galilean: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # --- TPU tile-binned hot path (ops/tiling.py + ops/pallas_pic.py) ---
+    # "auto" enables the fused Pallas gather+push+deposit kernel on TPU for
+    # supported configurations (3D periodic explicit EM, Esirkepov);
+    # the analog of the reference's binned shared-memory deposition
+    # (WarpXParticleContainer.cpp:490-548) + SortParticlesByBin cadence
+    # (WarpXEvolve.cpp:575-580, warpx.sort_intervals).
+    tiled_particles: str = "auto"  # auto | on | off
+    tile_size: Tuple[int, int, int] = (8, 8, 8)
+    sort_interval: int = 4
+    sort_margin: int = 0  # 0 = auto: ceil(interval * c*dt/min(dx))
+    tile_headroom: float = 2.0
 
     @property
     def galerkin(self) -> bool:

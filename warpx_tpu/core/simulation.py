@@ -42,6 +42,8 @@ class Simulation:
         self.is_synchronized = True
         self.is_bounded = self._needs_bounded_kernels(cfg)
         self.psatd = None
+        self.tile_spec = None
+        self._want_binned = False
         if self.is_bounded:
             from .bounded_step import make_bounded_kernels
 
@@ -69,6 +71,21 @@ class Simulation:
                     dtype=self.dtype,
                 )
             self.psatd = psatd
+            # TPU tile-binned fused hot path (core/binned_step.py); on CPU
+            # only when forced (Pallas runs interpreted there — tests only)
+            from .binned_step import binned_supported
+
+            self._want_binned = cfg.tiled_particles == "on" or (
+                cfg.tiled_particles == "auto"
+                and binned_supported(cfg)
+                and jax.default_backend() not in ("cpu",)
+            )
+            if cfg.tiled_particles == "on" and not binned_supported(cfg):
+                raise NotImplementedError(
+                    "tiled_particles=on but configuration is outside the "
+                    "binned path's coverage (see binned_supported)"
+                )
+            self.tile_spec = None
             # fast periodic-torus path
             self._step = jax.jit(
                 functools.partial(
@@ -185,10 +202,43 @@ class Simulation:
                                      "intervals": iv, "writer": writer,
                                      "params": params})
 
+    def _normalize_binned(self):
+        """Binned-path housekeeping before any host-side output: assert the
+        tile-layout invariants (no slot overflow, no drift beyond the rebin
+        margin) and wrap the deliberately-unwrapped positions back into the
+        periodic domain."""
+        if self.tile_spec is None or self.state is None:
+            return
+        aux = self.state.aux
+        ovf = int(aux.get("tile_overflow", 0))
+        vio = int(aux.get("tile_violations", 0))
+        if ovf or vio:
+            raise RuntimeError(
+                f"tile-binned layout invariant violated: overflow={ovf} "
+                f"violations={vio} (raise tile_headroom / sort_margin or "
+                "lower sort_interval)"
+            )
+        from .step import wrap_positions
+
+        self.state = self.state.replace(
+            species={
+                nm: wrap_positions(sp, self.cfg.geometry)
+                for nm, sp in self.state.species.items()
+            }
+        )
+
     def flush_diagnostics(self, step: int):
         """Write due outputs for ``step`` (post-step user step number)."""
         if not getattr(self, "diags", None) and not getattr(self, "reduced", None):
             return
+        if getattr(self, "tile_spec", None) is not None:
+            due = any(
+                d["intervals"].contains(step)
+                for d in (list(getattr(self, "diags", []))
+                          + list(getattr(self, "reduced", [])))
+            )
+            if due:
+                self._normalize_binned()
         for rd in getattr(self, "reduced", []):
             if rd["intervals"].contains(step):
                 from ..diagnostics.reduced import compute_reduced
@@ -476,6 +526,49 @@ class Simulation:
                         aux[f"pml:{nm}:{term[2]}"] = jnp.zeros(
                             shapes[nm], self.dtype
                         )
+        if getattr(self, "_want_binned", False):
+            # re-lay every species out at the shared tile-binned capacity;
+            # counts are known host-side pre-transfer (no device pull)
+            from .binned_step import make_binned_step, make_tile_spec
+
+            n_max = max(
+                int(np.asarray(ps.alive).sum()) for ps in species.values()
+            )
+            self.tile_spec = make_tile_spec(cfg, max(n_max, 1))
+            cap = self.tile_spec.capacity
+            center = tuple(
+                0.5 * (lo + hi)
+                for lo, hi in zip(geom.prob_lo, geom.prob_hi)
+            )
+
+            def _pad(ps: ParticleState) -> ParticleState:
+                n = ps.capacity
+                if n > cap:
+                    raise ValueError(
+                        f"species capacity {n} exceeds tile capacity {cap}"
+                    )
+                pad = cap - n
+
+                def ext(a, fill=0.0):
+                    return jnp.pad(a, (0, pad), constant_values=fill)
+
+                pos = ps.positions(3)
+                return ps.replace(
+                    x=ext(pos[0], center[0]), y=ext(pos[1], center[1]),
+                    z=ext(pos[2], center[2]),
+                    ux=ext(ps.ux), uy=ext(ps.uy), uz=ext(ps.uz),
+                    w=ext(ps.w), alive=ext(ps.alive, False),
+                    extra={k: ext(v) for k, v in ps.extra.items()},
+                )
+
+            species = {nm: _pad(ps) for nm, ps in species.items()}
+            aux["tile_overflow"] = jnp.zeros((), jnp.int32)
+            aux["tile_violations"] = jnp.zeros((), jnp.int32)
+            self._step = make_binned_step(
+                cfg, self.staggering, self.tile_spec, psatd=self.psatd,
+                interpret=jax.default_backend() == "cpu",
+            )
+            self._step_main = self._step
         self.state = SimState(
             fields=fields,
             species=species,
@@ -655,6 +748,7 @@ class Simulation:
     def checksums(self) -> Dict[str, Dict[str, float]]:
         from ..diagnostics.checksum import compute_checksums
 
+        self._normalize_binned()
         return compute_checksums(
             self.state, self.cfg, self.staggering, psatd=self.psatd
         )
@@ -670,6 +764,10 @@ class DistSimulation(Simulation):
     def __init__(self, cfg: SimConfig, mesh_shape: Dict[str, int], dtype=None,
                  headroom: float = 1.5):
         super().__init__(cfg, dtype=dtype)
+        # sharded path has its own layout; the tile-binned single-chip
+        # layout must not rewrite the step/state in init()
+        self._want_binned = False
+        self.tile_spec = None
         from ..parallel.topology import SpatialMesh
         from .sharded_step import make_sharded_half_push, make_sharded_step
 

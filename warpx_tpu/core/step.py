@@ -381,13 +381,41 @@ def pic_step(
         dtype = state.fields.Ex.dtype
         j_total = tuple(jnp.zeros(shape, dtype) for _ in range(3))
 
+    fields = advance_fields(
+        state.fields, cfg, j_total, rho_old, rho_new,
+        (j_old_total if j_old_total is not None else j_total)
+        if multi_j else None,
+        psatd,
+    )
+
+    return state.replace(
+        fields=fields,
+        species=new_species,
+        step=state.step + 1,
+        time=state.time + dt,
+    )
+
+
+def advance_fields(
+    fields: FieldState, cfg: SimConfig, j_total, rho_old, rho_new,
+    j_old_total, psatd,
+) -> FieldState:
+    """Filter J and advance the Maxwell fields by one step (the tail of
+    OneStep_nosub, WarpXEvolve.cpp:373-450: SyncCurrent/filter then the
+    B-half/E-full/B-half or PSATD push).  Shared by the reference path
+    (pic_step) and the tile-binned Pallas path (binned_step)."""
+    geom = cfg.geometry
+    dt = cfg.dt
+    multi_j = j_old_total is not None
+    need_rho = rho_old is not None
+
     if cfg.use_filter:
         from ..solvers.filter import bilinear_filter
 
         npass = cfg.filter_npass_each_dir or (1,) * geom.ndim
         j_total = tuple(bilinear_filter(a, npass) for a in j_total)
 
-    fields = state.fields.replace(jx=j_total[0], jy=j_total[1], jz=j_total[2])
+    fields = fields.replace(jx=j_total[0], jy=j_total[1], jz=j_total[2])
 
     if cfg.em_solver == "none":
         # algo.maxwell_solver = none: fields are never advanced (reference:
@@ -401,15 +429,13 @@ def pic_step(
             npass = cfg.filter_npass_each_dir or (1,) * geom.ndim
             rho_old = bilinear_filter(rho_old, npass)
             rho_new = bilinear_filter(rho_new, npass)
-        if multi_j and j_old_total is not None and cfg.use_filter:
+        if multi_j and cfg.use_filter:
             from ..solvers.filter import bilinear_filter
 
             npass = cfg.filter_npass_each_dir or (1,) * geom.ndim
             j_old_total = tuple(
                 bilinear_filter(a, npass) for a in j_old_total
             )
-        if multi_j and j_old_total is None:
-            j_old_total = j_total
         fields = psatd.push(
             fields, (rho_old, rho_new) if need_rho else None,
             j_old=j_old_total if multi_j else None,
@@ -439,9 +465,4 @@ def pic_step(
             fields = yee.add_grad_g(fields, G, geom, 0.5 * dt, algo)
         fields = fields.replace(F=F, G=G)
 
-    return state.replace(
-        fields=fields,
-        species=new_species,
-        step=state.step + 1,
-        time=state.time + dt,
-    )
+    return fields

@@ -1,0 +1,282 @@
+"""Tile-binned particle layout for the TPU-native hot path.
+
+The reference keeps particles bin-sorted by tile for its GPU shared-memory
+deposition (reference: Source/Particles/Sorting/SortingUtils.H,
+WarpXParticleContainer.cpp:490-548 shared-mem binned deposition,
+WarpXEvolve.cpp:575-580 periodic SortParticlesByBin).  Here the same idea is
+TPU-native: particles live in a fixed-capacity padded layout of
+``n_tiles x p_max`` slots, re-sorted every ``interval`` steps, so that the
+fused Pallas gather+push+deposit kernel (ops/pallas_pic.py) can process one
+tile per grid step entirely in VMEM with dense one-hot/matmul arithmetic
+instead of random-access gather/scatter.
+
+Pieces:
+  * TileSpec       — static tiling geometry (tile shape, window width, margin)
+  * rebin          — sort particles into the padded tile layout (+ overflow)
+  * extract_windows— grid -> per-tile field windows (periodic, dense takes)
+  * fold_windows   — per-tile J windows -> grid (periodic overlap-add, rolls)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["TileSpec", "rebin", "extract_windows", "fold_windows"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class TileSpec:
+    """Static tile/window geometry for the binned hot path (3D).
+
+    ``w`` is the per-dim window width: every index an order-``order``
+    Esirkepov deposition (T = order+3 taps, start index floor(x)-s_lo) or
+    shape-``order`` gather can touch for any particle that was inside the
+    tile at the last rebin and has drifted at most ``margin`` cells since.
+    Window start (grid units) for tile t is ``t*tile - off``.
+    """
+
+    tile: Tuple[int, int, int]
+    tiles_per_dim: Tuple[int, int, int]
+    p_max: int
+    order: int
+    margin: int
+    interval: int
+    w: int
+    off: int
+
+    @property
+    def n_tiles(self) -> int:
+        return int(np.prod(self.tiles_per_dim))
+
+    @property
+    def capacity(self) -> int:
+        return self.n_tiles * self.p_max
+
+    @classmethod
+    def create(
+        cls,
+        n_cell: Tuple[int, ...],
+        order: int,
+        n_particles: int,
+        tile: Tuple[int, int, int] = (8, 8, 8),
+        margin: int = 1,
+        interval: int = 1,
+        headroom: float = 2.0,
+        p_max: int | None = None,
+    ) -> "TileSpec":
+        if len(n_cell) != 3:
+            raise NotImplementedError("tiled layout is 3D-only for now")
+        tiles_per_dim = []
+        for n, t in zip(n_cell, tile):
+            if n % t:
+                raise ValueError(f"n_cell {n} not divisible by tile {t}")
+            tiles_per_dim.append(n // t)
+        n_tiles = int(np.prod(tiles_per_dim))
+        if p_max is None:
+            mean = max(1, n_particles // n_tiles)
+            p_max = _round_up(int(math.ceil(mean * headroom)), 256)
+        taps = order + 3
+        s_lo = (order + 1) // 2 + 1  # window reaches floor(x) - s_lo + 1
+        # lo side: start index >= t*tile - margin - s_lo
+        # hi side: last tap  <= t*tile + tile-1 + margin - s_lo + taps - 1
+        off = margin + s_lo
+        w_min = tile[0] + taps + 2 * margin + 1
+        w = _round_up(w_min, 8)
+        return cls(
+            tile=tuple(tile),
+            tiles_per_dim=tuple(tiles_per_dim),
+            p_max=int(p_max),
+            order=order,
+            margin=margin,
+            interval=interval,
+            w=w,
+            off=off,
+        )
+
+
+def tile_ids(positions, geom, spec: TileSpec):
+    """Linear tile id per particle from (already wrapped) positions."""
+    ids = 0
+    for d in range(3):
+        gd = (positions[d] - geom.prob_lo[d]) * (1.0 / geom.dx[d])
+        idx = jnp.clip(
+            jnp.floor(gd).astype(jnp.int32) // spec.tile[d],
+            0,
+            spec.tiles_per_dim[d] - 1,
+        )
+        ids = ids * spec.tiles_per_dim[d] + idx
+    return ids
+
+
+def rebin(sp, geom, spec: TileSpec):
+    """Sort a species into the padded (n_tiles, p_max) tile layout.
+
+    Positions are wrapped into the periodic domain first (between rebins the
+    step function deliberately leaves positions unwrapped so window-relative
+    coordinates stay continuous across the boundary).  Dead slots get
+    weight 0, zero momentum, and the center position of their tile.
+
+    Returns (new ParticleState with capacity n_tiles*p_max, overflow count):
+    ``overflow`` counts alive particles that did not fit in their tile's
+    p_max slots — the caller must treat overflow > 0 as a hard error.
+    """
+    cap_in = sp.capacity
+    n_tiles, p_max = spec.n_tiles, spec.p_max
+    pos = list(sp.positions(3))
+    for d in range(3):
+        lo, hi = geom.prob_lo[d], geom.prob_hi[d]
+        pos[d] = lo + jnp.mod(pos[d] - lo, hi - lo)
+    tid = jnp.where(sp.alive, tile_ids(pos, geom, spec), n_tiles)
+
+    payload = jnp.stack(
+        [
+            pos[0], pos[1], pos[2],
+            sp.ux, sp.uy, sp.uz, sp.w,
+            sp.alive.astype(sp.w.dtype),
+        ]
+        + [sp.extra[k] for k in sorted(sp.extra)],
+        axis=0,
+    )
+    key_sorted, order = jax.lax.sort(
+        [tid.astype(jnp.int32), jnp.arange(cap_in, dtype=jnp.int32)],
+        num_keys=1,
+    )
+    # slot (t, s) takes sorted particle offsets[t] + s when s < count[t]
+    offsets = jnp.searchsorted(key_sorted, jnp.arange(n_tiles, dtype=jnp.int32))
+    counts = (
+        jnp.searchsorted(
+            key_sorted, jnp.arange(1, n_tiles + 1, dtype=jnp.int32)
+        )
+        - offsets
+    )
+    overflow = jnp.sum(jnp.maximum(counts - p_max, 0))
+
+    slot_s = jnp.tile(jnp.arange(p_max, dtype=jnp.int32), n_tiles)
+    slot_t = jnp.repeat(
+        jnp.arange(n_tiles, dtype=jnp.int32), p_max, total_repeat_length=n_tiles * p_max
+    )
+    src = jnp.clip(offsets[slot_t] + slot_s, 0, cap_in - 1)
+    valid = slot_s < counts[slot_t]
+    gathered = payload[:, order[src]]  # (n_attr, n_tiles*p_max)
+
+    # dead-slot fills: tile center position, zero momentum/weight
+    centers = []
+    for d in range(3):
+        td = slot_t
+        if d == 0:
+            idx_d = td // (spec.tiles_per_dim[1] * spec.tiles_per_dim[2])
+        elif d == 1:
+            idx_d = (td // spec.tiles_per_dim[2]) % spec.tiles_per_dim[1]
+        else:
+            idx_d = td % spec.tiles_per_dim[2]
+        centers.append(
+            geom.prob_lo[d]
+            + (idx_d.astype(sp.w.dtype) + 0.5) * (spec.tile[d] * geom.dx[d])
+        )
+
+    def sel(row, fill):
+        return jnp.where(valid, gathered[row], fill)
+
+    new = sp.replace(
+        x=sel(0, centers[0]),
+        y=sel(1, centers[1]),
+        z=sel(2, centers[2]),
+        ux=sel(3, 0.0),
+        uy=sel(4, 0.0),
+        uz=sel(5, 0.0),
+        w=sel(6, 0.0),
+        alive=jnp.where(valid, gathered[7] > 0.5, False),
+        extra={
+            k: sel(8 + i, 0.0) for i, k in enumerate(sorted(sp.extra))
+        },
+    )
+    return new, overflow
+
+
+def extract_windows(grid: jnp.ndarray, spec: TileSpec) -> jnp.ndarray:
+    """Per-tile periodic windows: (n_tiles, W*W, W) with layout ((y,z), x).
+
+    windows[t, b*W+c, a] = grid[(t_x*tx - off + a) % nx,
+                                (t_y*ty - off + b) % ny,
+                                (t_z*tz - off + c) % nz]
+    — the dense analog of FillBoundary guard cells feeding the tile-local
+    gather; the x window axis is last so the kernel's first MXU contraction
+    (over x) reads it as the natural (M=W*W, K=W) operand.
+    """
+    w, off = spec.w, spec.off
+    out = grid
+    for d in range(3):
+        n = grid.shape[d]
+        nt = spec.tiles_per_dim[d]
+        idx = (
+            (jnp.arange(nt, dtype=jnp.int32)[:, None] * spec.tile[d] - off)
+            + jnp.arange(w, dtype=jnp.int32)[None, :]
+        ) % n
+        out = jnp.take(out, idx.reshape(-1), axis=2 * d)
+        out = out.reshape(out.shape[:2 * d] + (nt, w) + out.shape[2 * d + 1:])
+    # out: (ntx, Wx, nty, Wy, ntz, Wz) -> (ntx, nty, ntz, Wy, Wz, Wx)
+    out = out.transpose(0, 2, 4, 3, 5, 1)
+    return out.reshape(spec.n_tiles, w * w, w)
+
+
+def fold_windows(
+    windows: jnp.ndarray, spec: TileSpec, n_cell, axes=(0, 1, 2)
+) -> jnp.ndarray:
+    """Overlap-add per-tile windows back onto the periodic grid.
+
+    The additive counterpart of extract_windows (the analog of SumBoundary
+    guard-cell accumulation after deposition, WarpXComm.cpp:1074 SyncCurrent):
+    grid[(t*tile - off + a) % n] += windows[t, a].  ``axes`` names the spatial
+    axis of each of the three window dims (the deposition kernel emits each J
+    component with a different axis order).
+    """
+    w, off = spec.w, spec.off
+    ntx, nty, ntz = spec.tiles_per_dim
+    arr = windows.reshape(ntx, nty, ntz, w, w, w)
+    if axes != (0, 1, 2):
+        inv = [0, 0, 0]
+        for pos_, ax in enumerate(axes):
+            inv[ax] = 3 + pos_
+        arr = arr.transpose(0, 1, 2, *inv)
+    # fold the trailing window axis into its tile axis, innermost dim first:
+    # (nt0,nt1,nt2,w,w,w) -> (nt0,nt1,n2,w,w) -> (nt0,n1,n2,w) -> (n0,n1,n2)
+    for d in (2, 1, 0):
+        arr = _fold_axis_pair(arr, d, spec.tile[d], off, n_cell[d])
+    return arr
+
+
+def _fold_axis_pair(arr, tile_axis, tile, off, n):
+    """Fold the last axis (window, width W) into ``tile_axis`` (n_tiles_d).
+
+    out[.., g, ..] = sum_{t,a: (t*tile - off + a) % n == g} arr[.., t, .., a]
+    Returns array with the last axis removed and tile_axis expanded to n.
+    """
+    w = arr.shape[-1]
+    nt = arr.shape[tile_axis]
+    # accumulate into (..., nt, ..., tile) then merge tile into tile_axis
+    out = None
+    for col in range(tile):
+        # window offsets a with (a - off) % tile == col
+        terms = None
+        a0 = (col + off) % tile
+        for a in range(a0, w, tile):
+            tsh = (a - off) // tile  # target tile shift
+            piece = jax.lax.index_in_dim(arr, a, axis=arr.ndim - 1, keepdims=False)
+            piece = jnp.roll(piece, tsh, axis=tile_axis)
+            terms = piece if terms is None else terms + piece
+        terms = jnp.expand_dims(terms, axis=tile_axis + 1)
+        out = terms if out is None else jnp.concatenate([out, terms], axis=tile_axis + 1)
+    # (..., nt, tile, ...) -> merge
+    shape = list(out.shape)
+    shape[tile_axis : tile_axis + 2] = [nt * tile]
+    return out.reshape(shape)
