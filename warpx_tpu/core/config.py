@@ -263,6 +263,16 @@ class SimConfig:
     psatd_j_in_time: str = "constant"
     # Galilean frame velocity [m/s] (reference: psatd.v_galilean * c)
     psatd_v_galilean: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # implicit evolve schemes (reference: algo.evolve_scheme,
+    # Source/FieldSolver/ImplicitSolvers/): explicit | theta_implicit_em |
+    # semi_implicit_em, with the Picard nonlinear solver
+    evolve_scheme: str = "explicit"
+    implicit_theta: float = 0.5
+    implicit_nonlinear: str = "picard"  # picard | newton
+    picard_max_iterations: int = 100
+    picard_rtol: float = 1.0e-6
+    picard_atol: float = 0.0
+    implicit_max_particle_iterations: int = 1
     # --- TPU tile-binned hot path (ops/tiling.py + ops/pallas_pic.py) ---
     # "auto" enables the fused Pallas gather+push+deposit kernel on TPU for
     # supported configurations (3D periodic explicit EM, Esirkepov);

@@ -221,8 +221,17 @@ def _gate_unimplemented(deck: Deck) -> None:
     scheme = (
         deck.get_string("algo.evolve_scheme", "explicit") or "explicit"
     ).lower()
-    if scheme != "explicit":
+    if scheme not in ("explicit", "theta_implicit_em", "semi_implicit_em"):
         raise NotImplementedError(f"algo.evolve_scheme = {scheme}")
+    if scheme != "explicit":
+        nl = (
+            deck.get_string("implicit_evolve.nonlinear_solver", "picard")
+            or "picard"
+        ).strip('"').lower()
+        if nl != "picard":
+            raise NotImplementedError(
+                f"implicit nonlinear solver {nl} (Picard only for now)"
+            )
     if deck.get_int("amr.max_level", 0) > 0:
         raise NotImplementedError("mesh refinement (amr.max_level > 0)")
     if (deck.get_string("warpx.eb_implicit_function", "")
@@ -541,7 +550,39 @@ def config_from_deck(deck: Deck) -> SimConfig:
         b_ext_grid=ext_grid("B"),
         user_constants=tuple(sorted(deck.my_constants.items())),
         **_tiling_from_deck(deck, ndim),
+        **_implicit_from_deck(deck),
     )
+
+
+def _implicit_from_deck(deck: Deck) -> dict:
+    """algo.evolve_scheme + implicit_evolve.* + picard.* keys
+    (reference: ImplicitSolver.H:116-136, PicardSolver.H:118-127)."""
+    scheme = (
+        deck.get_string("algo.evolve_scheme", "explicit") or "explicit"
+    ).lower()
+    if scheme == "explicit":
+        return {}
+    nl = (
+        deck.get_string("implicit_evolve.nonlinear_solver", "picard")
+        or "picard"
+    ).strip('"').lower()
+    out = {
+        "evolve_scheme": scheme,
+        "implicit_theta": deck.get_real("implicit_evolve.theta", 0.5),
+        "implicit_nonlinear": nl,
+        "picard_max_iterations": deck.get_int("picard.max_iterations", 100),
+        "picard_rtol": deck.get_real("picard.relative_tolerance", 1.0e-6),
+        "picard_atol": deck.get_real("picard.absolute_tolerance", 0.0),
+    }
+    if nl == "picard":
+        # the reference hard-codes 1 particle iteration with Picard
+        # (ImplicitSolver.H:127)
+        out["implicit_max_particle_iterations"] = 1
+    else:
+        out["implicit_max_particle_iterations"] = deck.get_int(
+            "implicit_evolve.max_particle_iterations", 21
+        )
+    return out
 
 
 def _tiling_from_deck(deck: Deck, ndim: int) -> dict:

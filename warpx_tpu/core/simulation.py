@@ -44,6 +44,10 @@ class Simulation:
         self.psatd = None
         self.tile_spec = None
         self._want_binned = False
+        if self.is_bounded and cfg.evolve_scheme != "explicit":
+            raise NotImplementedError(
+                "implicit schemes support periodic EM domains only"
+            )
         if self.is_bounded:
             from .bounded_step import make_bounded_kernels
 
@@ -51,6 +55,22 @@ class Simulation:
                 make_bounded_kernels(cfg, self.staggering, self.dtype)
             )
             self._step = None
+        elif cfg.evolve_scheme != "explicit":
+            # theta/semi-implicit EM (Source/FieldSolver/ImplicitSolvers/);
+            # particles stay synchronized at integer times: no leapfrog
+            # half-pushes around the step loop
+            from ..solvers.implicit import make_implicit_step
+
+            if not cfg.geometry.all_periodic:
+                raise NotImplementedError(
+                    "implicit schemes support periodic domains only"
+                )
+            self._solve_es = None
+            self._step = make_implicit_step(cfg, self.staggering, self.dtype)
+            self._step_main = self._step
+            self._step_window = None
+            self._half_push = None
+            self._no_leapfrog = True
         else:
             self._solve_es = None
             psatd = None
@@ -592,15 +612,16 @@ class Simulation:
         cfg = self.cfg
         start = int(self.state.step)
         stop = cfg.max_step if numsteps < 0 else min(start + numsteps, cfg.max_step)
+        no_leap = getattr(self, "_no_leapfrog", False)
         for step in range(start, stop):
-            if self.is_synchronized:
+            if self.is_synchronized and not no_leap:
                 # push velocity backward half step (WarpXEvolve.cpp:493-505)
                 self.state = self._half_push(self.state, dt_half=-0.5 * cfg.dt)
                 self.is_synchronized = False
             self.state = self._step_main(self.state)
             self._do_flux_injection()
             self._do_resampling(step + 1)
-            if step == cfg.max_step - 1:
+            if step == cfg.max_step - 1 and not no_leap:
                 # synchronize: forward half push with the new fields
                 # (WarpXEvolve.cpp:222-229 -> Synchronize :65)
                 self.state = self._half_push(self.state, dt_half=0.5 * cfg.dt)

@@ -87,7 +87,9 @@ def particle_energy(state: SimState, cfg: SimConfig, staggering) -> Dict[str, fl
     for sp_cfg, sp in _species_iter(state, cfg):
         u2 = sp.ux**2 + sp.uy**2 + sp.uz**2
         gamma = jnp.sqrt(1.0 + u2 / c2)
-        e = jnp.where(sp.alive, sp.w * sp_cfg.mass * c2 * (gamma - 1.0), 0.0)
+        # stable (gamma-1)*(gamma+1)/(gamma+1) form, exact for cold
+        # particles (Particles/Algorithms/KineticEnergy.H:44-47)
+        e = jnp.where(sp.alive, sp.w * sp_cfg.mass * u2 / (1.0 + gamma), 0.0)
         val = float(jnp.sum(e))
         out[f"{sp_cfg.name}(J)"] = val
         total += val

@@ -144,6 +144,8 @@ def deposit_current_esirkepov(
     offset: int = 0,
     out_shape=None,
     chunk_size: int | None = None,
+    positions_old=None,
+    gaminv_override=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Charge-conserving current deposition (chunked driver).
 
@@ -157,6 +159,11 @@ def deposit_current_esirkepov(
         return _esirkepov_body(
             positions, ux, uy, uz, w, q, geom, dt, order,
             relative_time, origin, wrap, offset, out_shape,
+            positions_old, gaminv_override,
+        )
+    if positions_old is not None or gaminv_override is not None:
+        raise NotImplementedError(
+            "chunked implicit deposition not needed yet"
         )
     import jax
     from jax import lax
@@ -196,6 +203,8 @@ def _esirkepov_body(
     wrap: bool = True,
     offset: int = 0,
     out_shape=None,
+    positions_old=None,
+    gaminv_override=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Charge-conserving current deposition.
 
@@ -203,6 +212,10 @@ def _esirkepov_body(
     relative_time = -dt/2 the old position x^n is reconstructed as
     x^{n+1} - dt*v (CurrentDeposition.H:725-738), and the deposited J is the
     Yee-staggered J^{n+1/2}.
+
+    The implicit scheme passes ``positions_old`` (x^n) explicitly plus
+    ``gaminv_override`` = 2/(gamma^n + gamma^{n+1}) with (ux..) = u^{n+1/2}
+    (doChargeConservingDepositionShapeNImplicit, CurrentDeposition.H:934).
     """
     if relative_time is None:
         relative_time = -0.5 * dt
@@ -210,7 +223,10 @@ def _esirkepov_body(
     n_cell = geom.n_cell
     shape = out_shape or n_cell
     lo_corner = origin if origin is not None else geom.prob_lo
-    gaminv = _gaminv(ux, uy, uz)
+    gaminv = (
+        gaminv_override if gaminv_override is not None
+        else _gaminv(ux, uy, uz)
+    )
     wq = q * w
     dtype = w.dtype
     T = order + 3
@@ -228,7 +244,10 @@ def _esirkepov_body(
             xn = (
                 positions[d] - lo_corner[d] + (relative_time + 0.5 * dt) * vel[d]
             ) / dxs[d]
-            xo = xn - dt / dxs[d] * vel[d]
+            if positions_old is not None:
+                xo = (positions_old[d] - lo_corner[d]) / dxs[d]
+            else:
+                xo = xn - dt / dxs[d] * vel[d]
             new_g.append(xn)
             old_g.append(xo)
         i0x, SNx, SOx = _tap_arrays(new_g[0], old_g[0], order)
@@ -277,9 +296,13 @@ def _esirkepov_body(
         vy = uy * gaminv
         vz = uz * gaminv
         xn = (positions[0] - lo_corner[0] + (relative_time + 0.5 * dt) * vx) / dxs[0]
-        xo = xn - dt / dxs[0] * vx
         zn = (positions[1] - lo_corner[1] + (relative_time + 0.5 * dt) * vz) / dxs[1]
-        zo = zn - dt / dxs[1] * vz
+        if positions_old is not None:
+            xo = (positions_old[0] - lo_corner[0]) / dxs[0]
+            zo = (positions_old[1] - lo_corner[1]) / dxs[1]
+        else:
+            xo = xn - dt / dxs[0] * vx
+            zo = zn - dt / dxs[1] * vz
         i0x, SNx, SOx = _tap_arrays(xn, xo, order)
         i0z, SNz, SOz = _tap_arrays(zn, zo, order)
         CUMx = jnp.cumsum(SOx - SNx, axis=0)
@@ -309,7 +332,10 @@ def _esirkepov_body(
     vy = uy * gaminv
     vz = uz * gaminv
     zn = (positions[0] - lo_corner[0] + (relative_time + 0.5 * dt) * vz) / dz
-    zo = zn - dt / dz * vz
+    if positions_old is not None:
+        zo = (positions_old[0] - lo_corner[0]) / dz
+    else:
+        zo = zn - dt / dz * vz
     i0z, SNz, SOz = _tap_arrays(zn, zo, order)
     CUMz = jnp.cumsum(SOz - SNz, axis=0)
     valx = (wq * vx * invvol) * 0.5 * (SOz + SNz)
