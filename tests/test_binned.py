@@ -97,8 +97,14 @@ def _species(ppc=2, uth=0.1):
     )
 
 
-@pytest.mark.parametrize("order,solver", [(1, "yee"), (2, "ckc"),
-                                          (3, "psatd")])
+@pytest.mark.parametrize(
+    "order,solver",
+    [
+        (1, "yee"),
+        pytest.param(2, "ckc", marks=pytest.mark.slow),
+        pytest.param(3, "psatd", marks=pytest.mark.slow),
+    ],
+)
 def test_binned_step_matches_reference(order, solver):
     """8 steps of the fused binned path == reference path to 1e-9 on every
     checksum quantity (divB/divE excluded: they are machine-roundoff noise

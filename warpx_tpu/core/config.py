@@ -266,6 +266,8 @@ class SimConfig:
     # implicit evolve schemes (reference: algo.evolve_scheme,
     # Source/FieldSolver/ImplicitSolvers/): explicit | theta_implicit_em |
     # semi_implicit_em, with the Picard nonlinear solver
+    # RZ: number of azimuthal modes (reference: warpx.n_rz_azimuthal_modes)
+    n_rz_modes: int = 1
     evolve_scheme: str = "explicit"
     implicit_theta: float = 0.5
     implicit_nonlinear: str = "picard"  # picard | newton

@@ -275,7 +275,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
     dims_tok = deck.get_string("geometry.dims", "3").lower()
     ndim = _DIM_MAP.get(dims_tok)
     if ndim == "rz":
-        raise NotImplementedError("RZ geometry lands with the RZ solver milestone")
+        return _rz_config_from_deck(deck)
 
     n_cell = tuple(deck.get_ints("amr.n_cell"))
     prob_lo = list(deck.get_reals("geometry.prob_lo"))
@@ -551,6 +551,71 @@ def config_from_deck(deck: Deck) -> SimConfig:
         user_constants=tuple(sorted(deck.my_constants.items())),
         **_tiling_from_deck(deck, ndim),
         **_implicit_from_deck(deck),
+    )
+
+
+def _rz_config_from_deck(deck: Deck) -> SimConfig:
+    """RZ geometry decks (geometry.dims = RZ): 2D (r, z) grid with
+    n_rz_azimuthal_modes field components; particles in 3D Cartesian.
+    Explicit FDTD path only for now (no RZ PSATD/moving window)."""
+    import dataclasses
+
+    n_cell = tuple(deck.get_ints("amr.n_cell"))
+    prob_lo = tuple(deck.get_reals("geometry.prob_lo"))
+    prob_hi = tuple(deck.get_reals("geometry.prob_hi"))
+    assert len(n_cell) == 2, "RZ expects amr.n_cell = nr nz"
+    field_lo = [b.lower() for b in deck.get_strings(
+        "boundary.field_lo", ["none", "periodic"])]
+    field_hi = [b.lower() for b in deck.get_strings(
+        "boundary.field_hi", ["none", "periodic"])]
+    periodic = (False, field_lo[1] == "periodic" and field_hi[1] == "periodic")
+    if not periodic[1]:
+        raise NotImplementedError("RZ supports periodic z only for now")
+    solver = (deck.get_string("algo.maxwell_solver", "yee") or "yee").lower()
+    if solver not in ("yee",):
+        raise NotImplementedError(f"RZ maxwell solver {solver}")
+    geom = Geometry(
+        ndim=2, n_cell=n_cell, prob_lo=prob_lo, prob_hi=prob_hi,
+        periodic=periodic, rz=True,
+    )
+    n_modes = deck.get_int("warpx.n_rz_azimuthal_modes", 1)
+    cfl = deck.get_real("warpx.cfl", 0.999)
+    const_dt = deck.get_real("warpx.const_dt", None)
+    if const_dt is not None:
+        dt = const_dt
+    else:
+        from ..rz.core import compute_dt_rz
+
+        dt = compute_dt_rz(geom.dx[0], geom.dx[1], n_modes, cfl)
+    pusher = (deck.get_string("algo.particle_pusher", "boris")
+              or "boris").lower()
+    species = tuple(
+        dataclasses.replace(_species_from_deck(deck, nm, 2), pusher=pusher)
+        for nm in deck.get_strings("particles.species_names", [])
+    )
+    return SimConfig(
+        geometry=geom,
+        max_step=deck.get_int("max_step", deck.get_int("warpx.max_step", 0)),
+        dt=dt,
+        particle_shape=deck.get_int("algo.particle_shape", 1),
+        em_solver="yee",
+        current_deposition=(
+            deck.get_string("algo.current_deposition", "esirkepov")
+            or "esirkepov"
+        ).lower(),
+        field_gathering=(
+            deck.get_string("algo.field_gathering", "energy-conserving")
+            or "energy-conserving"
+        ).lower(),
+        use_filter=deck.get_bool("warpx.use_filter", False),
+        species=species,
+        cfl=cfl,
+        n_rz_modes=n_modes,
+        do_dive_cleaning=deck.get_bool("warpx.do_dive_cleaning", False),
+        field_bc_lo=tuple(field_lo),
+        field_bc_hi=tuple(field_hi),
+        user_constants=tuple(sorted(deck.my_constants.items())),
+        tiled_particles="off",
     )
 
 

@@ -32,6 +32,9 @@ class Geometry:
     prob_lo: Tuple[float, ...]
     prob_hi: Tuple[float, ...]
     periodic: Tuple[bool, ...]
+    # RZ quasi-cylindrical geometry: 2D (r, z) grid, 3D Cartesian particles
+    # (reference: WARPX_DIM_RZ compile-time dimension)
+    rz: bool = False
 
     @property
     def dx(self) -> Tuple[float, ...]:
@@ -41,6 +44,8 @@ class Geometry:
 
     @property
     def axis_names(self) -> Tuple[str, ...]:
+        if self.rz:
+            return ("r", "z")
         return AXIS_NAMES[self.ndim]
 
     @property

@@ -44,6 +44,19 @@ class Simulation:
         self.psatd = None
         self.tile_spec = None
         self._want_binned = False
+        if cfg.geometry.rz:
+            from ..rz.core import make_rz_step_fns
+
+            self.is_bounded = False
+            step, half = make_rz_step_fns(cfg, self.dtype)
+            self._step = step
+            self._step_main = step
+            self._step_window = None
+            self._solve_es = None
+            self._half_push = lambda state, dt_half: half(
+                state, dt_half=dt_half
+            )
+            return
         if self.is_bounded and cfg.evolve_scheme != "explicit":
             raise NotImplementedError(
                 "implicit schemes support periodic EM domains only"
@@ -284,9 +297,15 @@ class Simulation:
                 )
                 from ..io.openpmd import write_openpmd_iteration
 
-                fields = cell_centered_output(
-                    self.state, self.cfg, self.staggering, psatd=self.psatd
-                )
+                if self.cfg.geometry.rz:
+                    from ..rz.core import rz_cell_centered_output
+
+                    fields = rz_cell_centered_output(self.state, self.cfg)
+                else:
+                    fields = cell_centered_output(
+                        self.state, self.cfg, self.staggering,
+                        psatd=self.psatd,
+                    )
                 wanted = dg["fields"]
                 if wanted != ["none"]:
                     fields = {
@@ -402,6 +421,27 @@ class Simulation:
         geom = cfg.geometry
         np_dtype = np.dtype(jnp.zeros((), self.dtype).dtype.name)
         rng = np.random.default_rng(seed if seed is not None else cfg.seed)
+
+        if geom.rz:
+            from ..rz.core import rz_inject_species, rz_zero_fields
+
+            species = {
+                sp_cfg.name: jax.tree_util.tree_map(
+                    jnp.asarray,
+                    rz_inject_species(sp_cfg, cfg, np_dtype, rng),
+                )
+                for sp_cfg in cfg.species
+            }
+            self.state = SimState(
+                fields=rz_zero_fields(cfg, self.dtype),
+                species=species,
+                step=jnp.zeros((), jnp.int32),
+                time=jnp.zeros((), self.dtype),
+                rng=jax.random.PRNGKey(cfg.seed),
+                aux={},
+            )
+            self.is_synchronized = True
+            return self.state
 
         if self.is_bounded:
             from .bounded_step import field_shapes
@@ -769,6 +809,10 @@ class Simulation:
     def checksums(self) -> Dict[str, Dict[str, float]]:
         from ..diagnostics.checksum import compute_checksums
 
+        if self.cfg.geometry.rz:
+            from ..rz.core import rz_checksums
+
+            return rz_checksums(self.state, self.cfg)
         self._normalize_binned()
         return compute_checksums(
             self.state, self.cfg, self.staggering, psatd=self.psatd

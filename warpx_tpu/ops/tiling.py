@@ -248,35 +248,26 @@ def fold_windows(
         for pos_, ax in enumerate(axes):
             inv[ax] = 3 + pos_
         arr = arr.transpose(0, 1, 2, *inv)
-    # fold the trailing window axis into its tile axis, innermost dim first:
-    # (nt0,nt1,nt2,w,w,w) -> (nt0,nt1,n2,w,w) -> (nt0,n1,n2,w) -> (n0,n1,n2)
-    for d in (2, 1, 0):
-        arr = _fold_axis_pair(arr, d, spec.tile[d], off, n_cell[d])
-    return arr
+    # fold each (tile axis, window axis) pair with a 0/1 placement matrix
+    # P[(t,a), g] = [(t*tile - off + a) mod n == g]: the overlap-add becomes
+    # three MXU contractions instead of lane-axis slice/roll loops
+    px, py, pz = (
+        jnp.asarray(
+            _placement(spec.tiles_per_dim[d], spec.tile[d], w, off,
+                       n_cell[d]),
+            arr.dtype,
+        )
+        for d in range(3)
+    )
+    out = jnp.einsum("abcxyv,cvn->abnxy", arr, pz)
+    out = jnp.einsum("abnxu,bum->amnx", out, py)
+    return jnp.einsum("amnx,axg->gmn", out, px)
 
 
-def _fold_axis_pair(arr, tile_axis, tile, off, n):
-    """Fold the last axis (window, width W) into ``tile_axis`` (n_tiles_d).
-
-    out[.., g, ..] = sum_{t,a: (t*tile - off + a) % n == g} arr[.., t, .., a]
-    Returns array with the last axis removed and tile_axis expanded to n.
-    """
-    w = arr.shape[-1]
-    nt = arr.shape[tile_axis]
-    # accumulate into (..., nt, ..., tile) then merge tile into tile_axis
-    out = None
-    for col in range(tile):
-        # window offsets a with (a - off) % tile == col
-        terms = None
-        a0 = (col + off) % tile
-        for a in range(a0, w, tile):
-            tsh = (a - off) // tile  # target tile shift
-            piece = jax.lax.index_in_dim(arr, a, axis=arr.ndim - 1, keepdims=False)
-            piece = jnp.roll(piece, tsh, axis=tile_axis)
-            terms = piece if terms is None else terms + piece
-        terms = jnp.expand_dims(terms, axis=tile_axis + 1)
-        out = terms if out is None else jnp.concatenate([out, terms], axis=tile_axis + 1)
-    # (..., nt, tile, ...) -> merge
-    shape = list(out.shape)
-    shape[tile_axis : tile_axis + 2] = [nt * tile]
-    return out.reshape(shape)
+def _placement(nt, tile, w, off, n):
+    p = np.zeros((nt, w, n), np.float64)
+    t = np.arange(nt)[:, None]
+    a = np.arange(w)[None, :]
+    g = (t * tile - off + a) % n
+    p[t, a, g] = 1.0
+    return p

@@ -63,27 +63,51 @@ class PoissonSolver:
     shape matches rho's (interior values solved; wall layers zero).
     """
 
-    def __init__(self, geom, periodic: Sequence[bool], beta2: Sequence[float] | None = None):
+    def __init__(self, geom, periodic: Sequence[bool],
+                 beta2: Sequence[float] | None = None,
+                 stencil: str = "fem"):
+        """stencil = 'fem' diagonalizes the reference MLMG's MLNodeLaplacian
+        operator (the Q1 finite-element nodal Laplacian: sum_d K_d prod M_d'
+        with 1D stiffness [-1,2,-1]/h^2 and mass [1/6,2/3,1/6] factors) —
+        this is what the golden checksums were generated with; 'cross' is
+        the plain 7-point second-difference operator.  In 1D both coincide.
+        """
         self.geom = geom
         self.periodic = tuple(periodic)
         ndim = geom.ndim
         scale = beta2 or (0.0,) * ndim
-        # eigenvalues of the 1D second-difference operator per dim
-        self._eigs = []
+        # per-dim 1D stiffness eigenvalues and mass factors on the shared
+        # Fourier (periodic) / sine (Dirichlet) eigenbasis
+        stiff, mass = [], []
         for d in range(ndim):
             n = geom.n_cell[d]
             dx = geom.dx[d]
             if self.periodic[d]:
-                k = np.arange(n)
-                lam = (2.0 - 2.0 * np.cos(2.0 * np.pi * k / n)) / (dx * dx)
+                theta = 2.0 * np.pi * np.arange(n) / n
             else:
                 # interior nodes 1..n-1 -> m = n-1 Dirichlet modes
-                k = np.arange(1, n)
-                lam = (2.0 - 2.0 * np.cos(np.pi * k / n)) / (dx * dx)
+                theta = np.pi * np.arange(1, n) / n
+            lam = (2.0 - 2.0 * np.cos(theta)) / (dx * dx)
             lam = lam * (1.0 - scale[d])
+            mu = (2.0 + np.cos(theta)) / 3.0
             shape = [1] * ndim
             shape[d] = lam.shape[0]
-            self._eigs.append(lam.reshape(shape))
+            stiff.append(lam.reshape(shape))
+            mass.append(mu.reshape(shape))
+        if stencil == "fem" and ndim > 1:
+            import functools as _ft
+            import operator as _op
+
+            self._eigs = [
+                _ft.reduce(
+                    _op.mul,
+                    [mass[d2] for d2 in range(ndim) if d2 != d],
+                    stiff[d],
+                )
+                for d in range(ndim)
+            ]
+        else:
+            self._eigs = stiff
 
     def solve(self, rho: jnp.ndarray) -> jnp.ndarray:
         """phi from nodal rho (shape: n per periodic dim, n+1 per bounded)."""

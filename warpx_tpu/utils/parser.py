@@ -110,12 +110,24 @@ class Deck:
         tokens = list(lex)
         if key == "FILE":
             # deck include (amrex ParmParse FILE directive), path relative to
-            # the including deck
+            # the including deck; join continuation/open-quote lines the same
+            # way from_string does (quoted values may span physical lines)
             inc = Path(tokens[0])
             if base_dir is not None and not inc.is_absolute():
                 inc = base_dir / inc
+            cont = ""
             for raw in inc.read_text().splitlines():
-                self._parse_line(raw, base_dir=inc.parent)
+                line2 = cont + raw
+                cont = ""
+                if line2.rstrip().endswith("\\"):
+                    cont = line2.rstrip()[:-1] + " "
+                    continue
+                if _has_open_quote(line2):
+                    cont = line2 + " "
+                    continue
+                self._parse_line(line2, base_dir=inc.parent)
+            if cont:
+                self._parse_line(cont, base_dir=inc.parent)
             return
         self.table[key] = tokens
 
