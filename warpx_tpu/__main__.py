@@ -65,8 +65,16 @@ def main(argv=None) -> int:
         print(json.dumps(sim.checksums(), indent=2, sort_keys=True))
     unused = sim.deck.unused_keys() if sim.deck is not None else []
     if unused:
-        print("warning: unused deck keys:", ", ".join(sorted(unused)),
-              file=sys.stderr)
+        from warpx_tpu.utils.observability import warn
+
+        warn("Inputs", "unused deck keys: " + ", ".join(sorted(unused)),
+             "low")
+    # end-of-run deduplicated warning summary (WarnManager.H:227 analog)
+    from warpx_tpu.utils.observability import WarnManager
+
+    mgr = WarnManager.instance()
+    if mgr._records:
+        mgr.print_summary(sys.stderr)
     return 0
 
 

@@ -524,7 +524,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                             pos, farr_pad, gather_stag, geom, order,
                             cfg.galerkin, origin=origin, wrap=False, offset=ng,
                         ),
-                        cfg,
+                        cfg, pos=pos, u3=(sp.ux, sp.uy, sp.uz),
                     )
                 if sp_cfg.do_not_push:
                     ux, uy, uz = sp.ux, sp.uy, sp.uz
@@ -1074,7 +1074,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                     pos, farr_pad, gather_stag, geom, order,
                     cfg.galerkin, origin=origin, wrap=False, offset=ng,
                 ),
-                cfg,
+                cfg, pos=pos, u3=(sp.ux, sp.uy, sp.uz),
             )
             pusher = PUSHERS[sp_cfg.pusher]
             ux, uy, uz = pusher(

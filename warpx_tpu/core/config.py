@@ -125,6 +125,9 @@ class SpeciesConfig:
     single_particle_pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     single_particle_u: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     single_particle_weight: float = 0.0
+    # MultipleParticles injection: per-particle (x, y, z, ux, uy, uz, w)
+    # columns (PhysicalParticleContainer.cpp multiple_particles_* keys)
+    multiple_particles: Tuple[Tuple[float, ...], ...] = ()
     # injection bounds (SI); +-inf when unbounded
     bounds_lo: Tuple[float, ...] = ()
     bounds_hi: Tuple[float, ...] = ()
@@ -268,6 +271,9 @@ class SimConfig:
     # semi_implicit_em, with the Picard nonlinear solver
     # RZ: number of azimuthal modes (reference: warpx.n_rz_azimuthal_modes)
     n_rz_modes: int = 1
+    # accelerator lattice: ("quad"|"plasmalens", zs, ze, dEdx, dBdx) tuples
+    # laid out sequentially from z=0 (reference: Source/AcceleratorLattice/)
+    lattice_elements: Tuple = ()
     evolve_scheme: str = "explicit"
     implicit_theta: float = 0.5
     implicit_nonlinear: str = "picard"  # picard | newton

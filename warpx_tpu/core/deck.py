@@ -126,6 +126,10 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
             deck.get_reals(f"{name}.single_particle_u", (0.0, 0.0, 0.0))
         ),
         single_particle_weight=g("single_particle_weight", 0.0),
+        multiple_particles=tuple(
+            tuple(deck.get_reals(f"{name}.multiple_particles_{c}", ()))
+            for c in ("pos_x", "pos_y", "pos_z", "ux", "uy", "uz", "weight")
+        ) if style == "multipleparticles" else (),
         do_field_ionization=bool(deck.get_int(f"{name}.do_field_ionization", 0)),
         physical_element=gs("physical_element", "") or "",
         ionization_initial_level=deck.get_int(f"{name}.ionization_initial_level", 0),
@@ -259,8 +263,10 @@ def _gate_unimplemented(deck: Deck) -> None:
             raise NotImplementedError(f"collision type {kind}")
     if deck.get_strings("fluids.species_names", []):
         raise NotImplementedError("cold relativistic fluid species")
-    if deck.get_strings("lattice.elements", []):
-        raise NotImplementedError("accelerator lattice")
+    if deck.get_strings("lattice.elements", []) and deck.get_real(
+        "warpx.gamma_boost", 1.0
+    ) > 1.0:
+        raise NotImplementedError("accelerator lattice in a boosted frame")
     medium = (
         deck.get_string("algo.em_solver_medium", "vacuum") or "vacuum"
     ).lower()
@@ -549,6 +555,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
         e_ext_grid=ext_grid("E"),
         b_ext_grid=ext_grid("B"),
         user_constants=tuple(sorted(deck.my_constants.items())),
+        lattice_elements=_lattice_from_deck(deck),
         **_tiling_from_deck(deck, ndim),
         **_implicit_from_deck(deck),
     )
@@ -617,6 +624,35 @@ def _rz_config_from_deck(deck: Deck) -> SimConfig:
         user_constants=tuple(sorted(deck.my_constants.items())),
         tiled_particles="off",
     )
+
+
+def _lattice_from_deck(deck: Deck):
+    """Accelerator lattice elements laid out from z = 0
+    (reference: AcceleratorLattice.cpp:26-34 ReadLattice — 'line' elements
+    recurse; drift advances z; quad/plasmalens span [z, z+ds))."""
+    out = []
+
+    def read(names, z):
+        for nm in names:
+            kind = (deck.get_string(f"{nm}.type", "") or "").lower()
+            if kind == "line":
+                z = read(deck.get_strings(f"{nm}.elements", []), z)
+            elif kind == "drift":
+                z += deck.get_real(f"{nm}.ds", 0.0)
+            elif kind in ("quad", "plasmalens"):
+                ds = deck.get_real(f"{nm}.ds", 0.0)
+                out.append((
+                    kind, z, z + ds,
+                    deck.get_real(f"{nm}.dEdx", 0.0),
+                    deck.get_real(f"{nm}.dBdx", 0.0),
+                ))
+                z += ds
+            else:
+                raise NotImplementedError(f"lattice element type {kind}")
+        return z
+
+    read(deck.get_strings("lattice.elements", []), 0.0)
+    return tuple(out)
 
 
 def _implicit_from_deck(deck: Deck) -> dict:

@@ -91,6 +91,32 @@ def inject_species(
         return ps.with_positions(
             ndim, [one(sp.single_particle_pos[a]) for a in axes]
         )
+    if sp.injection_style == "multipleparticles":
+        # reference: MultipleParticles injection — explicit per-particle
+        # position/momentum/weight lists (PhysicalParticleContainer.cpp
+        # AddNParticles path for multiple_particles_* keys)
+        axes = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[ndim]
+        px, py, pz, mux, muy, muz, mw = [
+            np.asarray(col, dtype=dtype) for col in sp.multiple_particles
+        ]
+        n = mw.shape[0]
+        cap = capacity or n
+
+        def fill(col):
+            out = np.zeros(cap, dtype=dtype)
+            out[:n] = col
+            return out
+
+        ps = ParticleState(
+            w=fill(mw),
+            ux=fill(mux * constants.c),
+            uy=fill(muy * constants.c),
+            uz=fill(muz * constants.c),
+            alive=np.arange(cap) < n,
+            extra={},
+        )
+        pos_cols = (px, py, pz)
+        return ps.with_positions(ndim, [fill(pos_cols[a]) for a in axes])
     if sp.injection_style not in ("nuniformpercell", "nrandompercell"):
         # empty container
         cap = capacity or 0

@@ -155,6 +155,12 @@ class Simulation:
         sim = cls(config_from_deck(deck), dtype=dtype)
         sim.deck = deck
         sim._setup_diagnostics(deck, output_dir)
+        bs = deck.get_strings("warpx.break_signals", [])
+        cs = deck.get_strings("warpx.checkpoint_signals", [])
+        if bs or cs:
+            from ..utils.observability import SignalFlags
+
+            sim.signals = SignalFlags(bs, cs)
         return sim
 
     def _setup_diagnostics(self, deck: Deck, output_dir: str):
@@ -653,7 +659,16 @@ class Simulation:
         start = int(self.state.step)
         stop = cfg.max_step if numsteps < 0 else min(start + numsteps, cfg.max_step)
         no_leap = getattr(self, "_no_leapfrog", False)
+        timer = None
+        if cfg.verbose:
+            from ..utils.observability import StepTimer
+
+            timer = StepTimer()
+        signals = getattr(self, "signals", None)
         for step in range(start, stop):
+            if signals is not None and signals.break_requested:
+                # graceful break on signal (WarpXEvolve.cpp:457-462)
+                break
             if self.is_synchronized and not no_leap:
                 # push velocity backward half step (WarpXEvolve.cpp:493-505)
                 self.state = self._half_push(self.state, dt_half=-0.5 * cfg.dt)
@@ -681,6 +696,17 @@ class Simulation:
                 # (WarpXEvolve.cpp:269-283)
                 self.state = self._solve_es(self.state)
             self.flush_diagnostics(step + 1)
+            if timer is not None:
+                timer.step_done(step + 1, float(self.state.time), cfg.dt)
+            if signals is not None and signals.pop_checkpoint():
+                # checkpoint-on-signal (WarpXEvolve.cpp:1248-1259)
+                from ..io.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    f"{getattr(self, 'output_dir', 'diags')}/"
+                    f"chk_signal{step + 1:06d}",
+                    self.state, self.is_synchronized,
+                )
         return self.state
 
     def _do_flux_injection(self):

@@ -26,15 +26,47 @@ from .state import FieldState, ParticleState, SimState
 __all__ = ["pic_step", "push_momenta_half", "wrap_positions"]
 
 
-def _add_ext(e6, cfg):
-    """Add constant external particle fields (GetExternalEBField)."""
+def _add_ext(e6, cfg, pos=None, u3=None):
+    """Add external particle fields: constants (GetExternalEBField) and
+    accelerator-lattice elements (Source/AcceleratorLattice/LatticeElements:
+    hard-edged quad/plasma lens with the residence-fraction correction,
+    HardEdged_K.H:25-46).  ``pos``/``u3`` enable the lattice terms (3D)."""
     ex, ey, ez, bx, by, bz = e6
     Ee = cfg.e_ext_particle
     Be = cfg.b_ext_particle
     if any(Ee) or any(Be):
-        return (ex + Ee[0], ey + Ee[1], ez + Ee[2],
-                bx + Be[0], by + Be[1], bz + Be[2])
-    return e6
+        ex, ey, ez = ex + Ee[0], ey + Ee[1], ez + Ee[2]
+        bx, by, bz = bx + Be[0], by + Be[1], bz + Be[2]
+    if cfg.lattice_elements and pos is not None and len(pos) == 3:
+        from ..ops.push import inv_gamma
+
+        x, y, z = pos
+        uxp, uyp, uzp = u3
+        zpvdt = z + uzp * inv_gamma(uxp, uyp, uzp) * cfg.dt
+        zl = jnp.minimum(z, zpvdt)
+        zr = jnp.maximum(z, zpvdt)
+        for kind, zs, ze, dEdx, dBdx in cfg.lattice_elements:
+            zlb = jnp.clip(zl, zs, ze)
+            zrb = jnp.clip(zr, zs, ze)
+            denom = jnp.where(zr == zl, 1.0, zr - zl)
+            frac = jnp.where(
+                zr == zl,
+                ((z >= zs) & (z < ze)).astype(z.dtype),
+                (zrb - zlb) / denom,
+            )
+            fe = frac * dEdx
+            fb = frac * dBdx
+            if kind == "quad":
+                ex = ex + x * fe
+                ey = ey - y * fe
+                bx = bx + y * fb
+                by = by + x * fb
+            else:  # plasmalens
+                ex = ex + x * fe
+                ey = ey + y * fe
+                bx = bx + y * fb
+                by = by - x * fb
+    return (ex, ey, ez, bx, by, bz)
 
 
 def _field_dict(fields: FieldState):
@@ -274,7 +306,7 @@ def pic_step(
                     pos, farr, gather_stag, geom, cfg.particle_shape,
                     cfg.galerkin, origin=gal_origin,
                 ),
-                cfg,
+                cfg, pos=pos, u3=(sp.ux, sp.uy, sp.uz),
             )
         if sp_cfg.do_not_push:
             ux, uy, uz = sp.ux, sp.uy, sp.uz

@@ -221,10 +221,43 @@ def cell_centered_output(
         if cfg.current_deposition == "vay"
         else staggering
     )
-    for name in ("jx", "jy", "jz"):
-        out[name] = np.asarray(
-            cell_center(comp(name), j_flags[name], geom.n_cell)
+    if cfg.electrostatic != "none":
+        # electrostatic runs never deposit J in the PIC loop; the full
+        # diagnostic deposits it fresh at output time with relative_time 0
+        # (JFunctor.cpp:41-49 deposit_current=true)
+        from ..ops.deposit import (
+            deposit_current_direct, deposit_current_esirkepov,
         )
+
+        dtype = f.Ex.dtype
+        j3 = tuple(jnp.zeros(geom.n_cell, dtype) for _ in range(3))
+        for sp_cfg in cfg.species:
+            sp = state.species[sp_cfg.name]
+            if sp_cfg.do_not_deposit or sp.capacity == 0:
+                continue
+            w_eff = jnp.where(sp.alive, sp.w, 0.0)
+            pos = sp.positions(geom.ndim)
+            if cfg.current_deposition == "esirkepov":
+                jj = deposit_current_esirkepov(
+                    pos, sp.ux, sp.uy, sp.uz, w_eff, sp_cfg.charge, geom,
+                    cfg.dt, cfg.particle_shape, relative_time=0.0,
+                )
+            else:
+                jj = deposit_current_direct(
+                    pos, sp.ux, sp.uy, sp.uz, w_eff, sp_cfg.charge, geom,
+                    staggering, cfg.dt, cfg.particle_shape,
+                    relative_time=0.0,
+                )
+            j3 = tuple(a + b for a, b in zip(j3, jj))
+        for name, arr in zip(("jx", "jy", "jz"), j3):
+            out[name] = np.asarray(
+                cell_center(arr, j_flags[name], geom.n_cell)
+            )
+    else:
+        for name in ("jx", "jy", "jz"):
+            out[name] = np.asarray(
+                cell_center(comp(name), j_flags[name], geom.n_cell)
+            )
 
     rho = deposit_total_rho(state, cfg)
     out["rho"] = np.asarray(cell_center(rho, staggering["rho"], geom.n_cell))
