@@ -468,6 +468,13 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             farr_pad = mc_aux_pads(farr_pad)
             gather_stag = nodal_stag
 
+        # collisions before ionization (WarpXEvolve.cpp doCollisions /
+        # doFieldIonization ordering, as in the periodic path)
+        if any(c.kind == "background_mcc" for c in cfg.collisions):
+            from ..ops.mcc import mcc_collision_update
+
+            state = mcc_collision_update(state, cfg, cfg.dt)
+
         ionizable = [sp for sp in cfg.species if sp.do_field_ionization]
         if ionizable:
             from ..ops.ionization import (
@@ -1146,6 +1153,20 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                     ([s.name for s in grp], beta3, beta_active, solver)
                 )
 
+    # Dirichlet boundary potentials f(t) (PoissonBoundaryHandler analog)
+    bpot_fns = None
+    if is_es and cfg.boundary_potentials:
+        from ..utils.expression import compile_expression as _ce
+
+        _uc = dict(cfg.user_constants or ())
+        bpot_fns = []
+        for d in range(ndim):
+            lo_e, hi_e = cfg.boundary_potentials[d]
+            bpot_fns.append((
+                _ce(lo_e, ("t",), _uc) if lo_e else None,
+                _ce(hi_e, ("t",), _uc) if hi_e else None,
+            ))
+
     def solve_es(state: SimState) -> SimState:
         """ComputeSpaceChargeField (WarpXSolveFieldsES.cpp:16): deposit rho,
         Poisson solve per group, E = -(1-bb^T)grad(phi), B = -(b x grad)/c."""
@@ -1163,12 +1184,36 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             nm: jnp.zeros(shapes[nm], dtype)
             for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz")
         }
-        for (grp_names, beta3, beta_active, backend) in es_groups:
+        phi_b = None
+        if bpot_fns is not None:
+            phi_b = jnp.zeros(shapes["rho"], dtype)
+            for d, (fl, fh) in enumerate(bpot_fns):
+                if periodic[d]:
+                    continue
+                if fl is not None:
+                    sl = [slice(None)] * ndim
+                    sl[d] = 0
+                    phi_b = phi_b.at[tuple(sl)].set(
+                        fl(state.time).astype(dtype)
+                    )
+                if fh is not None:
+                    sl = [slice(None)] * ndim
+                    sl[d] = -1
+                    phi_b = phi_b.at[tuple(sl)].set(
+                        fh(state.time).astype(dtype)
+                    )
+        phi_tot = None
+        for gi, (grp_names, beta3, beta_active, backend) in enumerate(
+            es_groups
+        ):
             rho = deposit_total_rho(state, cfg, only=grp_names)
             if poisson_igf:
                 phi = solve_open_igf(rho, backend)
             else:
-                phi = backend.solve(rho)
+                # boundary potential enters one solve only (the summed E
+                # must satisfy the wall BC once)
+                phi = backend.solve(rho, phi_b if gi == 0 else None)
+            phi_tot = phi if phi_tot is None else phi_tot + phi
             if collocated:
                 e_active = phi_to_e_nodal(phi, geom, periodic, beta_active)
             else:
@@ -1216,6 +1261,8 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 if arr is not None:
                     bn = "B" + "xyz"[xyz_i]
                     upd[bn] = upd[bn] + arr.astype(dtype)
+        if phi_tot is not None:
+            upd["phi"] = phi_tot.astype(dtype)
         return state.replace(fields=state.fields.replace(**upd))
 
     return (

@@ -188,6 +188,18 @@ class SpeciesConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class MCCProcessConfig:
+    """One background-MCC scattering pathway (reference: ScatteringProcess.H).
+
+    energies: uniform eV grid; sigmas: m^2 (clamped outside the range)."""
+
+    kind: str  # elastic | back | charge_exchange | excitation | ionization
+    energy_penalty: float = 0.0  # eV
+    energies: Tuple[float, ...] = ()
+    sigmas: Tuple[float, ...] = ()
+
+
+@dataclasses.dataclass(frozen=True)
 class CollisionConfig:
     """One binary-collision pairing (reference: CollisionHandler.H)."""
 
@@ -196,6 +208,13 @@ class CollisionConfig:
     kind: str = "pairwisecoulomb"
     coulomb_log: float = -1.0  # <=0: computed per pair
     ndt: int = 1
+    # background MCC (reference: BackgroundMCCCollision.H)
+    background_density: str = ""  # expr f(x,y,z,t), m^-3
+    background_temperature: str = ""  # expr f(x,y,z,t), K
+    background_mass: float = -1.0  # kg; -1 -> species/secondary mass
+    max_background_density: float = 0.0
+    ionization_species: str = ""
+    processes: Tuple[MCCProcessConfig, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -271,6 +290,10 @@ class SimConfig:
     # semi_implicit_em, with the Picard nonlinear solver
     # RZ: number of azimuthal modes (reference: warpx.n_rz_azimuthal_modes)
     n_rz_modes: int = 1
+    # Dirichlet boundary potentials per active dim: ((lo_expr, hi_expr),...)
+    # as f(t) strings, "" when unset (reference: boundary.potential_lo_x
+    # etc., ElectrostaticSolver.cpp PoissonBoundaryHandler)
+    boundary_potentials: Tuple = ()
     # accelerator lattice: ("quad"|"plasmalens", zs, ze, dEdx, dBdx) tuples
     # laid out sequentially from z=0 (reference: Source/AcceleratorLattice/)
     lattice_elements: Tuple = ()

@@ -259,7 +259,7 @@ def _gate_unimplemented(deck: Deck) -> None:
     for nm in deck.get_strings("collisions.collision_names", []):
         kind = (deck.get_string(f"{nm}.type", "pairwisecoulomb")
                 or "pairwisecoulomb").lower()
-        if kind not in ("pairwisecoulomb",):
+        if kind not in ("pairwisecoulomb", "background_mcc"):
             raise NotImplementedError(f"collision type {kind}")
     if deck.get_strings("fluids.species_names", []):
         raise NotImplementedError("cold relativistic fluid species")
@@ -327,6 +327,18 @@ def config_from_deck(deck: Deck) -> SimConfig:
         lo == "periodic" and hi == "periodic"
         for lo, hi in zip(field_lo, field_hi)
     )
+    # Dirichlet boundary potentials f(t) per active dim (reference:
+    # boundary.potential_lo_x / ..., PoissonBoundaryHandler)
+    active_names = {1: ("z",), 2: ("x", "z"), 3: ("x", "y", "z")}[ndim]
+    boundary_potentials = tuple(
+        (
+            deck.get_string(f"boundary.potential_lo_{nm}", "") or "",
+            deck.get_string(f"boundary.potential_hi_{nm}", "") or "",
+        )
+        for nm in active_names
+    )
+    if not any(lo or hi for lo, hi in boundary_potentials):
+        boundary_potentials = ()
 
     geom = Geometry(
         ndim=ndim,
@@ -443,14 +455,19 @@ def config_from_deck(deck: Deck) -> SimConfig:
     collisions = []
     for nm in deck.get_strings("collisions.collision_names", []):
         pair = deck.get_strings(f"{nm}.species", [])
+        kind = (deck.get_string(f"{nm}.type", "pairwisecoulomb")
+                or "pairwisecoulomb").lower()
+        mcc_kw = {}
+        if kind == "background_mcc":
+            mcc_kw = _mcc_from_deck(deck, nm)
         collisions.append(
             CollisionConfig(
                 name=nm,
                 species=tuple(pair[:2]) if len(pair) >= 2 else (pair[0], pair[0]),
-                kind=(deck.get_string(f"{nm}.type", "pairwisecoulomb")
-                      or "pairwisecoulomb").lower(),
+                kind=kind,
                 coulomb_log=deck.get_real(f"{nm}.CoulombLog", -1.0),
                 ndt=deck.get_int(f"{nm}.ndt", 1),
+                **mcc_kw,
             )
         )
 
@@ -507,7 +524,9 @@ def config_from_deck(deck: Deck) -> SimConfig:
             or "energy-conserving"
         ).lower(),
         grid_type=grid_type,
-        use_filter=deck.get_bool("warpx.use_filter", False),
+        # reference default is use_filter = TRUE (WarpX.cpp:158), except
+        # RZ FDTD (WarpX.cpp:711)
+        use_filter=deck.get_bool("warpx.use_filter", True),
         use_nci_corr=deck.get_bool(
             "particles.use_fdtd_nci_corr",
             deck.get_bool("warpx.use_fdtd_nci_corr", False),
@@ -531,6 +550,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
         collisions=tuple(collisions),
         pml_ncell=deck.get_int("pml_ncell", deck.get_int("warpx.pml_ncell", 10)),
         electrostatic=es_solver,
+        boundary_potentials=boundary_potentials,
         poisson_solver=(
             deck.get_string("warpx.poisson_solver", "multigrid")
             or "multigrid"
@@ -623,6 +643,68 @@ def _rz_config_from_deck(deck: Deck) -> SimConfig:
         field_bc_hi=tuple(field_hi),
         user_constants=tuple(sorted(deck.my_constants.items())),
         tiled_particles="off",
+    )
+
+
+def _mcc_from_deck(deck: Deck, nm: str) -> dict:
+    """background_mcc keys -> CollisionConfig fields (reference:
+    BackgroundMCCCollision.cpp constructor).  Cross-section file paths
+    resolve relative to the deck directory."""
+    import os as _os
+
+    from .config import MCCProcessConfig
+
+    dens = deck.get_real(f"{nm}.background_density", None)
+    dens_expr = (
+        str(dens) if dens is not None
+        else deck.get_string(f"{nm}.background_density(x,y,z,t)", "") or ""
+    )
+    temp = deck.get_real(f"{nm}.background_temperature", None)
+    temp_expr = (
+        str(temp) if temp is not None
+        else deck.get_string(f"{nm}.background_temperature(x,y,z,t)", "")
+        or ""
+    )
+    max_dens = deck.get_real(f"{nm}.max_background_density", 0.0)
+    if max_dens == 0.0 and dens is not None:
+        max_dens = dens
+    procs = []
+    for tok in deck.get_strings(f"{nm}.scattering_processes", []):
+        path = deck.get_string(f"{tok}.cross_section", None) or \
+            deck.get_string(f"{nm}.{tok}_cross_section", None)
+        if path is None:
+            raise ValueError(f"{nm}: no cross section for process {tok}")
+        if deck.base_dir is not None and not _os.path.isabs(path):
+            path = _os.path.normpath(str(deck.base_dir / path))
+        if not _os.path.exists(path):
+            raise FileNotFoundError(
+                f"{nm}.{tok}_cross_section: {path} (the warpx-data cross "
+                "section tables are not available in this environment)"
+            )
+        from ..ops.mcc import load_cross_section
+
+        e_arr, s_arr = load_cross_section(path)
+        base = "excitation" if tok.startswith("excitation") else (
+            "ionization" if tok.startswith("ionization") else tok
+        )
+        penalty = deck.get_real(f"{nm}.{tok}_energy", 0.0)
+        procs.append(MCCProcessConfig(
+            kind=base if base in (
+                "elastic", "back", "charge_exchange", "excitation",
+                "ionization",
+            ) else tok,
+            energy_penalty=penalty,
+            energies=tuple(e_arr.tolist()),
+            sigmas=tuple(s_arr.tolist()),
+        ))
+    return dict(
+        background_density=dens_expr,
+        background_temperature=temp_expr,
+        background_mass=deck.get_real(f"{nm}.background_mass", -1.0),
+        max_background_density=max_dens,
+        ionization_species=deck.get_string(f"{nm}.ionization_species", "")
+        or "",
+        processes=tuple(procs),
     )
 
 

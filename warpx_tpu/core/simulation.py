@@ -485,7 +485,27 @@ class Simulation:
                     product_capacity.get(sp_cfg.ionization_product_species, 0)
                     + ps0.capacity * max(z_max - sp_cfg.ionization_initial_level, 0)
                 )
+        # species that grow through MCC impact ionization get capacity
+        # headroom (the reference grows tiles dynamically; static shapes
+        # need a budget up front): the colliding species gets 2x its count,
+        # the product-ion species a budget equal to the collider capacity
+        mcc_grow = set()
+        by_cfg_name = {s.name: s for s in cfg.species}
+        for col in cfg.collisions:
+            if col.kind == "background_mcc" and col.ionization_species:
+                mcc_grow.add(col.species[0])
+                src_cfg = by_cfg_name[col.species[0]]
+                ps0 = inject_species(src_cfg, geom, np_dtype,
+                                     np.random.default_rng(cfg.seed))
+                product_capacity[col.ionization_species] = (
+                    product_capacity.get(col.ionization_species, 0)
+                    + max(2 * ps0.capacity, 16)
+                )
         for sp_cfg in cfg.species:
+            if sp_cfg.name in mcc_grow and sp_cfg.capacity_factor <= 1.0:
+                import dataclasses as _dc
+
+                sp_cfg = _dc.replace(sp_cfg, capacity_factor=2.0)
             if sp_cfg.injection_style == "laser":
                 from .laser import antenna_particles
 

@@ -43,6 +43,9 @@ class FieldState:
     jz: jnp.ndarray
     F: Optional[jnp.ndarray] = None
     G: Optional[jnp.ndarray] = None
+    # nodal electrostatic potential from the last Poisson solve (ES runs
+    # only; reference: phi_fp registry entry, diag "phi")
+    phi: Optional[jnp.ndarray] = None
 
     def e(self):
         return (self.Ex, self.Ey, self.Ez)
@@ -59,7 +62,7 @@ class FieldState:
 
 _register(
     FieldState,
-    ["Ex", "Ey", "Ez", "Bx", "By", "Bz", "jx", "jy", "jz", "F", "G"],
+    ["Ex", "Ey", "Ez", "Bx", "By", "Bz", "jx", "jy", "jz", "F", "G", "phi"],
 )
 
 

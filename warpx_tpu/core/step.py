@@ -239,6 +239,11 @@ def pic_step(
                 species_mut[c2.name] = sp2
         state = state.replace(species=species_mut, rng=rng)
 
+    if any(c.kind == "background_mcc" for c in cfg.collisions):
+        from ..ops.mcc import mcc_collision_update
+
+        state = mcc_collision_update(state, cfg, dt)
+
     # field ionization before the main push (WarpXEvolve.cpp:157
     # doFieldIonization uses the aux fields at t^n)
     ionizable = [sp for sp in cfg.species if sp.do_field_ionization]

@@ -143,8 +143,10 @@ def deposit_total_rho(
 
 def _nodal_aux_bounded(f, staggering, cfg):
     """Nodal-averaged aux fields for momentum-conserving diagnostics, aware
-    of bounded dims: the wall value of a staggered (PEC-symmetric) component
-    is its first/last interior value (mirror average)."""
+    of bounded dims: the wall value of a staggered component averages with a
+    ZERO guard (UpdateAuxilaryDataStagToNodal reads unfilled-zero guards
+    outside non-periodic walls in the ES path), i.e. half the edge value —
+    verified bit-exact against test_3d_electrostatic_sphere golden E sums."""
     ndim = cfg.geometry.ndim
     bc_lo = cfg.field_bc_lo or ("periodic",) * ndim
     out = {}
@@ -166,7 +168,8 @@ def _nodal_aux_bounded(f, staggering, cfg):
                 last = [slice(None)] * a.ndim
                 last[d] = slice(a.shape[d] - 1, a.shape[d])
                 a = jnp.concatenate(
-                    [a[tuple(first)], core, a[tuple(last)]], axis=d
+                    [0.5 * a[tuple(first)], core, 0.5 * a[tuple(last)]],
+                    axis=d,
                 )
         out[name] = a
     return out
@@ -261,6 +264,11 @@ def cell_centered_output(
 
     rho = deposit_total_rho(state, cfg)
     out["rho"] = np.asarray(cell_center(rho, staggering["rho"], geom.n_cell))
+    if getattr(f, "phi", None) is not None:
+        # nodal ES potential from the last Poisson solve (diag "phi")
+        out["phi"] = np.asarray(
+            cell_center(f.phi, (1,) * geom.ndim, geom.n_cell)
+        )
 
     # divergence-cleaning scalars, when present
     if f.F is not None:

@@ -65,17 +65,22 @@ class PoissonSolver:
 
     def __init__(self, geom, periodic: Sequence[bool],
                  beta2: Sequence[float] | None = None,
-                 stencil: str = "fem"):
-        """stencil = 'fem' diagonalizes the reference MLMG's MLNodeLaplacian
-        operator (the Q1 finite-element nodal Laplacian: sum_d K_d prod M_d'
-        with 1D stiffness [-1,2,-1]/h^2 and mass [1/6,2/3,1/6] factors) —
-        this is what the golden checksums were generated with; 'cross' is
-        the plain 7-point second-difference operator.  In 1D both coincide.
+                 stencil: str = "cross"):
+        """stencil = 'cross' diagonalizes the reference's actual operator:
+        ablastr PoissonSolver.H:371 uses amrex::MLNodeTensorLaplacian (no
+        EB/RZ), whose constant-sigma diagonal part is the plain 7-point
+        second-difference star — verified to 1e-13 particle parity on
+        test_3d_electrostatic_sphere.  'fem' is the Q1 finite-element nodal
+        Laplacian (MLNodeLaplacian, sum_d K_d prod M_d' with 1D stiffness
+        [-1,2,-1]/h^2 and mass [1/6,2/3,1/6] factors), kept for reference.
+        In 1D both coincide.
         """
         self.geom = geom
         self.periodic = tuple(periodic)
+        self.stencil = stencil
         ndim = geom.ndim
         scale = beta2 or (0.0,) * ndim
+        self._scale = tuple(scale)
         # per-dim 1D stiffness eigenvalues and mass factors on the shared
         # Fourier (periodic) / sine (Dirichlet) eigenbasis
         stiff, mass = [], []
@@ -109,11 +114,56 @@ class PoissonSolver:
         else:
             self._eigs = stiff
 
-    def solve(self, rho: jnp.ndarray) -> jnp.ndarray:
-        """phi from nodal rho (shape: n per periodic dim, n+1 per bounded)."""
+    def _conv3(self, arr, d, w):
+        """3-point stencil (w_m, w_0, w_p) along dim d; zero fill at
+        non-periodic edges (only interior outputs are consumed)."""
+        if self.periodic[d]:
+            am = jnp.roll(arr, 1, axis=d)
+            ap = jnp.roll(arr, -1, axis=d)
+        else:
+            zshape = list(arr.shape)
+            zshape[d] = 1
+            z = jnp.zeros(zshape, arr.dtype)
+            sl_m = [slice(None)] * arr.ndim
+            sl_m[d] = slice(0, -1)
+            sl_p = [slice(None)] * arr.ndim
+            sl_p[d] = slice(1, None)
+            am = jnp.concatenate([z, arr[tuple(sl_m)]], axis=d)
+            ap = jnp.concatenate([arr[tuple(sl_p)], z], axis=d)
+        return w[0] * am + w[1] * arr + w[2] * ap
+
+    def apply_op(self, phi: jnp.ndarray) -> jnp.ndarray:
+        """Apply the discrete operator L (= -nabla.(sigma nabla), the one
+        solve() inverts) to a full-shape nodal array.  Valid at interior
+        nodes (edge outputs use zero extension)."""
+        ndim = self.geom.ndim
+        out = None
+        for d in range(ndim):
+            dx2 = self.geom.dx[d] ** 2
+            s = (1.0 - self._scale[d]) / dx2
+            term = self._conv3(phi, d, (-s, 2.0 * s, -s))
+            if self.stencil == "fem" and ndim > 1:
+                for d2 in range(ndim):
+                    if d2 != d:
+                        term = self._conv3(
+                            term, d2, (1.0 / 6.0, 2.0 / 3.0, 1.0 / 6.0)
+                        )
+            out = term if out is None else out + term
+        return out
+
+    def solve(self, rho: jnp.ndarray,
+              phi_b: jnp.ndarray | None = None) -> jnp.ndarray:
+        """phi from nodal rho (shape: n per periodic dim, n+1 per bounded).
+
+        phi_b: optional full-shape array of inhomogeneous Dirichlet values
+        (nonzero only at wall layers); its operator image is moved to the
+        RHS and its wall values appear in the returned phi.
+        """
         ndim = self.geom.ndim
         # extract interior along bounded dims
         x = rho
+        if phi_b is not None:
+            x = x - _ep0 * self.apply_op(phi_b)
         for d in range(ndim):
             if not self.periodic[d]:
                 sl = [slice(None)] * ndim
@@ -142,6 +192,8 @@ class PoissonSolver:
                 pad = [(0, 0)] * ndim
                 pad[d] = (1, 1)
                 x = jnp.pad(x, pad)
+        if phi_b is not None:
+            x = x + phi_b
         return x
 
 

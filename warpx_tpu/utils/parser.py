@@ -42,6 +42,7 @@ class Deck:
         self.table: Dict[str, List[str]] = {}
         self.my_constants: Dict[str, float] = {}
         self._queried: set[str] = set()
+        self.base_dir: Path | None = None  # deck directory (relative paths)
 
     # ---------------------------------------------------------------- loading
     @classmethod
@@ -58,6 +59,7 @@ class Deck:
         base_dir: Path | None = None,
     ) -> "Deck":
         deck = cls()
+        deck.base_dir = base_dir
         logical_lines: List[str] = []
         cont = ""
         for raw in text.splitlines():
