@@ -297,6 +297,17 @@ class SimConfig:
     # accelerator lattice: ("quad"|"plasmalens", zs, ze, dEdx, dBdx) tuples
     # laid out sequentially from z=0 (reference: Source/AcceleratorLattice/)
     lattice_elements: Tuple = ()
+    # hybrid-PIC (Ohm's law) model parameters (reference:
+    # hybrid_pic_model.* keys, HybridPICModel.H:152-180)
+    hybrid_substeps: int = 10
+    hybrid_elec_temp: float = 0.0  # eV
+    hybrid_n0_ref: float = 1.0
+    hybrid_gamma: float = 5.0 / 3.0
+    hybrid_n_floor: float = 1.0
+    hybrid_eta: str = "0"  # plasma_resistivity(rho,J) expression, Ohm*m
+    hybrid_eta_h: float = 0.0  # hyper-resistivity
+    hybrid_resistivity_has_J: bool = False
+    hybrid_j_ext: Tuple[str, str, str] = ("", "", "")
     evolve_scheme: str = "explicit"
     implicit_theta: float = 0.5
     implicit_nonlinear: str = "picard"  # picard | newton

@@ -373,7 +373,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
     es_solver = es_map.get(es_solver, es_solver)
     if solver == "none":
         em_solver = "none"
-    elif solver in ("yee", "ckc", "psatd", "ect"):
+    elif solver in ("yee", "ckc", "psatd", "ect", "hybrid"):
         em_solver = solver
     else:
         raise NotImplementedError(f"maxwell solver {solver}")
@@ -578,6 +578,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
         lattice_elements=_lattice_from_deck(deck),
         **_tiling_from_deck(deck, ndim),
         **_implicit_from_deck(deck),
+        **_hybrid_from_deck(deck, em_solver),
     )
 
 
@@ -643,6 +644,43 @@ def _rz_config_from_deck(deck: Deck) -> SimConfig:
         field_bc_hi=tuple(field_hi),
         user_constants=tuple(sorted(deck.my_constants.items())),
         tiled_particles="off",
+    )
+
+
+def _hybrid_from_deck(deck: Deck, em_solver: str) -> dict:
+    """hybrid_pic_model.* keys (reference: HybridPICModel::ReadParameters).
+
+    elec_temp is required by the reference when the hybrid solver is on;
+    it stays in eV here (converted to J inside electron_pressure)."""
+    if em_solver != "hybrid":
+        return {}
+    p = "hybrid_pic_model"
+    elec_temp = deck.get_real(f"{p}.elec_temp", None)
+    if elec_temp is None:
+        raise ValueError(
+            "hybrid_pic_model.elec_temp must be specified when using the "
+            "hybrid solver"
+        )
+    eta = (
+        deck.get_string(f"{p}.plasma_resistivity(rho,J)", None)
+        or str(deck.get_real(f"{p}.plasma_resistivity", 0.0))
+    )
+    return dict(
+        hybrid_substeps=deck.get_int(f"{p}.substeps", 10),
+        hybrid_elec_temp=elec_temp,
+        hybrid_n0_ref=deck.get_real(f"{p}.n0_ref", 1.0),
+        hybrid_gamma=deck.get_real(f"{p}.gamma", 5.0 / 3.0),
+        hybrid_n_floor=deck.get_real(f"{p}.n_floor", 1.0),
+        hybrid_eta=eta,
+        hybrid_eta_h=deck.get_real(f"{p}.plasma_hyper_resistivity", 0.0),
+        hybrid_resistivity_has_J="J" in eta,
+        hybrid_j_ext=tuple(
+            deck.get_string(f"{p}.J{ax}_external_grid_function({vars_})", "")
+            or deck.get_string(f"{p}.J{ax}_external_function({vars_})", "")
+            or ""
+            for ax, vars_ in (("x", "x,y,z,t"), ("y", "x,y,z,t"),
+                              ("z", "x,y,z,t"))
+        ),
     )
 
 

@@ -667,7 +667,45 @@ class Simulation:
         if getattr(self, "_solve_es", None) is not None:
             # initial space-charge field (WarpXInitData.cpp:598)
             self.state = self._solve_es(self.state)
+        if cfg.em_solver == "hybrid":
+            # deposit rho^0 and J^0 into the hybrid temps
+            # (HybridPICDepositInitialRhoAndJ, WarpXPushFieldsHybridPIC.cpp:194)
+            self.state = self.state.replace(
+                fields=self._hybrid_initial_deposit(self.state)
+            )
         return self.state
+
+    def _hybrid_initial_deposit(self, state):
+        from ..ops.deposit import deposit_current_direct, deposit_rho
+        from ..solvers.filter import bilinear_filter
+
+        cfg = self.cfg
+        geom = cfg.geometry
+        dtype = self.dtype
+        rho0 = jnp.zeros(geom.n_cell, dtype)
+        j3 = [jnp.zeros(geom.n_cell, dtype) for _ in range(3)]
+        for sp_cfg in cfg.species:
+            sp = state.species[sp_cfg.name]
+            if sp.capacity == 0 or sp_cfg.do_not_deposit:
+                continue
+            w_eff = jnp.where(sp.alive, sp.w, 0.0)
+            pos = sp.positions(geom.ndim)
+            rho0 = deposit_rho(
+                pos, w_eff, sp_cfg.charge, geom, cfg.particle_shape, out=rho0
+            )
+            jj = deposit_current_direct(
+                pos, sp.ux, sp.uy, sp.uz, w_eff, sp_cfg.charge, geom,
+                self.staggering, cfg.dt, cfg.particle_shape,
+                relative_time=0.0,
+            )
+            j3 = [a + b for a, b in zip(j3, jj)]
+        if cfg.use_filter:
+            npass = cfg.filter_npass_each_dir or (1,) * geom.ndim
+            rho0 = bilinear_filter(rho0, npass)
+            j3 = [bilinear_filter(a, npass) for a in j3]
+        return state.fields.replace(
+            hrho=rho0, hjx=j3[0], hjy=j3[1], hjz=j3[2],
+        )
 
     # ----------------------------------------------------------------- evolve
     def evolve(self, numsteps: int = -1) -> SimState:

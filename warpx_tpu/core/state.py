@@ -46,6 +46,12 @@ class FieldState:
     # nodal electrostatic potential from the last Poisson solve (ES runs
     # only; reference: phi_fp registry entry, diag "phi")
     phi: Optional[jnp.ndarray] = None
+    # hybrid-PIC temporaries: rho^n and J_i^{n-1/2} carried between steps
+    # (reference: hybrid_rho_fp_temp / hybrid_current_fp_temp)
+    hrho: Optional[jnp.ndarray] = None
+    hjx: Optional[jnp.ndarray] = None
+    hjy: Optional[jnp.ndarray] = None
+    hjz: Optional[jnp.ndarray] = None
 
     def e(self):
         return (self.Ex, self.Ey, self.Ez)
@@ -62,7 +68,8 @@ class FieldState:
 
 _register(
     FieldState,
-    ["Ex", "Ey", "Ez", "Bx", "By", "Bz", "jx", "jy", "jz", "F", "G", "phi"],
+    ["Ex", "Ey", "Ez", "Bx", "By", "Bz", "jx", "jy", "jz", "F", "G", "phi",
+     "hrho", "hjx", "hjy", "hjz"],
 )
 
 

@@ -277,7 +277,7 @@ def pic_step(
     need_rho = (
         cfg.em_solver == "psatd"
         and (cfg.psatd_current_correction or cfg.psatd_update_with_rho)
-    ) or cfg.do_dive_cleaning or multi_j
+    ) or cfg.do_dive_cleaning or multi_j or cfg.em_solver == "hybrid"
     rho_old = rho_new = None
     if need_rho:
         from ..ops.deposit import deposit_rho
@@ -458,6 +458,32 @@ def advance_fields(
         # algo.maxwell_solver = none: fields are never advanced (reference:
         # WarpX::EvolveEM is skipped; used by pure collision/ES tests)
         pass
+    elif cfg.em_solver == "hybrid":
+        # kinetic-ion / fluid-electron Ohm's-law advance
+        # (WarpXPushFieldsHybridPIC.cpp:24)
+        from ..solvers import hybrid as hyb
+        from ..utils.expression import compile_expression
+        from .grid import yee_staggering
+
+        if cfg.use_filter:
+            from ..solvers.filter import bilinear_filter
+
+            npass = cfg.filter_npass_each_dir or (1,) * geom.ndim
+            rho_old = bilinear_filter(rho_old, npass)
+            rho_new = bilinear_filter(rho_new, npass)
+        stag = yee_staggering(geom.ndim)
+        eta_fn = compile_expression(
+            cfg.hybrid_eta, ("rho", "J"), dict(cfg.user_constants or ())
+        )
+        # J_i^{n-1/2} carried from the previous step (hybrid_current_fp_temp)
+        ji_old = (fields.hjx, fields.hjy, fields.hjz)
+        fields = hyb.hybrid_evolve_fields(
+            fields, rho_old, rho_new, ji_old, j_total, geom, stag, cfg,
+            eta_fn, dt,
+        )
+        return fields.replace(
+            hrho=rho_new, hjx=j_total[0], hjy=j_total[1], hjz=j_total[2],
+        )
     elif cfg.em_solver == "psatd":
         # analytic k-space advance (WarpXPushFieldsEM.cpp:717 PushPSATD)
         if need_rho and cfg.use_filter:
