@@ -128,6 +128,13 @@ class SpeciesConfig:
     # MultipleParticles injection: per-particle (x, y, z, ux, uy, uz, w)
     # columns (PhysicalParticleContainer.cpp multiple_particles_* keys)
     multiple_particles: Tuple[Tuple[float, ...], ...] = ()
+    # QED processes (reference: <species>.do_qed_quantum_sync /
+    # do_qed_breit_wheeler and product-species keys)
+    do_qed_quantum_sync: bool = False
+    qed_product: str = ""  # quantum_sync_phot_product_species
+    do_qed_breit_wheeler: bool = False
+    qed_bw_ele_product: str = ""
+    qed_bw_pos_product: str = ""
     # injection bounds (SI); +-inf when unbounded
     bounds_lo: Tuple[float, ...] = ()
     bounds_hi: Tuple[float, ...] = ()
@@ -308,6 +315,18 @@ class SimConfig:
     hybrid_eta_h: float = 0.0  # hyper-resistivity
     hybrid_resistivity_has_J: bool = False
     hybrid_j_ext: Tuple[str, str, str] = ("", "", "")
+    # Schwinger pair production (reference: warpx.do_qed_schwinger +
+    # qed_schwinger.* keys, MultiParticleContainer::doQEDSchwinger)
+    do_qed_schwinger: bool = False
+    qed_schwinger_ele: str = ""
+    qed_schwinger_pos: str = ""
+    qed_schwinger_y_size: float = 0.0  # 2D transverse size
+    qed_schwinger_threshold: float = 25.0  # Poisson->Gaussian crossover
+    # activation region (qed_schwinger.{x,y,z}{min,max}), +-inf if unset
+    qed_schwinger_bounds_lo: Tuple[float, float, float] = (
+        float("-inf"),) * 3
+    qed_schwinger_bounds_hi: Tuple[float, float, float] = (
+        float("inf"),) * 3
     evolve_scheme: str = "explicit"
     implicit_theta: float = 0.5
     implicit_nonlinear: str = "picard"  # picard | newton

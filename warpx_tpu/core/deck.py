@@ -131,6 +131,15 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
             for c in ("pos_x", "pos_y", "pos_z", "ux", "uy", "uz", "weight")
         ) if style == "multipleparticles" else (),
         do_field_ionization=bool(deck.get_int(f"{name}.do_field_ionization", 0)),
+        do_qed_quantum_sync=deck.get_bool(f"{name}.do_qed_quantum_sync",
+                                          False),
+        qed_product=gs("qed_quantum_sync_phot_product_species", "") or "",
+        do_qed_breit_wheeler=deck.get_bool(f"{name}.do_qed_breit_wheeler",
+                                           False),
+        qed_bw_ele_product=gs("qed_breit_wheeler_ele_product_species", "")
+        or "",
+        qed_bw_pos_product=gs("qed_breit_wheeler_pos_product_species", "")
+        or "",
         physical_element=gs("physical_element", "") or "",
         ionization_initial_level=deck.get_int(f"{name}.ionization_initial_level", 0),
         ionization_product_species=gs("ionization_product_species", "") or "",
@@ -241,12 +250,7 @@ def _gate_unimplemented(deck: Deck) -> None:
     if (deck.get_string("warpx.eb_implicit_function", "")
             or deck.get_string("eb2.geom_type", "")):
         raise NotImplementedError("embedded boundaries (EB)")
-    if deck.get_bool("warpx.do_qed_schwinger", False):
-        raise NotImplementedError("QED Schwinger process")
     for sp in deck.get_strings("particles.species_names", []):
-        if (deck.get_bool(f"{sp}.do_qed_quantum_sync", False)
-                or deck.get_bool(f"{sp}.do_qed_breit_wheeler", False)):
-            raise NotImplementedError("QED particle processes")
         if deck.get_bool(f"{sp}.rigid_advance", False) or deck.get_real(
             f"{sp}.zinject_plane", None
         ) is not None:
@@ -576,6 +580,22 @@ def config_from_deck(deck: Deck) -> SimConfig:
         b_ext_grid=ext_grid("B"),
         user_constants=tuple(sorted(deck.my_constants.items())),
         lattice_elements=_lattice_from_deck(deck),
+        do_qed_schwinger=deck.get_bool("warpx.do_qed_schwinger", False),
+        qed_schwinger_ele=deck.get_string(
+            "qed_schwinger.ele_product_species", "") or "",
+        qed_schwinger_pos=deck.get_string(
+            "qed_schwinger.pos_product_species", "") or "",
+        qed_schwinger_y_size=deck.get_real("qed_schwinger.y_size", 0.0),
+        qed_schwinger_threshold=deck.get_real(
+            "qed_schwinger.threshold_poisson_gaussian", 25.0),
+        qed_schwinger_bounds_lo=tuple(
+            deck.get_real(f"qed_schwinger.{ax}min", float("-inf"))
+            for ax in "xyz"
+        ),
+        qed_schwinger_bounds_hi=tuple(
+            deck.get_real(f"qed_schwinger.{ax}max", float("inf"))
+            for ax in "xyz"
+        ),
         **_tiling_from_deck(deck, ndim),
         **_implicit_from_deck(deck),
         **_hybrid_from_deck(deck, em_solver),

@@ -491,6 +491,29 @@ class Simulation:
         # the product-ion species a budget equal to the collider capacity
         mcc_grow = set()
         by_cfg_name = {s.name: s for s in cfg.species}
+        # QED product capacities: one product slot per parent per step-burst
+        for sp_cfg in cfg.species:
+            srcs = []
+            if sp_cfg.do_qed_quantum_sync and sp_cfg.qed_product:
+                srcs = [sp_cfg.qed_product]
+            if sp_cfg.do_qed_breit_wheeler:
+                srcs = [sp_cfg.qed_bw_ele_product, sp_cfg.qed_bw_pos_product]
+            if srcs:
+                ps0 = inject_species(sp_cfg, geom, np_dtype,
+                                     np.random.default_rng(cfg.seed))
+                for nm2 in srcs:
+                    if nm2 and nm2 != sp_cfg.name:
+                        product_capacity[nm2] = (
+                            product_capacity.get(nm2, 0) + ps0.capacity
+                        )
+        if cfg.do_qed_schwinger:
+            n_cells = int(np.prod(geom.n_cell))
+            budget = min(n_cells * max(cfg.max_step, 1), 2_000_000)
+            for nm2 in (cfg.qed_schwinger_ele, cfg.qed_schwinger_pos):
+                if nm2:
+                    product_capacity[nm2] = (
+                        product_capacity.get(nm2, 0) + budget
+                    )
         for col in cfg.collisions:
             if col.kind == "background_mcc" and col.ionization_species:
                 mcc_grow.add(col.species[0])
@@ -565,6 +588,19 @@ class Simulation:
                     ps.capacity, sp_cfg.ionization_initial_level, np.int32
                 )
                 ps = ps.replace(extra={**ps.extra, "ionizationLevel": lev})
+            # exponentially distributed QED optical depths (PICSAR
+            # initialize_opt_depth; fresh draws on every emission event)
+            qed_rng = np.random.default_rng(cfg.seed + 17)
+            if sp_cfg.do_qed_quantum_sync:
+                tau = qed_rng.exponential(size=ps.capacity).astype(np_dtype)
+                ps = ps.replace(
+                    extra={**ps.extra, "opticalDepthQSR": tau}
+                )
+            if sp_cfg.do_qed_breit_wheeler:
+                tau = qed_rng.exponential(size=ps.capacity).astype(np_dtype)
+                ps = ps.replace(
+                    extra={**ps.extra, "opticalDepthBW": tau}
+                )
             species[sp_cfg.name] = jax.tree_util.tree_map(jnp.asarray, ps)
             if sp_cfg.do_continuous_injection and cfg.do_moving_window:
                 aux[f"inject_pos:{sp_cfg.name}"] = jnp.asarray(

@@ -271,6 +271,29 @@ def pic_step(
             species_mut[sp_cfg.ionization_product_species] = prod
         state = state.replace(species=species_mut, rng=rng)
 
+    # QED events (quantum sync / Breit-Wheeler / Schwinger) before the push
+    # (doQEDEvents / doQEDSchwinger, WarpXEvolve.cpp)
+    if any(s.do_qed_quantum_sync or s.do_qed_breit_wheeler
+           for s in cfg.species):
+        from ..ops.qed import qed_update
+
+        def _e6_of(name):
+            sp_q = state.species[name]
+            pos_q = sp_q.positions(geom.ndim)
+            return _add_ext(
+                gather_eb(
+                    pos_q, farr, gather_stag, geom,
+                    cfg.particle_shape, cfg.galerkin,
+                ),
+                cfg, pos=pos_q, u3=(sp_q.ux, sp_q.uy, sp_q.uz),
+            )
+
+        state = qed_update(state, cfg, _e6_of, dt)
+    if cfg.do_qed_schwinger:
+        from ..ops.qed import schwinger_update
+
+        state = schwinger_update(state, cfg, dt)
+
     multi_j = (
         cfg.em_solver == "psatd" and cfg.psatd_j_in_time == "linear"
     )
@@ -330,6 +353,25 @@ def pic_step(
                 sp_cfg.charge, sp_cfg.mass, dt,
             )
             new_pos = position_step(pos, ux, uy, uz, dt, geom.ndim)
+
+        # QED optical-depth evolution with the updated momentum and the
+        # fields gathered at x^n (PushPX evolve_opt_depth; the emission
+        # events themselves run at the start of the next step, doQEDEvents)
+        qed_extra = None
+        if sp_cfg.do_qed_quantum_sync:
+            from ..ops.qed import qs_dndt
+
+            tau_q = sp.extra["opticalDepthQSR"] - dt * qs_dndt(
+                ux, uy, uz, ex, ey, ez, bx, by, bz
+            )
+            qed_extra = {"opticalDepthQSR": tau_q}
+        elif sp_cfg.do_qed_breit_wheeler:
+            from ..ops.qed import bw_dndt
+
+            tau_q = sp.extra["opticalDepthBW"] - dt * bw_dndt(
+                ux, uy, uz, ex, ey, ez, bx, by, bz
+            )
+            qed_extra = {"opticalDepthBW": tau_q}
 
         if multi_j and not sp_cfg.do_not_deposit:
             # multi-J (n_depositions=1): J and rho sampled at INTEGER times
@@ -410,6 +452,8 @@ def pic_step(
             )
 
         sp_new = sp.replace(ux=ux, uy=uy, uz=uz)
+        if qed_extra is not None:
+            sp_new = sp_new.replace(extra={**sp_new.extra, **qed_extra})
         sp_new = sp_new.with_positions(geom.ndim, new_pos)
         new_species[sp_cfg.name] = wrap_positions(sp_new, geom)
 
