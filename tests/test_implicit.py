@@ -65,3 +65,32 @@ def test_semi_implicit_energy_conservation_full():
         f"{DECKS}/inputs_test_1d_semi_implicit_picard", 100
     )
     assert drift < 2.5e-5, drift
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not reference_available(), reason="needs /root/reference")
+def test_theta_implicit_jfnk_energy_conservation():
+    """Newton/JFNK nonlinear solver on the 2D vandb deck (reduced size):
+    theta=0.5 with converged inner particle iterations conserves total
+    energy to 1e-14-class (analysis_vandb_jfnk_2d.py gates 2e-14 at full
+    size).  The Jacobian-vector product is the exact jax.jvp."""
+    sim = Simulation.from_deck(
+        f"{DECKS}/inputs_test_2d_theta_implicit_jfnk_vandb",
+        overrides=(
+            "amr.n_cell=16 16",
+            "my_constants.nppcz=4",
+            "max_step=8",
+        ),
+        output_dir="/tmp/implicit_jfnk",
+    )
+    sim.diags = []
+    sim.reduced = []
+    assert sim.cfg.implicit_nonlinear == "newton"
+    sim.init()
+    energies = [_total_energy(sim)]
+    for _ in range(8):
+        sim.evolve(1)
+        energies.append(_total_energy(sim))
+    e = np.array(energies)
+    drift = np.abs((e - e[0]) / e[0]).max()
+    assert drift < 5e-14, drift

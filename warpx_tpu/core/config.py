@@ -334,6 +334,16 @@ class SimConfig:
     picard_rtol: float = 1.0e-6
     picard_atol: float = 0.0
     implicit_max_particle_iterations: int = 1
+    # Newton/JFNK (reference: NewtonSolver.H:118-136, JacobianFunctionMF
+    # GMRES; the Jacobian-vector product here is the exact jax.jvp rather
+    # than the reference's finite-difference approximation)
+    newton_max_iterations: int = 100
+    newton_rtol: float = 1.0e-6
+    newton_atol: float = 0.0
+    gmres_max_iterations: int = 1000
+    gmres_restart: int = 30
+    gmres_rtol: float = 1.0e-4
+    gmres_atol: float = 0.0
     # --- TPU tile-binned hot path (ops/tiling.py + ops/pallas_pic.py) ---
     # "auto" enables the fused Pallas gather+push+deposit kernel on TPU for
     # supported configurations (3D periodic explicit EM, Esirkepov);

@@ -241,10 +241,8 @@ def _gate_unimplemented(deck: Deck) -> None:
             deck.get_string("implicit_evolve.nonlinear_solver", "picard")
             or "picard"
         ).strip('"').lower()
-        if nl != "picard":
-            raise NotImplementedError(
-                f"implicit nonlinear solver {nl} (Picard only for now)"
-            )
+        if nl not in ("picard", "newton"):
+            raise NotImplementedError(f"implicit nonlinear solver {nl}")
     if deck.get_int("amr.max_level", 0) > 0:
         raise NotImplementedError("mesh refinement (amr.max_level > 0)")
     if (deck.get_string("warpx.eb_implicit_function", "")
@@ -822,6 +820,15 @@ def _implicit_from_deck(deck: Deck) -> dict:
     else:
         out["implicit_max_particle_iterations"] = deck.get_int(
             "implicit_evolve.max_particle_iterations", 21
+        )
+        out.update(
+            newton_max_iterations=deck.get_int("newton.max_iterations", 100),
+            newton_rtol=deck.get_real("newton.relative_tolerance", 1.0e-6),
+            newton_atol=deck.get_real("newton.absolute_tolerance", 0.0),
+            gmres_max_iterations=deck.get_int("gmres.max_iterations", 1000),
+            gmres_restart=deck.get_int("gmres.restart_length", 30),
+            gmres_rtol=deck.get_real("gmres.relative_tolerance", 1.0e-4),
+            gmres_atol=deck.get_real("gmres.absolute_tolerance", 0.0),
         )
     return out
 

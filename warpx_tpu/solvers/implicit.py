@@ -111,13 +111,16 @@ def make_implicit_step(cfg, staggering, dtype):
             ub = ubar[name]
             xh = xhalf[name]
             pusher = PUSHERS[sp_cfg.pusher]
-            for _ in range(n_part_iters):
-                gi = _cn_gaminv(ub, un3)
-                vel_act = tuple(ub[a] * gi for a in axes)
-                xh = tuple(
-                    p + 0.5 * dt * v for p, v in zip(pos_n, vel_act)
+
+            def one_iter(carry, _pos_n=pos_n, _un3=un3, _pusher=pusher,
+                         _q=sp_cfg.charge, _m=sp_cfg.mass):
+                ub_c, _xh = carry
+                gi = _cn_gaminv(ub_c, _un3)
+                vel_act = tuple(ub_c[a] * gi for a in axes)
+                xh_c = tuple(
+                    p + 0.5 * dt * v for p, v in zip(_pos_n, vel_act)
                 )
-                e6 = gather_eb_implicit(pos_n, xh, farr, geom, order)
+                e6 = gather_eb_implicit(_pos_n, xh_c, farr, geom, order)
                 e6 = (
                     e6[0] + cfg.e_ext_particle[0],
                     e6[1] + cfg.e_ext_particle[1],
@@ -126,8 +129,19 @@ def make_implicit_step(cfg, staggering, dtype):
                     e6[4] + cfg.b_ext_particle[1],
                     e6[5] + cfg.b_ext_particle[2],
                 )
-                uf = pusher(*un3, *e6, sp_cfg.charge, sp_cfg.mass, dt)
-                ub = tuple(0.5 * (a + b) for a, b in zip(uf, un3))
+                uf = _pusher(*_un3, *e6, _q, _m, dt)
+                return (
+                    tuple(0.5 * (a + b) for a, b in zip(uf, _un3)), xh_c
+                )
+
+            if n_part_iters == 1:
+                ub, xh = one_iter((ub, xh))
+            else:
+                # inner per-particle Picard (ImplicitPushXP iteration loop,
+                # PhysicalParticleContainer.cpp:2935) under fori_loop
+                ub, xh = jax.lax.fori_loop(
+                    0, n_part_iters, lambda _i, c: one_iter(c), (ub, xh)
+                )
             new_ubar[name] = ub
             new_xhalf[name] = xh
             if not sp_cfg.do_not_deposit:
@@ -187,6 +201,62 @@ def make_implicit_step(cfg, staggering, dtype):
             for s in sp_cfgs
         }
 
+        if cfg.implicit_nonlinear == "newton":
+            # Jacobian-free Newton-Krylov (NewtonSolver.H): solve
+            # F(E) = E - E^n - RHS(E) = 0 with GMRES on the EXACT
+            # Jacobian-vector product via jax.jvp (the reference
+            # approximates J*v by finite differences,
+            # JacobianFunctionMF.H); particles re-solve their inner
+            # Picard from u^n at every residual evaluation so F is a
+            # pure function of E.
+            def F(e3):
+                rhs3, _, _, _, _ = compute_rhs(
+                    e3, state, b_old3, ubar0, xhalf0
+                )
+                return tuple(
+                    a - b - r for a, b, r in zip(e3, e_old, rhs3)
+                )
+
+            f0v = F(e_old)
+            f0n = _norm2(f0v)
+            f0s = jnp.where(f0n > 0, f0n, 1.0)
+
+            def n_cond(carry):
+                it, _e3, fv, _ = carry
+                fn = _norm2(fv)
+                return (
+                    (it < cfg.newton_max_iterations)
+                    & (fn >= cfg.newton_atol)
+                    & (fn / f0s >= cfg.newton_rtol)
+                )
+
+            def n_body(carry):
+                it, e3, fv, f0 = carry
+
+                def mv(v3):
+                    return jax.jvp(F, (e3,), (v3,))[1]
+
+                dx, _ = jax.scipy.sparse.linalg.gmres(
+                    mv, tuple(-f for f in fv),
+                    tol=cfg.gmres_rtol, atol=cfg.gmres_atol,
+                    restart=cfg.gmres_restart,
+                    maxiter=max(cfg.gmres_max_iterations
+                                // cfg.gmres_restart, 1),
+                    solve_method="batched",
+                )
+                e_new = tuple(a + d for a, d in zip(e3, dx))
+                return (it + 1, e_new, F(e_new), f0)
+
+            _, e_theta, _, _ = jax.lax.while_loop(
+                n_cond, n_body, (jnp.zeros((), jnp.int32), e_old, f0v, f0s)
+            )
+            # final consistent particle state / J at the solution
+            _, b_theta, j3, ubar, xhalf = compute_rhs(
+                e_theta, state, b_old3, ubar0, xhalf0
+            )
+            return _finish(state, e_old, b_old3, e_theta, b_theta, j3,
+                           ubar, xhalf)
+
         # Picard fixed-point loop: E = E_old + RHS(E)  (PicardSolver.H:132)
         def cond(carry):
             it, e3, ub, xh, j3, b3, norm_abs, norm0 = carry
@@ -211,6 +281,11 @@ def make_implicit_step(cfg, staggering, dtype):
         it, e_theta, ubar, xhalf, j3, b_theta, _, _ = jax.lax.while_loop(
             cond, body, carry0
         )
+        return _finish(state, e_old, b_old3, e_theta, b_theta, j3, ubar,
+                       xhalf)
+
+    def _finish(state, e_old, b_old3, e_theta, b_theta, j3, ubar, xhalf):
+        fields = state.fields
         if not semi:
             # UpdateWarpXFields with the final E (ThetaImplicitEM.cpp:110):
             # B^{n+theta} = B^n - theta*dt*curl(E_final)
