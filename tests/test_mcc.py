@@ -191,3 +191,32 @@ def test_cross_section_file_roundtrip(tmp_path):
     np.savetxt(bad, np.column_stack([[0.0, 1.0, 3.0], [1, 1, 1]]))
     with pytest.raises(ValueError):
         load_cross_section(str(bad))
+
+
+def test_ion_stopping_golden():
+    """background_stopping (electrons + ions backgrounds, constant and
+    parsed profiles) against the reference golden checksums
+    (Examples/Tests/ion_stopping; BackgroundStopping.cpp formulas)."""
+    import os
+
+    from warpx_tpu.diagnostics.checksum import compare_checksums
+
+    from .conftest import REFERENCE, reference_available
+
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    sim = Simulation.from_deck(
+        os.path.join(
+            REFERENCE, "Examples/Tests/ion_stopping/inputs_test_3d_ion_stopping"
+        )
+    )
+    sim.init()
+    sim.evolve()
+    compare_checksums(
+        sim.checksums(),
+        os.path.join(
+            REFERENCE,
+            "Regression/Checksum/benchmarks_json/test_3d_ion_stopping.json",
+        ),
+        rtol=1e-9,
+    )

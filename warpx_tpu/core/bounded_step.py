@@ -474,6 +474,10 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             from ..ops.mcc import mcc_collision_update
 
             state = mcc_collision_update(state, cfg, cfg.dt)
+        if any(c.kind == "background_stopping" for c in cfg.collisions):
+            from ..ops.stopping import stopping_collision_update
+
+            state = stopping_collision_update(state, cfg, cfg.dt)
 
         ionizable = [sp for sp in cfg.species if sp.do_field_ionization]
         if ionizable:

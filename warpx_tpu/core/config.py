@@ -222,6 +222,9 @@ class CollisionConfig:
     max_background_density: float = 0.0
     ionization_species: str = ""
     processes: Tuple[MCCProcessConfig, ...] = ()
+    # background stopping (reference: BackgroundStopping.H)
+    background_type: str = "electrons"  # electrons | ions
+    background_charge_state: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

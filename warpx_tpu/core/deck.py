@@ -261,7 +261,8 @@ def _gate_unimplemented(deck: Deck) -> None:
     for nm in deck.get_strings("collisions.collision_names", []):
         kind = (deck.get_string(f"{nm}.type", "pairwisecoulomb")
                 or "pairwisecoulomb").lower()
-        if kind not in ("pairwisecoulomb", "background_mcc"):
+        if kind not in ("pairwisecoulomb", "background_mcc",
+                        "background_stopping"):
             raise NotImplementedError(f"collision type {kind}")
     if deck.get_strings("fluids.species_names", []):
         raise NotImplementedError("cold relativistic fluid species")
@@ -431,7 +432,16 @@ def config_from_deck(deck: Deck) -> SimConfig:
     import dataclasses
 
     species = tuple(
-        dataclasses.replace(_species_from_deck(deck, nm, ndim), pusher=pusher)
+        dataclasses.replace(
+            _species_from_deck(deck, nm, ndim),
+            # per-species classical radiation reaction upgrades Boris to
+            # the Tamburini RR pusher (PhysicalParticleContainer.cpp:325)
+            pusher="boris_rr" if (
+                pusher == "boris" and deck.get_bool(
+                    f"{nm}.do_classical_radiation_reaction", False
+                )
+            ) else pusher,
+        )
         for nm in species_names
     )
 
@@ -462,6 +472,29 @@ def config_from_deck(deck: Deck) -> SimConfig:
         mcc_kw = {}
         if kind == "background_mcc":
             mcc_kw = _mcc_from_deck(deck, nm)
+        elif kind == "background_stopping":
+            dens = deck.get_real(f"{nm}.background_density", None)
+            temp = deck.get_real(f"{nm}.background_temperature", None)
+            mcc_kw = dict(
+                background_density=(
+                    str(dens) if dens is not None else
+                    deck.get_string(
+                        f"{nm}.background_density(x,y,z,t)", "") or ""
+                ),
+                background_temperature=(
+                    str(temp) if temp is not None else
+                    deck.get_string(
+                        f"{nm}.background_temperature(x,y,z,t)", "") or ""
+                ),
+                background_mass=deck.get_real(
+                    f"{nm}.background_mass", -1.0),
+                background_type=(
+                    deck.get_string(f"{nm}.background_type", "electrons")
+                    or "electrons"
+                ).lower(),
+                background_charge_state=deck.get_real(
+                    f"{nm}.background_charge_state", 0.0),
+            )
         collisions.append(
             CollisionConfig(
                 name=nm,

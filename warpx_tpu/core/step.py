@@ -243,6 +243,10 @@ def pic_step(
         from ..ops.mcc import mcc_collision_update
 
         state = mcc_collision_update(state, cfg, dt)
+    if any(c.kind == "background_stopping" for c in cfg.collisions):
+        from ..ops.stopping import stopping_collision_update
+
+        state = stopping_collision_update(state, cfg, dt)
 
     # field ionization before the main push (WarpXEvolve.cpp:157
     # doFieldIonization uses the aux fields at t^n)

@@ -123,10 +123,46 @@ def push_momentum_higuera_cary(ux, uy, uz, Ex, Ey, Ez, Bx, By, Bz, q, m, dt):
     return ux_new, uy_new, uz_new
 
 
+def push_momentum_boris_rr(ux, uy, uz, Ex, Ey, Ez, Bx, By, Bz, q, m, dt):
+    """Boris push with classical (Landau-Lifshitz) radiation reaction
+    (UpdateMomentumBorisWithRadiationReaction.H; Tamburini et al., NJP 12
+    123005): regular Boris, then the RR force evaluated at the
+    time-centered momentum."""
+    ux_n0, uy_n0, uz_n0 = ux, uy, uz
+    ux, uy, uz = push_momentum_boris(
+        ux, uy, uz, Ex, Ey, Ez, Bx, By, Bz, q, m, dt
+    )
+    uxn = 0.5 * (ux + ux_n0)
+    uyn = 0.5 * (uy + uy_n0)
+    uzn = 0.5 * (uz + uz_n0)
+    gam = jnp.sqrt(1.0 + (uxn * uxn + uyn * uyn + uzn * uzn) * _inv_c2)
+    inv_g = 1.0 / gam
+    vx, vy, vz = uxn * inv_g, uyn * inv_g, uzn * inv_g
+    bx_n = vx / constants.c
+    by_n = vy / constants.c
+    bz_n = vz / constants.c
+    flx = Ex + vy * Bz - vz * By
+    fly = Ey + vz * Bx - vx * Bz
+    flz = Ez + vx * By - vy * Bx
+    fl2 = flx * flx + fly * fly + flz * flz
+    bdotE = bx_n * Ex + by_n * Ey + bz_n * Ez
+    coeff = gam * gam * (fl2 - bdotE * bdotE)
+    q_over_mc = q / (m * constants.c)
+    rr = (2.0 / 3.0) * constants.r_e * q_over_mc * q_over_mc
+    frx = rr * (constants.c * (fly * Bz - flz * By) + bdotE * Ex
+                - coeff * bx_n)
+    fry = rr * (constants.c * (flz * Bx - flx * Bz) + bdotE * Ey
+                - coeff * by_n)
+    frz = rr * (constants.c * (flx * By - fly * Bx) + bdotE * Ez
+                - coeff * bz_n)
+    return ux + frx * dt, uy + fry * dt, uz + frz * dt
+
+
 PUSHERS = {
     "boris": push_momentum_boris,
     "vay": push_momentum_vay,
     "higuera": push_momentum_higuera_cary,
+    "boris_rr": push_momentum_boris_rr,
 }
 
 
