@@ -506,6 +506,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
         j_total = None
         rho_old_pad = rho_new_pad = None
         new_species = {}
+        aux_updates = {}
         for sp_cfg in cfg.species:
             sp = state.species[sp_cfg.name]
             if sp.capacity == 0:
@@ -548,12 +549,36 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                         pos, ux, uy, uz, dt, ndim
                     )
                 else:
+                    rigid = sp_cfg.zinject_plane is not None
+                    if rigid:
+                        from .step import (
+                            rigid_scale_fields, rigid_undo_push,
+                        )
+
+                        v_boost = (
+                            math.sqrt(1.0 - 1.0 / cfg.gamma_boost**2)
+                            * 299792458.0
+                            if cfg.gamma_boost > 1.0 else 0.0
+                        )
+                        zp_prev = state.aux[f"zinject:{sp_cfg.name}"]
+                        zp_new = zp_prev - dt * v_boost
+                        vz_ave = state.aux[f"vzave:{sp_cfg.name}"]
+                        e6 = rigid_scale_fields(
+                            e6, pos[ndim - 1], zp_prev, vz_ave, v_boost, dt
+                        )
                     pusher = PUSHERS[sp_cfg.pusher]
                     ux, uy, uz = pusher(
                         sp.ux, sp.uy, sp.uz, *e6,
                         sp_cfg.charge, sp_cfg.mass, dt,
                     )
                     new_pos = position_step(pos, ux, uy, uz, dt, ndim)
+                    if rigid:
+                        new_pos, (ux, uy, uz) = rigid_undo_push(
+                            pos, (sp.ux, sp.uy, sp.uz), new_pos,
+                            (ux, uy, uz), zp_new, vz_ave, dt,
+                            sp_cfg.rigid_advance, ndim,
+                        )
+                        aux_updates[f"zinject:{sp_cfg.name}"] = zp_new
                 sp_new = sp.replace(ux=ux, uy=uy, uz=uz).with_positions(
                     ndim, new_pos
                 )
@@ -615,6 +640,8 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 species=new_species,
                 step=state.step + 1,
                 time=state.time + dt,
+                aux={**state.aux, **aux_updates} if aux_updates
+                else state.aux,
             )
 
         if j_total is None:
@@ -655,6 +682,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
         # sums, realizing the reference's domain<->PML Exchange via shared
         # storage.
         aux = dict(state.aux)
+        aux.update(aux_updates)
 
         def advance(fields, out_names, terms_map, in_names, coef, dth,
                     with_j=False, extra=None, source=None):

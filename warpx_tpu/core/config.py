@@ -128,6 +128,11 @@ class SpeciesConfig:
     # MultipleParticles injection: per-particle (x, y, z, ux, uy, uz, w)
     # columns (PhysicalParticleContainer.cpp multiple_particles_* keys)
     multiple_particles: Tuple[Tuple[float, ...], ...] = ()
+    # rigid injection (reference: RigidInjectedParticleContainer): the
+    # species ballistically advances at its mean vz until it crosses the
+    # (boost-frame) injection plane
+    zinject_plane: Optional[float] = None
+    rigid_advance: bool = True
     # QED processes (reference: <species>.do_qed_quantum_sync /
     # do_qed_breit_wheeler and product-species keys)
     do_qed_quantum_sync: bool = False
@@ -236,7 +241,10 @@ class SimConfig:
     em_solver: str = "yee"  # yee | ckc | psatd | none
     current_deposition: str = "esirkepov"  # esirkepov | direct | vay
     field_gathering: str = "energy-conserving"  # or momentum-conserving
-    grid_type: str = "staggered"  # staggered | collocated
+    grid_type: str = "staggered"  # staggered | collocated | hybrid
+    # staggered->nodal interpolation order per active dim for MC gathering
+    # (warpx.field_centering_no*; default 2, hybrid grids default 8)
+    field_centering_no: Tuple[int, ...] = ()
     use_filter: bool = False
     filter_npass_each_dir: Tuple[int, ...] = ()
     # Godfrey NCI corrector applied to the gather fields

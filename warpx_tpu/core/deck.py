@@ -131,6 +131,13 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
             for c in ("pos_x", "pos_y", "pos_z", "ux", "uy", "uz", "weight")
         ) if style == "multipleparticles" else (),
         do_field_ionization=bool(deck.get_int(f"{name}.do_field_ionization", 0)),
+        zinject_plane=(
+            deck.get_real(f"{name}.zinject_plane", None)
+            if name in deck.get_strings(
+                "particles.rigid_injected_species", []
+            ) else None
+        ),
+        rigid_advance=deck.get_bool(f"{name}.rigid_advance", True),
         do_qed_quantum_sync=deck.get_bool(f"{name}.do_qed_quantum_sync",
                                           False),
         qed_product=gs("qed_quantum_sync_phot_product_species", "") or "",
@@ -249,10 +256,6 @@ def _gate_unimplemented(deck: Deck) -> None:
             or deck.get_string("eb2.geom_type", "")):
         raise NotImplementedError("embedded boundaries (EB)")
     for sp in deck.get_strings("particles.species_names", []):
-        if deck.get_bool(f"{sp}.rigid_advance", False) or deck.get_real(
-            f"{sp}.zinject_plane", None
-        ) is not None:
-            raise NotImplementedError("rigid injection")
         style = (
             deck.get_string(f"{sp}.injection_style", "none") or "none"
         ).lower().replace('"', "")
@@ -354,8 +357,12 @@ def config_from_deck(deck: Deck) -> SimConfig:
     grid_type = (
         deck.get_string("warpx.grid_type", "staggered") or "staggered"
     ).lower()
-    if grid_type == "hybrid":
-        raise NotImplementedError("hybrid grid type")
+    if grid_type == "hybrid" and deck.get_bool(
+        "warpx.do_current_centering", False
+    ):
+        raise NotImplementedError(
+            "hybrid grid with warpx.do_current_centering = 1"
+        )
 
     max_step = deck.get_int("max_step", deck.get_int("warpx.max_step", 0))
     cfl = deck.get_real("warpx.cfl", 0.999)
@@ -395,6 +402,15 @@ def config_from_deck(deck: Deck) -> SimConfig:
         else:
             # Yee and collocated (nodal) share the same CFL formula
             dt = compute_dt_yee(geom, cfl)
+    # stop_time: run while cur_time < stop_time (WarpXEvolve.cpp:112)
+    stop_time = deck.get_real(
+        "stop_time", deck.get_real("warpx.stop_time", None)
+    )
+    if stop_time is not None:
+        import math as _math
+
+        n_stop = max(int(_math.ceil(stop_time / dt * (1.0 - 1e-12))), 0)
+        max_step = min(max_step, n_stop) if max_step > 0 else n_stop
 
     grid_type = (deck.get_string("warpx.grid_type", "staggered") or "staggered").lower()
 
@@ -555,10 +571,23 @@ def config_from_deck(deck: Deck) -> SimConfig:
         em_solver=em_solver,
         current_deposition=current_dep,
         field_gathering=(
-            deck.get_string("algo.field_gathering", "energy-conserving")
+            deck.get_string(
+                "algo.field_gathering",
+                # hybrid grids default to momentum-conserving gathering
+                # (parameters.rst:2223)
+                "momentum-conserving" if grid_type == "hybrid"
+                else "energy-conserving",
+            )
             or "energy-conserving"
         ).lower(),
         grid_type=grid_type,
+        field_centering_no=tuple(
+            deck.get_int(
+                f"warpx.field_centering_no{ax}",
+                8 if grid_type == "hybrid" else 2,
+            )
+            for ax in {1: "z", 2: "xz", 3: "xyz"}[ndim]
+        ),
         # reference default is use_filter = TRUE (WarpX.cpp:158), except
         # RZ FDTD (WarpX.cpp:711)
         use_filter=deck.get_bool("warpx.use_filter", True),

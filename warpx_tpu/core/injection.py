@@ -309,6 +309,12 @@ def inject_gaussian_beam(
     x = rng.normal(sp.x_m, sp.x_rms, n)
     y = rng.normal(sp.y_m, sp.y_rms, n)
     z = rng.normal(sp.z_m, sp.z_rms, n)
+    # inactive transverse coordinates are identically zero in the reference
+    # (PhysicalParticleContainer.cpp:543-551 constexpr x/y = 0)
+    if ndim < 3:
+        y = np.zeros(n)
+    if ndim == 1:
+        x = np.zeros(n)
     keep = np.abs(z - sp.z_m) <= sp.z_cut * (sp.z_rms if sp.z_rms else np.inf)
     if sp.momentum_distribution == "gaussian":
         ux = rng.normal(sp.ux, sp.ux_th or 0.0, n)
@@ -332,6 +338,13 @@ def inject_gaussian_beam(
         vzpr = uz / gammapr * constants.c  # [m/s]
         z = zpr - tpr * vzpr
     weight = sp.q_tot / (sp.charge * n)
+    if ndim == 2:
+        # 2D: weight = q_tot/(npart*charge*y_rms)
+        # (PhysicalParticleContainer.cpp:543)
+        weight /= sp.y_rms
+    elif ndim == 1:
+        # 1D: /(x_rms*y_rms) (PhysicalParticleContainer.cpp:548)
+        weight /= (sp.x_rms * sp.y_rms)
     w = np.where(keep, weight, 0.0).astype(dtype)
     ps = ParticleState(
         w=w,
@@ -341,6 +354,24 @@ def inject_gaussian_beam(
         alive=np.asarray(keep),
         extra={},
     )
+    # runtime attributes evaluated at injection (t=0), as in inject_species
+    if sp.attributes:
+        from ..utils.expression import compile_expression
+
+        extra_vals = {}
+        for (aname, expr, is_int) in sp.attributes:
+            fn = compile_expression(
+                expr, ["x", "y", "z", "ux", "uy", "uz", "t"],
+                dict(sp.user_constants),
+            )
+            val = np.asarray(fn(x, y, z, ux * constants.c,
+                                uy * constants.c, uz * constants.c, 0.0))
+            val = np.broadcast_to(val, (n,))
+            extra_vals[aname] = (
+                np.round(val).astype(np.int32) if is_int
+                else val.astype(dtype)
+            )
+        ps = ps.replace(extra=extra_vals)
     if ndim == 1:
         return ps.with_positions(1, [z.astype(dtype)])
     if ndim == 2:

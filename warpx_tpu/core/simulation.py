@@ -601,6 +601,22 @@ class Simulation:
                 ps = ps.replace(
                     extra={**ps.extra, "opticalDepthBW": tau}
                 )
+            if sp_cfg.zinject_plane is not None:
+                # rigid injection: boost-frame plane position and the mean
+                # beam velocity (RigidInjectedParticleContainer.cpp:76,105)
+                aux[f"zinject:{sp_cfg.name}"] = jnp.asarray(
+                    sp_cfg.zinject_plane / cfg.gamma_boost, self.dtype
+                )
+                a0 = np.asarray(ps.alive)
+                uzv = np.asarray(ps.uz)
+                gv = np.sqrt(
+                    1.0 + (np.asarray(ps.ux)**2 + np.asarray(ps.uy)**2
+                           + uzv**2) / 299792458.0**2
+                )
+                vzs = (uzv / gv)[a0]
+                aux[f"vzave:{sp_cfg.name}"] = jnp.asarray(
+                    float(vzs.mean()) if vzs.size else 0.0, self.dtype
+                )
             species[sp_cfg.name] = jax.tree_util.tree_map(jnp.asarray, ps)
             if sp_cfg.do_continuous_injection and cfg.do_moving_window:
                 aux[f"inject_pos:{sp_cfg.name}"] = jnp.asarray(

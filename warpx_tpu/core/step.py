@@ -80,18 +80,87 @@ def _field_dict(fields: FieldState):
     }
 
 
-def _nodal_aux(farr: Dict, staggering: Dict) -> Dict:
-    """Average staggered fields to the nodal grid for momentum-conserving
-    gathering (reference: WarpXComm.cpp UpdateAuxilaryDataStagToNodal with the
-    default 2nd-order centering; periodic torus roll form)."""
+def fornberg_centering_coeffs(n_order: int):
+    """Half-cell Fornberg interpolation coefficients (one side, j=0..m-1;
+    applied weight per sample is c_j/2).  Reference:
+    WarpX::getFornbergStencilCoefficients (WarpX.cpp:3119, staggered)."""
+    import numpy as _np
+
+    m = n_order // 2
+    prod = 1.0
+    for k in range(1, m + 1):
+        prod *= (m + k) / (4.0 * k)
+    c = _np.zeros(m)
+    c[0] = 4.0 * m * prod * prod
+    for n in range(1, m):
+        c[n] = -((2 * n - 1) * (m - n)) / ((2 * n + 1) * (m + n)) * c[n - 1]
+    return c
+
+
+def _nodal_aux(farr: Dict, staggering: Dict, orders=None) -> Dict:
+    """Interpolate staggered fields to the nodal grid for momentum-conserving
+    gathering (reference: WarpXComm.cpp UpdateAuxilaryDataStagToNodal):
+    2nd-order averaging by default; finite-order Fornberg centering per dim
+    when ``orders`` is given (warpx.field_centering_no*, grid_type=hybrid
+    defaults to 8)."""
     out = {}
     for name, arr in farr.items():
         a = arr
         for d, flag in enumerate(staggering[name]):
-            if flag == 0:  # cell-centered in d: average to nodes
+            if flag != 0:
+                continue
+            no = orders[d] if orders else 2
+            if no <= 2:
                 a = 0.5 * (a + jnp.roll(a, 1, axis=d))
+            else:
+                c = fornberg_centering_coeffs(no)
+                acc = 0.0
+                for j, cj in enumerate(c):
+                    # value at node i from samples at i+j+1/2 and i-j-1/2:
+                    # staggered array index i+j (right) and i-1-j (left)
+                    acc = acc + 0.5 * cj * (
+                        jnp.roll(a, -(j), axis=d)
+                        + jnp.roll(a, j + 1, axis=d)
+                    )
+                a = acc
         out[name] = a
     return out
+
+
+def rigid_scale_fields(e6, z, z_plane_prev, vz_ave, v_boost, dt):
+    """Scale gathered fields for particles about to cross the injection
+    plane (ScaleFields.H:50: dtscale approximates a fractional push)."""
+    denom = vz_ave + v_boost
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+    dtscale = 1.0 - (z_plane_prev - z) / denom / dt
+    s = jnp.where((dtscale > 0.0) & (dtscale < 1.0), dtscale, 1.0)
+    return tuple(f * s for f in e6)
+
+
+def rigid_undo_push(pos_old, u_old3, pos_new, u_new3, z_plane_new,
+                    vz_ave, dt, rigid_advance, ndim):
+    """Undo the push for particles that have not crossed the injection
+    plane yet (RigidInjectedParticleContainer.cpp:250-290): restore u and
+    transverse positions; z advances rigidly at vz_ave (or ballistically).
+    Returns (pos, u3)."""
+    from ..ops.push import inv_gamma
+
+    zax = ndim - 1
+    not_inj = pos_new[zax] <= z_plane_new
+    u3 = tuple(
+        jnp.where(not_inj, uo, un) for uo, un in zip(u_old3, u_new3)
+    )
+    if rigid_advance:
+        z_rigid = pos_old[zax] + dt * vz_ave
+    else:
+        gi = inv_gamma(*u_old3)
+        z_rigid = pos_old[zax] + dt * u_old3[2] * gi
+    pos = [
+        jnp.where(not_inj, po, pn)
+        for po, pn in zip(pos_old[:zax], pos_new[:zax])
+    ]
+    pos.append(jnp.where(not_inj, z_rigid, pos_new[zax]))
+    return pos, u3
 
 
 def wrap_positions(sp: ParticleState, geom) -> ParticleState:
@@ -121,7 +190,7 @@ def push_momenta_half(
     farr = _field_dict(state.fields)
     gather_stag = staggering
     if cfg.field_gathering == "momentum-conserving":
-        farr = _nodal_aux(farr, staggering)
+        farr = _nodal_aux(farr, staggering, cfg.field_centering_no or None)
         gather_stag = {k: (1,) * geom.ndim for k in staggering}
     new_species = {}
     for sp_cfg in cfg.species:
@@ -178,7 +247,7 @@ def pic_step(
     if cfg.use_nci_corr:
         farr = _apply_nci(farr, cfg)
     if cfg.field_gathering == "momentum-conserving":
-        farr = _nodal_aux(farr, staggering)
+        farr = _nodal_aux(farr, staggering, cfg.field_centering_no or None)
         gather_stag = {k: (1,) * geom.ndim for k in staggering}
 
     # Galilean PSATD: the grid coordinates drift at v_galilean every step
@@ -315,6 +384,7 @@ def pic_step(
     j_total = None
     j_old_total = None
     new_species = {}
+    aux_updates = {}
     for sp_cfg in cfg.species:
         sp = state.species[sp_cfg.name]
         if sp.capacity == 0:
@@ -351,12 +421,33 @@ def pic_step(
             ux, uy, uz = sp.ux, sp.uy, sp.uz
             new_pos = photon_position_step(pos, ux, uy, uz, dt, geom.ndim)
         else:
+            rigid = sp_cfg.zinject_plane is not None
+            if rigid:
+                import math as _math
+
+                v_boost = (
+                    _math.sqrt(1.0 - 1.0 / cfg.gamma_boost**2) * 299792458.0
+                    if cfg.gamma_boost > 1.0 else 0.0
+                )
+                zp_prev = state.aux[f"zinject:{sp_cfg.name}"]
+                zp_new = zp_prev - dt * v_boost
+                vz_ave = state.aux[f"vzave:{sp_cfg.name}"]
+                ex, ey, ez, bx, by, bz = rigid_scale_fields(
+                    (ex, ey, ez, bx, by, bz), pos[geom.ndim - 1],
+                    zp_prev, vz_ave, v_boost, dt,
+                )
             pusher = PUSHERS[sp_cfg.pusher]
             ux, uy, uz = pusher(
                 sp.ux, sp.uy, sp.uz, ex, ey, ez, bx, by, bz,
                 sp_cfg.charge, sp_cfg.mass, dt,
             )
             new_pos = position_step(pos, ux, uy, uz, dt, geom.ndim)
+            if rigid:
+                new_pos, (ux, uy, uz) = rigid_undo_push(
+                    pos, (sp.ux, sp.uy, sp.uz), new_pos, (ux, uy, uz),
+                    zp_new, vz_ave, dt, sp_cfg.rigid_advance, geom.ndim,
+                )
+                aux_updates[f"zinject:{sp_cfg.name}"] = zp_new
 
         # QED optical-depth evolution with the updated momentum and the
         # fields gathered at x^n (PushPX evolve_opt_depth; the emission
@@ -478,6 +569,7 @@ def pic_step(
         species=new_species,
         step=state.step + 1,
         time=state.time + dt,
+        aux={**state.aux, **aux_updates} if aux_updates else state.aux,
     )
 
 

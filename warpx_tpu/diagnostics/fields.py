@@ -149,6 +149,7 @@ def _nodal_aux_bounded(f, staggering, cfg):
     verified bit-exact against test_3d_electrostatic_sphere golden E sums."""
     ndim = cfg.geometry.ndim
     bc_lo = cfg.field_bc_lo or ("periodic",) * ndim
+    orders = cfg.field_centering_no or (2,) * ndim
     out = {}
     for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
         a = getattr(f, name)
@@ -156,7 +157,19 @@ def _nodal_aux_bounded(f, staggering, cfg):
             if flag != 0:
                 continue
             if bc_lo[d] == "periodic":
-                a = 0.5 * (a + jnp.roll(a, 1, axis=d))
+                if orders[d] > 2:
+                    from ..core.step import fornberg_centering_coeffs
+
+                    cc_ = fornberg_centering_coeffs(orders[d])
+                    acc = 0.0
+                    for jj, cj in enumerate(cc_):
+                        acc = acc + 0.5 * cj * (
+                            jnp.roll(a, -jj, axis=d)
+                            + jnp.roll(a, jj + 1, axis=d)
+                        )
+                    a = acc
+                else:
+                    a = 0.5 * (a + jnp.roll(a, 1, axis=d))
             else:
                 lo = [slice(None)] * a.ndim
                 hi = [slice(None)] * a.ndim
