@@ -270,6 +270,9 @@ class SimConfig:
     end_moving_window_step: int = -1
     lasers: Tuple[LaserConfig, ...] = ()
     collisions: Tuple["CollisionConfig", ...] = ()
+    # cold relativistic fluid species (reference: fluids.species_names,
+    # WarpXFluidContainer) — reuses the SpeciesConfig profile fields
+    fluids: Tuple[SpeciesConfig, ...] = ()
     pml_ncell: int = 10
     # constant external fields applied to particles during gather
     # (reference: particles.E_ext_particle_init_style = constant)

@@ -267,8 +267,10 @@ def _gate_unimplemented(deck: Deck) -> None:
         if kind not in ("pairwisecoulomb", "background_mcc",
                         "background_stopping"):
             raise NotImplementedError(f"collision type {kind}")
-    if deck.get_strings("fluids.species_names", []):
-        raise NotImplementedError("cold relativistic fluid species")
+    if deck.get_strings("fluids.species_names", []) and deck.get_real(
+        "warpx.gamma_boost", 1.0
+    ) > 1.0:
+        raise NotImplementedError("fluid species in a boosted frame")
     if deck.get_strings("lattice.elements", []) and deck.get_real(
         "warpx.gamma_boost", 1.0
     ) > 1.0:
@@ -461,6 +463,11 @@ def config_from_deck(deck: Deck) -> SimConfig:
         for nm in species_names
     )
 
+    fluid_species = tuple(
+        _species_from_deck(deck, nm, ndim)
+        for nm in deck.get_strings("fluids.species_names", [])
+    )
+
     e_ext = tuple(
         deck.get_reals("particles.E_external_particle", (0.0, 0.0, 0.0))
     ) if (deck.get_string("particles.E_ext_particle_init_style", "") or "").strip('"').lower() == "constant" else (0.0, 0.0, 0.0)
@@ -612,6 +619,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
         end_moving_window_step=deck.get_int("warpx.end_moving_window_step", -1),
         lasers=lasers,
         collisions=tuple(collisions),
+        fluids=fluid_species,
         pml_ncell=deck.get_int("pml_ncell", deck.get_int("warpx.pml_ncell", 10)),
         electrostatic=es_solver,
         boundary_potentials=boundary_potentials,

@@ -715,6 +715,17 @@ class Simulation:
             rng=jax.random.PRNGKey(cfg.seed),
             aux=aux,
         )
+        if cfg.fluids:
+            # cold-fluid nodal state lives in aux (WarpXFluidContainer)
+            from ..solvers.fluids import init_fluid
+
+            new_aux = dict(self.state.aux)
+            for fl in cfg.fluids:
+                Nf, NU3 = init_fluid(fl, geom, self.dtype)
+                new_aux[f"fluid_N:{fl.name}"] = Nf
+                for ax, arr in zip("xyz", NU3):
+                    new_aux[f"fluid_NU{ax}:{fl.name}"] = arr
+            self.state = self.state.replace(aux=new_aux)
         self.is_synchronized = True
         if getattr(self, "_solve_es", None) is not None:
             # initial space-charge field (WarpXInitData.cpp:598)

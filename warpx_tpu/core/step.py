@@ -552,6 +552,34 @@ def pic_step(
         sp_new = sp_new.with_positions(geom.ndim, new_pos)
         new_species[sp_cfg.name] = wrap_positions(sp_new, geom)
 
+    # cold-fluid species: deposit rho^n, push+advect, deposit rho^{n+1} and
+    # J from the advanced state (WarpXFluidContainer::Evolve ordering)
+    if cfg.fluids:
+        from ..solvers.fluids import (
+            fluid_current, fluid_evolve, fluid_rho,
+        )
+
+        for fl in cfg.fluids:
+            Nf = state.aux[f"fluid_N:{fl.name}"]
+            NU3 = tuple(
+                state.aux[f"fluid_NU{ax}:{fl.name}"] for ax in "xyz"
+            )
+            if need_rho and not fl.do_not_deposit:
+                rho_old = rho_old + fluid_rho(Nf, fl.charge)
+            Nf, NU3 = fluid_evolve(
+                Nf, NU3, state.fields, geom, staggering, fl, dt
+            )
+            if need_rho and not fl.do_not_deposit:
+                rho_new = rho_new + fluid_rho(Nf, fl.charge)
+            if not fl.do_not_deposit:
+                jf = fluid_current(Nf, NU3, geom, staggering, fl.charge)
+                j_total = jf if j_total is None else tuple(
+                    a + b for a, b in zip(j_total, jf)
+                )
+            aux_updates[f"fluid_N:{fl.name}"] = Nf
+            for ax, arr in zip("xyz", NU3):
+                aux_updates[f"fluid_NU{ax}:{fl.name}"] = arr
+
     if j_total is None:
         shape = state.fields.Ex.shape
         dtype = state.fields.Ex.dtype

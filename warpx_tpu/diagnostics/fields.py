@@ -65,6 +65,17 @@ def deposit_total_rho(
     origin = current_origin(state, cfg)
     bc_lo = cfg.field_bc_lo or ("periodic",) * ndim
     all_periodic = all(bc == "periodic" for bc in bc_lo)
+    fluid_rho_tot = None
+    if cfg.fluids and (only is None):
+        from ..solvers.fluids import fluid_rho as _frho
+
+        for fl in cfg.fluids:
+            if fl.do_not_deposit:
+                continue
+            contrib = _frho(state.aux[f"fluid_N:{fl.name}"], fl.charge)
+            fluid_rho_tot = contrib if fluid_rho_tot is None else (
+                fluid_rho_tot + contrib
+            )
     ng = cfg.particle_shape + 3 + (
         max(cfg.filter_npass_each_dir or (1,)) if cfg.use_filter else 0
     )
@@ -81,6 +92,8 @@ def deposit_total_rho(
                 sp.positions(ndim), w_eff, sp_cfg.charge, geom,
                 cfg.particle_shape, out=rho, origin=origin,
             )
+        if fluid_rho_tot is not None:
+            rho = rho + fluid_rho_tot
         return rho
 
     padded_shape = tuple(
@@ -138,6 +151,8 @@ def deposit_total_rho(
             rho = rho.at[at(ng + n)].set(0.0)
             rho = rho.at[at(ng)].set(0.0)
             rho = rho[sl(ng, ng + nv)]
+    if fluid_rho_tot is not None and rho.shape == fluid_rho_tot.shape:
+        rho = rho + fluid_rho_tot
     return rho
 
 
