@@ -170,9 +170,32 @@ class Simulation:
 
         self.output_dir = output_dir
         self.diags = []
+        self.btd = []
         for nm in deck.get_strings("diagnostics.diags_names", []):
             dtype_ = (deck.get_string(f"{nm}.diag_type", "Full") or "Full").lower()
             fmt = (deck.get_string(f"{nm}.format", "plotfile") or "plotfile").lower()
+            if dtype_ == "backtransformed":
+                from ..diagnostics.btd import BTDSnapshots
+
+                dt_lab = deck.get_real(f"{nm}.dt_snapshots_lab", None)
+                if dt_lab is None:
+                    dzs = deck.get_real(f"{nm}.dz_snapshots_lab", 0.0)
+                    dt_lab = dzs / (
+                        self.cfg.moving_window_v * 299792458.0 or 1.0
+                    )
+                nsnap = deck.get_int(f"{nm}.num_snapshots_lab", 0)
+                if nsnap <= 0:
+                    # intervals-based snapshot count (diag1.intervals = :N)
+                    nsnap = deck.get_int(f"{nm}.num_snapshots", 0) or 8
+                bfields = deck.get_strings(
+                    f"{nm}.fields_to_plot",
+                    ["Ex", "Ey", "Ez", "Bx", "By", "Bz", "jx", "jy", "jz",
+                     "rho"],
+                )
+                self.btd.append(BTDSnapshots(
+                    nm, self.cfg, nsnap, dt_lab, bfields, output_dir
+                ))
+                continue
             iv = IntervalsParser(
                 deck.get_strings(f"{nm}.intervals", ["0"]), deck.my_constants
             )
@@ -817,6 +840,8 @@ class Simulation:
                 # (WarpXEvolve.cpp:269-283)
                 self.state = self._solve_es(self.state)
             self.flush_diagnostics(step + 1)
+            for btd in getattr(self, "btd", []):
+                btd.update(self)
             if timer is not None:
                 timer.step_done(step + 1, float(self.state.time), cfg.dt)
             if signals is not None and signals.pop_checkpoint():
