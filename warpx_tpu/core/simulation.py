@@ -246,17 +246,23 @@ class Simulation:
                     v = deck.get_string(f"{nm}.{key}", "")
                     if v:
                         params[key] = v
-                for key in ("bin_number",):
+                for key in ("bin_number", "bin_number_abs",
+                            "bin_number_ord"):
                     v = deck.get_int(f"{nm}.{key}", 0)
                     if v:
                         params[key] = v
                 for key in ("bin_min", "bin_max",
+                            "bin_min_abs", "bin_max_abs",
+                            "bin_min_ord", "bin_max_ord",
                             "x_probe", "y_probe", "z_probe"):
                     v = deck.get_real(f"{nm}.{key}", None)
                     if v is not None:
                         params[key] = v
                 for base in ("histogram_function", "filter_function",
-                             "reduced_function"):
+                             "reduced_function",
+                             "histogram_function_abscissa",
+                             "histogram_function_ordinate",
+                             "value_function"):
                     found = deck.get_expr_string(nm, base)
                     if found:
                         params[base] = found[0]

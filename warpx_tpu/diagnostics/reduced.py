@@ -344,6 +344,64 @@ def field_reduction(state, cfg, staggering, params) -> Dict[str, float]:
     return {"value()": v}
 
 
+
+
+def timestep(state, cfg, staggering) -> "Dict[str, float]":
+    """Current simulation dt (ReducedDiags/Timestep.cpp)."""
+    return {"timestep_lev0(s)": float(cfg.dt)}
+
+
+def particle_histogram2d(state, cfg, staggering, params) -> "Dict[str, float]":
+    """2D weighted histogram of two parsed particle functions
+    (reference: ParticleHistogram2D.cpp; abscissa/ordinate functions of
+    (t,x,y,z,ux,uy,uz,w), value written row-major bin(i,j))."""
+    import numpy as np
+
+    from .. import constants as _cst
+    from ..utils.expression import compile_expression
+
+    name = params["species"]
+    sp = state.species[name]
+    alive = np.asarray(sp.alive)
+    w = np.asarray(sp.w)[alive]
+    ndim = cfg.geometry.ndim
+    pos = [np.asarray(p)[alive] for p in sp.positions(ndim)]
+    xyz = [np.zeros_like(w)] * 3
+    act = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[ndim]
+    for d, a in enumerate(act):
+        xyz[a] = pos[d]
+    u = [np.asarray(getattr(sp, "u" + c))[alive] / _cst.c for c in "xyz"]
+    t = float(state.time)
+    args = [t, xyz[0], xyz[1], xyz[2], u[0], u[1], u[2], w]
+    vnames = ("t", "x", "y", "z", "ux", "uy", "uz", "w")
+    fa = compile_expression(params["histogram_function_abscissa"], vnames)
+    fo = compile_expression(params["histogram_function_ordinate"], vnames)
+    va = np.asarray(fa(*args))
+    vo = np.asarray(fo(*args))
+    wv = w.copy()
+    if params.get("value_function"):
+        vfn = compile_expression(params["value_function"], vnames)
+        wv = w * np.broadcast_to(np.asarray(vfn(*args)), w.shape)
+    if params.get("filter_function"):
+        ffn = compile_expression(params["filter_function"], vnames)
+        keep = np.asarray(ffn(*args)) > 0
+        va, vo, wv = va[keep], vo[keep], wv[keep]
+    na = int(params.get("bin_number_abs", 10))
+    no = int(params.get("bin_number_ord", 10))
+    hist, _, _ = np.histogram2d(
+        va, vo, bins=(na, no),
+        range=((float(params.get("bin_min_abs", 0.0)),
+                float(params.get("bin_max_abs", 1.0))),
+               (float(params.get("bin_min_ord", 0.0)),
+                float(params.get("bin_max_ord", 1.0)))),
+        weights=wv,
+    )
+    return {
+        f"bin({i},{j})": float(hist[i, j])
+        for i in range(na) for j in range(no)
+    }
+
+
 REDUCED_DIAGS = {
     "BeamRelevant": beam_relevant,
     "ParticleHistogram": particle_histogram,
@@ -358,11 +416,14 @@ REDUCED_DIAGS = {
     "ParticleExtrema": particle_extrema,
     "RhoMaximum": rho_maximum,
     "LoadBalanceEfficiency": load_balance_efficiency,
+    "Timestep": timestep,
+    "ParticleHistogram2D": particle_histogram2d,
 }
 
 
 _PARAM_KINDS = {
     "BeamRelevant", "ParticleHistogram", "FieldProbe", "FieldReduction",
+    "ParticleHistogram2D",
 }
 
 
