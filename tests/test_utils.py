@@ -121,3 +121,33 @@ def test_start_index_negative():
     # floor semantics below zero (particles just outside the lower edge)
     assert start_index(np.array([-0.3]), 1)[0] == -1
     assert spline(np.array([2.5]), 3)[0] == 0.0
+
+
+def test_callbacks_registry():
+    """Callback hook points fire in evolve (pywarpx callbacks API:
+    installcallback/uninstallcallback/isinstalled/decorators)."""
+    import jax
+
+    from warpx_tpu.core.simulation import Simulation
+    from warpx_tpu.models import uniform_plasma
+    from warpx_tpu.utils.callbacks import (
+        callfromafterstep, clear_callbacks, installcallback, isinstalled,
+        uninstallcallback,
+    )
+
+    calls = []
+    installcallback("beforestep", lambda: calls.append("b"))
+
+    @callfromafterstep
+    def after():
+        calls.append("a")
+
+    assert isinstalled("afterstep", after)
+    cfg = uniform_plasma(n=8, ndim=2, max_step=2)
+    sim = Simulation(cfg)
+    sim.init()
+    sim.evolve()
+    assert calls == ["b", "a", "b", "a"]
+    uninstallcallback("afterstep", after)
+    assert not isinstalled("afterstep", after)
+    clear_callbacks()

@@ -815,10 +815,21 @@ class Simulation:
 
             timer = StepTimer()
         signals = getattr(self, "signals", None)
+        from ..utils.callbacks import _registry as _cb_reg
+        from ..utils.callbacks import execute_callbacks as _cb
         for step in range(start, stop):
             if signals is not None and signals.break_requested:
                 # graceful break on signal (WarpXEvolve.cpp:457-462)
+                if _cb_reg:
+                    _cb("onbreaksignal")
                 break
+            if _cb_reg:
+                _cb("beforestep")
+                # hooks whose phase runs inside the fused jitted step fire
+                # at the step boundary (see utils/callbacks.py)
+                for h in ("particleinjection", "particlescraper",
+                          "beforedeposition", "beforecollisions"):
+                    _cb(h)
             if self.is_synchronized and not no_leap:
                 # push velocity backward half step (WarpXEvolve.cpp:493-505)
                 self.state = self._half_push(self.state, dt_half=-0.5 * cfg.dt)
@@ -841,17 +852,29 @@ class Simulation:
                 self.state = self._step_window(
                     self.state, self._sync_flags[int(self.is_synchronized)]
                 )
+            if _cb_reg:
+                for h in ("afterdeposition", "aftercollisions"):
+                    _cb(h)
             if getattr(self, "_solve_es", None) is not None:
                 # electrostatic field solve at the end of the PIC loop
                 # (WarpXEvolve.cpp:269-283)
+                if _cb_reg:
+                    _cb("beforeEsolve")
                 self.state = self._solve_es(self.state)
+                if _cb_reg:
+                    _cb("afterEsolve")
             self.flush_diagnostics(step + 1)
             for btd in getattr(self, "btd", []):
                 btd.update(self)
+            if _cb_reg:
+                _cb("afterdiagnostics")
+                _cb("afterstep")
             if timer is not None:
                 timer.step_done(step + 1, float(self.state.time), cfg.dt)
             if signals is not None and signals.pop_checkpoint():
                 # checkpoint-on-signal (WarpXEvolve.cpp:1248-1259)
+                if _cb_reg:
+                    _cb("oncheckpointsignal")
                 from ..io.checkpoint import save_checkpoint
 
                 save_checkpoint(
