@@ -151,3 +151,51 @@ def test_callbacks_registry():
     uninstallcallback("afterstep", after)
     assert not isinstalled("afterstep", after)
     clear_callbacks()
+
+
+def test_boundary_scraping_buffer():
+    """Absorbed particles are recorded into the per-face scraping buffer
+    with weight/momentum/position/step (ParticleBoundaryBuffer analog)."""
+    import numpy as np
+
+    from warpx_tpu import constants
+    from warpx_tpu.core.config import SimConfig, SpeciesConfig
+    from warpx_tpu.core.grid import Geometry
+    from warpx_tpu.core.simulation import Simulation
+
+    geom = Geometry(2, (16, 16), (0.0, 0.0), (1e-5, 1e-5), (False, False))
+    sp = SpeciesConfig(
+        name="beam", charge=-constants.q_e, mass=constants.m_e,
+        injection_style="nuniformpercell",
+        num_particles_per_cell_each_dim=(1, 1),
+        profile="constant", density=1e20,
+        momentum_distribution="constant", uz=5.0,  # relativistic +z
+        do_not_deposit=True, do_not_gather=True,
+        save_particles_at=("zhi",),
+    )
+    from warpx_tpu.solvers.yee import compute_dt_yee
+
+    cfg = SimConfig(
+        geometry=geom, max_step=40, dt=compute_dt_yee(geom, 0.9),
+        species=(sp,),
+        field_bc_lo=("pec", "pec"), field_bc_hi=("pec", "pec"),
+        particle_bc_lo=("absorbing", "absorbing"),
+        particle_bc_hi=("absorbing", "absorbing"),
+        use_filter=False,
+    )
+    sim = Simulation(cfg)
+    sim.init()
+    w0 = float(np.asarray(sim.state.species["beam"].w).sum())
+    sim.evolve()
+    got = sim.scraped_particles("beam", "zhi")
+    alive = np.asarray(sim.state.species["beam"].alive)
+    w_alive = float(
+        np.asarray(sim.state.species["beam"].w)[alive].sum()
+    )
+    assert got["w"].size > 0
+    # all scraped particles crossed the zhi face moving +z
+    assert np.all(got["p1"] > 1e-5)
+    assert np.all(got["uz"] > 0)
+    assert np.all(got["step"] >= 0)
+    # weight bookkeeping: scraped + alive == initial
+    np.testing.assert_allclose(got["w"].sum() + w_alive, w0, rtol=1e-12)

@@ -1015,6 +1015,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
         origin = phys_lo_of(state)
         hi = domain_hi_of(state)
         new_species = {}
+        scrape_aux = {}
         for sp_cfg in cfg.species:
             sp = state.species[sp_cfg.name]
             if sp.capacity == 0:
@@ -1022,6 +1023,41 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 continue
             alive = sp.alive
             pos = sp.positions(ndim)
+            # boundary scraping buffer: record absorbed particles per face
+            # (ParticleBoundaryBuffer; <sp>.save_particles_at_*)
+            for face in sp_cfg.save_particles_at:
+                if face[0] not in axes:
+                    continue
+                d = axes.index(face[0])
+                is_lo = face.endswith("lo")
+                if (pbc_lo[d] if is_lo else pbc_hi[d]) != "absorbing":
+                    continue
+                crossed = alive & (
+                    pos[d] < origin[d] if is_lo else pos[d] > hi[d]
+                )
+                pref = f"scrape:{sp_cfg.name}:{face}"
+                n0 = state.aux[f"{pref}:n"]
+                buf_cap = state.aux[f"{pref}:w"].shape[0]
+                order = jnp.cumsum(crossed) - 1
+                tgt = jnp.where(
+                    crossed, n0 + order, buf_cap
+                ).astype(jnp.int32)
+                recs = [("w", sp.w), ("ux", sp.ux), ("uy", sp.uy),
+                        ("uz", sp.uz)]
+                recs += [(f"p{dd}", pos[dd]) for dd in range(ndim)]
+                recs.append((
+                    "step",
+                    jnp.full(sp.capacity, 0, jnp.int32) + state.step,
+                ))
+                for fld, arr in recs:
+                    key = f"{pref}:{fld}"
+                    base = scrape_aux.get(key, state.aux[key])
+                    scrape_aux[key] = base.at[tgt].set(
+                        arr.astype(base.dtype), mode="drop"
+                    )
+                scrape_aux[f"{pref}:n"] = n0 + jnp.sum(
+                    crossed, dtype=n0.dtype
+                )
             for d in range(ndim):
                 if pbc_lo[d] == "absorbing":
                     alive = alive & (pos[d] >= origin[d])
@@ -1083,7 +1119,10 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             sp = sp.replace(alive=alive, ux=u["x"], uy=u["y"], uz=u["z"])
             sp = sp.with_positions(ndim, upd_pos)
             new_species[sp_cfg.name] = sp
-        return state.replace(species=new_species)
+        return state.replace(
+            species=new_species,
+            aux={**state.aux, **scrape_aux} if scrape_aux else state.aux,
+        )
 
     # ------------------------------------------------------------- half push
     def half_push(state: SimState, dt_half) -> SimState:

@@ -128,6 +128,10 @@ class SpeciesConfig:
     # MultipleParticles injection: per-particle (x, y, z, ux, uy, uz, w)
     # columns (PhysicalParticleContainer.cpp multiple_particles_* keys)
     multiple_particles: Tuple[Tuple[float, ...], ...] = ()
+    # boundary scraping: faces whose absorbed particles are recorded
+    # (reference: <species>.save_particles_at_xlo/... ->
+    # ParticleBoundaryBuffer); face names like "xlo", "zhi"
+    save_particles_at: Tuple[str, ...] = ()
     # rigid injection (reference: RigidInjectedParticleContainer): the
     # species ballistically advances at its mean vz until it crosses the
     # (boost-frame) injection plane

@@ -131,6 +131,11 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
             for c in ("pos_x", "pos_y", "pos_z", "ux", "uy", "uz", "weight")
         ) if style == "multipleparticles" else (),
         do_field_ionization=bool(deck.get_int(f"{name}.do_field_ionization", 0)),
+        save_particles_at=tuple(
+            f"{ax}{side}"
+            for ax in "xyz" for side in ("lo", "hi")
+            if deck.get_bool(f"{name}.save_particles_at_{ax}{side}", False)
+        ),
         zinject_plane=(
             deck.get_real(f"{name}.zinject_plane", None)
             if name in deck.get_strings(

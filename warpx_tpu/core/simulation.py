@@ -744,6 +744,23 @@ class Simulation:
             rng=jax.random.PRNGKey(cfg.seed),
             aux=aux,
         )
+        # boundary-scraping buffers (ParticleBoundaryBuffer analog): fixed
+        # capacity = species capacity, fill counter per (species, face)
+        scrape_aux = {}
+        for sp_cfg in cfg.species:
+            for face in sp_cfg.save_particles_at:
+                pref = f"scrape:{sp_cfg.name}:{face}"
+                cap = species[sp_cfg.name].w.shape[0]
+                scrape_aux[f"{pref}:n"] = jnp.zeros((), jnp.int32)
+                for fld in ["w", "ux", "uy", "uz"] + [
+                    f"p{d}" for d in range(geom.ndim)
+                ]:
+                    scrape_aux[f"{pref}:{fld}"] = jnp.zeros(cap, self.dtype)
+                scrape_aux[f"{pref}:step"] = jnp.zeros(cap, jnp.int32)
+        if scrape_aux:
+            self.state = self.state.replace(
+                aux={**self.state.aux, **scrape_aux}
+            )
         if cfg.fluids:
             # cold-fluid nodal state lives in aux (WarpXFluidContainer)
             from ..solvers.fluids import init_fluid
@@ -766,6 +783,18 @@ class Simulation:
                 fields=self._hybrid_initial_deposit(self.state)
             )
         return self.state
+
+    def scraped_particles(self, species: str, face: str) -> Dict[str, np.ndarray]:
+        """Recorded boundary-scraped particles for (species, face)
+        (ParticleBoundaryBuffer::getParticleBuffer analog): dict of arrays
+        (w, ux, uy, uz, p0..p{ndim-1}, step) trimmed to the fill count."""
+        pref = f"scrape:{species}:{face}"
+        n = int(self.state.aux[f"{pref}:n"])
+        out = {}
+        for k, v in self.state.aux.items():
+            if k.startswith(pref + ":") and not k.endswith(":n"):
+                out[k.rsplit(":", 1)[-1]] = np.asarray(v)[:n]
+        return out
 
     def _hybrid_initial_deposit(self, state):
         from ..ops.deposit import deposit_current_direct, deposit_rho
