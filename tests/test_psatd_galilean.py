@@ -130,3 +130,41 @@ def test_psatd_j_linear_in_time():
     ).max()
     assert np.isfinite(res["linear"]).all()
     assert rel < 0.1, rel
+
+
+def test_averaged_psatd_vacuum_window_average():
+    """Averaged (Galilean) PSATD: the <E>,<B> outputs must equal the exact
+    time average of the analytic vacuum oscillation over [t+dt/2, t+3dt/2]
+    (PsatdAlgorithmJConstantInTime Psi1/Psi2 coefficients)."""
+    import numpy as np
+
+    from warpx_tpu.core.grid import Geometry, collocated_staggering
+    from warpx_tpu.core.state import FieldState
+    from warpx_tpu.solvers.psatd import PsatdSolver
+
+    c = 299792458.0
+    n, L = 32, 1.0
+    geom = Geometry(1, (n,), (0.0,), (L,), (True,))
+    stag = collocated_staggering(1)
+    dt = 0.4 * (L / n) / c
+    s = PsatdSolver(geom, stag, dt, n_order=-1, collocated_grid=True,
+                    update_with_rho=True, time_averaging=True)
+    kmode = 2 * np.pi / L * 3
+    om = c * kmode
+    z = np.arange(n) * L / n
+    f = FieldState(
+        Ex=jnp.asarray(np.cos(kmode * z)), Ey=jnp.zeros(n),
+        Ez=jnp.zeros(n), Bx=jnp.zeros(n), By=jnp.zeros(n),
+        Bz=jnp.zeros(n), jx=jnp.zeros(n), jy=jnp.zeros(n),
+        jz=jnp.zeros(n),
+    )
+    zero = jnp.zeros(n)
+    out = s.push(f, rho_pair=(zero, zero))
+    avg_fac = (np.sin(1.5 * om * dt) - np.sin(0.5 * om * dt)) / (om * dt)
+    assert np.abs(
+        np.asarray(out.Ex_avg) - avg_fac * np.cos(kmode * z)
+    ).max() < 1e-12
+    by_fac = -(np.cos(1.5 * om * dt) - np.cos(0.5 * om * dt)) / (om * dt)
+    assert np.abs(
+        np.asarray(out.By_avg) - by_fac / c * np.sin(kmode * z)
+    ).max() < 1e-18

@@ -301,6 +301,8 @@ class SimConfig:
     psatd_order: int = 16  # -1 = infinite order (periodic single box)
     psatd_update_with_rho: bool = False
     psatd_current_correction: bool = False
+    # averaged Galilean PSATD (psatd.do_time_averaging)
+    psatd_time_averaging: bool = False
     psatd_periodic_single_box: bool = False
     # boosted frame (reference: warpx.gamma_boost / boost_direction;
     # geometry given in LAB coordinates and converted at parse time)

@@ -638,6 +638,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
         psatd_update_with_rho=psatd_update_rho,
         psatd_current_correction=psatd_cc,
         psatd_periodic_single_box=psatd_single_box,
+        psatd_time_averaging=deck.get_bool("psatd.do_time_averaging", False),
         psatd_v_galilean=v_gal,
         psatd_j_in_time=(
             deck.get_string(

@@ -101,6 +101,7 @@ class Simulation:
                     v_galilean=cfg.psatd_v_galilean,
                     single_box=cfg.psatd_periodic_single_box,
                     vay_deposition=(cfg.current_deposition == "vay"),
+                    time_averaging=cfg.psatd_time_averaging,
                     dtype=self.dtype,
                 )
             self.psatd = psatd
@@ -744,6 +745,15 @@ class Simulation:
             rng=jax.random.PRNGKey(cfg.seed),
             aux=aux,
         )
+        if cfg.psatd_time_averaging:
+            # averaged fields start at zero like Efield_avg_fp (the first
+            # gather of the run reads zeros, matching the reference init)
+            f0 = self.state.fields
+            self.state = self.state.replace(fields=f0.replace(
+                Ex_avg=jnp.zeros_like(f0.Ex), Ey_avg=jnp.zeros_like(f0.Ey),
+                Ez_avg=jnp.zeros_like(f0.Ez), Bx_avg=jnp.zeros_like(f0.Bx),
+                By_avg=jnp.zeros_like(f0.By), Bz_avg=jnp.zeros_like(f0.Bz),
+            ))
         # boundary-scraping buffers (ParticleBoundaryBuffer analog): fixed
         # capacity = species capacity, fill counter per (species, face)
         scrape_aux = {}

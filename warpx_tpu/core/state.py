@@ -46,6 +46,13 @@ class FieldState:
     # nodal electrostatic potential from the last Poisson solve (ES runs
     # only; reference: phi_fp registry entry, diag "phi")
     phi: Optional[jnp.ndarray] = None
+    # time-averaged fields (averaged Galilean PSATD: Efield_avg_fp)
+    Ex_avg: Optional[jnp.ndarray] = None
+    Ey_avg: Optional[jnp.ndarray] = None
+    Ez_avg: Optional[jnp.ndarray] = None
+    Bx_avg: Optional[jnp.ndarray] = None
+    By_avg: Optional[jnp.ndarray] = None
+    Bz_avg: Optional[jnp.ndarray] = None
     # hybrid-PIC temporaries: rho^n and J_i^{n-1/2} carried between steps
     # (reference: hybrid_rho_fp_temp / hybrid_current_fp_temp)
     hrho: Optional[jnp.ndarray] = None
@@ -69,6 +76,7 @@ class FieldState:
 _register(
     FieldState,
     ["Ex", "Ey", "Ez", "Bx", "By", "Bz", "jx", "jy", "jz", "F", "G", "phi",
+     "Ex_avg", "Ey_avg", "Ez_avg", "Bx_avg", "By_avg", "Bz_avg",
      "hrho", "hjx", "hjy", "hjz"],
 )
 

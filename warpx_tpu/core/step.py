@@ -69,7 +69,14 @@ def _add_ext(e6, cfg, pos=None, u3=None):
     return (ex, ey, ez, bx, by, bz)
 
 
-def _field_dict(fields: FieldState):
+def _field_dict(fields: FieldState, use_avg: bool = False):
+    """Gather source fields; averaged Galilean PSATD gathers from the
+    time-averaged fields (Efield_avg_aux, WarpXComm.cpp aux selection)."""
+    if use_avg and fields.Ex_avg is not None:
+        return {
+            "Ex": fields.Ex_avg, "Ey": fields.Ey_avg, "Ez": fields.Ez_avg,
+            "Bx": fields.Bx_avg, "By": fields.By_avg, "Bz": fields.Bz_avg,
+        }
     return {
         "Ex": fields.Ex,
         "Ey": fields.Ey,
@@ -187,7 +194,7 @@ def push_momenta_half(
     output (reference: PhysicalParticleContainer::PushP, WarpXEvolve.cpp:65,493).
     """
     geom = cfg.geometry
-    farr = _field_dict(state.fields)
+    farr = _field_dict(state.fields, use_avg=cfg.psatd_time_averaging)
     gather_stag = staggering
     if cfg.field_gathering == "momentum-conserving":
         farr = _nodal_aux(farr, staggering, cfg.field_centering_no or None)
@@ -242,7 +249,7 @@ def pic_step(
     """One explicit electromagnetic PIC step (periodic boundaries)."""
     geom = cfg.geometry
     dt = cfg.dt
-    farr = _field_dict(state.fields)
+    farr = _field_dict(state.fields, use_avg=cfg.psatd_time_averaging)
     gather_stag = staggering
     if cfg.use_nci_corr:
         farr = _apply_nci(farr, cfg)

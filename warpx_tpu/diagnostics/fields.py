@@ -224,7 +224,13 @@ def cell_centered_output(
     crops = _phys_crop(cfg, staggering)
 
     def comp(name):
-        arr = getattr(f, name)
+        # averaged Galilean PSATD: the E/B diagnostics read the
+        # time-averaged aux fields (Efield_avg_fp)
+        if (cfg.psatd_time_averaging and name[0] in "EB"
+                and getattr(f, name + "_avg", None) is not None):
+            arr = getattr(f, name + "_avg")
+        else:
+            arr = getattr(f, name)
         if crops is not None:
             arr = arr[crops[name]]
         return arr

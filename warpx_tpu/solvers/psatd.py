@@ -95,6 +95,7 @@ class PsatdSolver:
         v_galilean=(0.0, 0.0, 0.0),
         single_box: bool = False,
         vay_deposition: bool = False,
+        time_averaging: bool = False,
         dtype=jnp.float64,
     ):
         self.geom = geom
@@ -225,6 +226,103 @@ class PsatdSolver:
         self._X1 = jnp.asarray(X1)
         self._X2 = jnp.asarray(X2)
         self._X3 = jnp.asarray(X3)
+        self.time_averaging = time_averaging
+        if time_averaging:
+            # Averaged (Galilean) PSATD: <E>,<B> over [t+dt/2, t+3dt/2]
+            # (PsatdAlgorithmJConstantInTime::
+            #  InitializeSpectralCoefficientsAveraging, :530-695)
+            if not update_with_rho:
+                raise NotImplementedError(
+                    "psatd.do_time_averaging requires update_with_rho"
+                )
+            w = w_c if self.is_galilean else np.zeros(self.n_fft)
+            w2 = w * w
+            w3 = w2 * w
+            om4 = om2 * om2
+            th1 = np.exp(1j * w * dt * 0.5)
+            th2 = np.exp(1j * w * dt)
+            th3 = np.exp(1j * w * dt * 1.5)
+            th5 = np.exp(1j * w * dt * 2.5)
+            C1 = np.cos(0.5 * om * dt)
+            C3 = np.cos(1.5 * om * dt)
+            S1_om = np.where(
+                om != 0.0, np.sin(0.5 * om * dt) / np.where(om == 0, 1, om),
+                0.5 * dt,
+            )
+            S3_om = np.where(
+                om != 0.0, np.sin(1.5 * om * dt) / np.where(om == 0, 1, om),
+                1.5 * dt,
+            )
+            nz = (om != 0.0) | (w != 0.0)
+            o_m_w = np.where(om2 - w2 == 0, 1.0, om2 - w2)
+            Psi1 = np.where(
+                nz,
+                (th3 * (om2 * S3_om + 1j * w * C3)
+                 - th1 * (om2 * S1_om + 1j * w * C1)) / (dt * o_m_w),
+                1.0,
+            )
+            Psi2 = np.where(
+                nz,
+                (th3 * (C3 - 1j * w * S3_om)
+                 - th1 * (C1 - 1j * w * S1_om)) / (dt * o_m_w),
+                -dt,
+            )
+            Psi3 = np.where(
+                w != 0.0,
+                -1j * (th3 - th1) / (dt * np.where(w == 0, 1, w)),
+                1.0,
+            )
+            dt2 = dt * dt
+            Y1 = np.where(
+                nz,
+                (1.0 - Psi1 - 1j * w * Psi2) / (_ep0 * o_m_w),
+                13.0 * dt2 / (24.0 * _ep0),
+            )
+            om2s = np.where(om2 == 0, 1, om2)
+            om4s = np.where(om4 == 0, 1, om4)
+            w3s = np.where(w3 == 0, 1, w3)
+            th2m1 = np.where(th2 == 1.0, 1.0, th2 - 1.0)
+            Y2 = np.select(
+                [(om != 0.0) & (w != 0.0), (om != 0.0) & (w == 0.0),
+                 (om == 0.0) & (w != 0.0)],
+                [
+                    1j * _c2 * (_ep0 * om2s * Y1 - Psi3 + Psi1)
+                    / (_ep0 * om2s * th2m1),
+                    1j * _c2 * (C1 - C3 - dt2 * om2) / (_ep0 * dt2 * om4s),
+                    _c2 * (9.0 * dt2 * w2 * th3 - dt2 * w2 * th1
+                           - 24.0 * th3 + 24.0 * th1 + 1j * 8.0 * dt * w
+                           + 1j * 24.0 * dt * w * th3
+                           - 1j * 8.0 * dt * w * th1)
+                    / (8.0 * _ep0 * dt * w3s
+                       * np.where(th2 == 1.0, 1.0, 1.0 - th2)),
+                ],
+                default=-1j * 5.0 * _c2 * dt2 / (24.0 * _ep0),
+            )
+            Y3 = np.select(
+                [(om != 0.0) & (w != 0.0), (om != 0.0) & (w == 0.0),
+                 (om == 0.0) & (w != 0.0)],
+                [
+                    1j * _c2 * (Psi3 - Psi1 - _ep0 * th2 * om2s * Y1)
+                    / (_ep0 * om2s * th2m1),
+                    1j * _c2 * (C3 - C1 + dt * om2 * (S3_om - S1_om))
+                    / (_ep0 * dt2 * om4s),
+                    _c2 * (9.0 * dt2 * w2 * th3 - dt2 * w2 * th1
+                           - 16.0 * th5 + 8.0 * th3 + 8.0 * th1
+                           + 1j * 12.0 * dt * w * th5
+                           + 1j * 8.0 * dt * w * th3
+                           - 1j * 4.0 * dt * w * th1
+                           + 1j * 8.0 * dt * w * th2)
+                    / (8.0 * _ep0 * dt * w3s * th2m1),
+                ],
+                default=-1j * _c2 * dt2 / (3.0 * _ep0),
+            )
+            Y4 = (Psi2 + 1j * _ep0 * w * Y1) / _ep0
+            self._Psi1 = jnp.asarray(Psi1)
+            self._Psi2 = jnp.asarray(Psi2)
+            self._Y1 = jnp.asarray(Y1)
+            self._Y2 = jnp.asarray(Y2)
+            self._Y3 = jnp.asarray(Y3)
+            self._Y4 = jnp.asarray(Y4)
         # 1/k^2 with zero at k=0 (current correction)
         inv_k2 = np.where(kmod_full != 0.0, 1.0 / np.where(kmod_full == 0, 1, kmod_full), 0.0)
         self._inv_k2 = jnp.asarray(inv_k2)
@@ -460,6 +558,32 @@ class PsatdSolver:
             By=self.backward(By, "By"),
             Bz=self.backward(Bz, "Bz"),
         )
+        if self.time_averaging:
+            # time-averaged <E>,<B> from the OLD fields and this step's
+            # J / rho pair (PsatdAlgorithmJConstantInTime.cpp:319-358)
+            P1, P2 = self._Psi1, self._Psi2
+            Y1, Y2, Y3, Y4 = self._Y1, self._Y2, self._Y3, self._Y4
+            rho_t = Y2 * rho_new + Y3 * rho_old
+            Eax = P1 * E[0] - I * _c2 * P2 * (ky * B[2] - kz * B[1]) \
+                + Y4 * J[0] + rho_t * kx
+            Eay = P1 * E[1] - I * _c2 * P2 * (kz * B[0] - kx * B[2]) \
+                + Y4 * J[1] + rho_t * ky
+            Eaz = P1 * E[2] - I * _c2 * P2 * (kx * B[1] - ky * B[0]) \
+                + Y4 * J[2] + rho_t * kz
+            Bax = P1 * B[0] + I * P2 * (ky * E[2] - kz * E[1]) \
+                + I * Y1 * (ky * J[2] - kz * J[1])
+            Bay = P1 * B[1] + I * P2 * (kz * E[0] - kx * E[2]) \
+                + I * Y1 * (kz * J[0] - kx * J[2])
+            Baz = P1 * B[2] + I * P2 * (kx * E[1] - ky * E[0]) \
+                + I * Y1 * (kx * J[1] - ky * J[0])
+            out = out.replace(
+                Ex_avg=self.backward(Eax, "Ex"),
+                Ey_avg=self.backward(Eay, "Ey"),
+                Ez_avg=self.backward(Eaz, "Ez"),
+                Bx_avg=self.backward(Bax, "Bx"),
+                By_avg=self.backward(Bay, "By"),
+                Bz_avg=self.backward(Baz, "Bz"),
+            )
         if corrected_j is not None:
             out = out.replace(**corrected_j)
         if corrected_vay is not None:
