@@ -38,11 +38,9 @@ def test_extract_fold_adjoint():
     wr = jax.random.normal(
         jax.random.fold_in(key, 1), (spec.n_tiles, spec.w, spec.w * spec.w)
     )
-    # windows layout is ((y,z), x): reshape wr accordingly
-    wr = wr.reshape(spec.n_tiles, spec.w * spec.w, spec.w)
     lhs = jnp.vdot(extract_windows(g, spec), wr)
-    # extract layout ((j,k), i) == fold axes (1, 2, 0)
-    rhs = jnp.vdot(g, fold_windows(wr, spec, geom.n_cell, axes=(1, 2, 0)))
+    # extract layout (i, (j,k)) == fold axes (0, 1, 2)
+    rhs = jnp.vdot(g, fold_windows(wr, spec, geom.n_cell, axes=(0, 1, 2)))
     assert abs(float(lhs - rhs)) < 1e-10 * abs(float(lhs))
 
 

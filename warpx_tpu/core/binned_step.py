@@ -35,7 +35,7 @@ from .step import advance_fields
 
 __all__ = ["binned_supported", "make_binned_step", "binned_capacity"]
 
-_FOLD_AXES = ((1, 2, 0), (0, 2, 1), (0, 1, 2))
+_FOLD_AXES = ((0, 1, 2), (1, 0, 2), (2, 0, 1))
 
 
 def binned_supported(cfg: SimConfig) -> bool:
@@ -46,6 +46,8 @@ def binned_supported(cfg: SimConfig) -> bool:
     if geom.ndim != 3 or not geom.all_periodic:
         return False
     if cfg.em_solver not in ("yee", "ckc", "psatd", "none"):
+        return False
+    if cfg.em_solver_medium != "vacuum":
         return False
     if cfg.em_solver == "psatd":
         # rho-free standard PSATD only (current correction / multi-J need

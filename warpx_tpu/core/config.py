@@ -282,6 +282,16 @@ class SimConfig:
     # (reference: particles.E_ext_particle_init_style = constant)
     e_ext_particle: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     b_ext_particle: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # macroscopic Maxwell medium (reference: algo.em_solver_medium,
+    # MacroscopicProperties.cpp; sigma/epsilon/mu constant or parsed)
+    em_solver_medium: str = "vacuum"  # vacuum | macroscopic
+    macroscopic_sigma_method: str = "backwardeuler"  # | laxwendroff
+    macro_sigma: float | None = None
+    macro_sigma_function: str = ""
+    macro_epsilon: float | None = None
+    macro_epsilon_function: str = ""
+    macro_mu: float | None = None
+    macro_mu_function: str = ""
     # electrostatic solver (reference: ElectrostaticSolverAlgo)
     electrostatic: str = "none"  # none | labframe | relativistic
     # Poisson solver backend (reference: warpx.poisson_solver): multigrid

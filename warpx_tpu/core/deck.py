@@ -283,8 +283,16 @@ def _gate_unimplemented(deck: Deck) -> None:
     medium = (
         deck.get_string("algo.em_solver_medium", "vacuum") or "vacuum"
     ).lower()
-    if medium != "vacuum":
+    if medium not in ("vacuum", "macroscopic"):
         raise NotImplementedError(f"em_solver_medium = {medium}")
+    if deck.get_bool("warpx.use_hybrid_QED", False):
+        # reference: Source/FieldSolver/WarpX_QED_Field_Pushers.cpp
+        raise NotImplementedError("hybrid QED Maxwell (warpx.use_hybrid_QED)")
+    for nm in deck.get_strings("lasers.names", []):
+        prof = (deck.get_string(f"{nm}.profile", "gaussian") or "gaussian").lower()
+        if prof not in ("gaussian",):
+            # reference: LaserProfilesImpl/{LaserProfileFromFile,LaserProfileParseField}.cpp
+            raise NotImplementedError(f"laser profile '{prof}' ({nm}.profile)")
     if deck.get_bool("warpx.do_pml_j_damping", False):
         pass  # damping knob only alters PML strength; handled by PML path
 
@@ -575,12 +583,46 @@ def config_from_deck(deck: Deck) -> SimConfig:
         for l in lasers
     )
 
+    # macroscopic Maxwell medium (MacroscopicProperties::ReadParameters)
+    medium = (
+        deck.get_string("algo.em_solver_medium", "vacuum") or "vacuum"
+    ).lower()
+    macro_kw = {}
+    if medium == "macroscopic":
+        if grid_type == "collocated":
+            raise NotImplementedError(
+                "macroscopic medium on collocated grids "
+                "(reference MacroscopicEvolveE.cpp:95 also forbids this)"
+            )
+
+        def _macro(nm):
+            found = deck.get_expr_string("macroscopic", f"{nm}_function")
+            return (
+                deck.get_real(f"macroscopic.{nm}", None),
+                found[0] if found else "",
+            )
+
+        s_v, s_f = _macro("sigma")
+        e_v, e_f = _macro("epsilon")
+        m_v, m_f = _macro("mu")
+        macro_kw = dict(
+            em_solver_medium="macroscopic",
+            macroscopic_sigma_method=(
+                deck.get_string("algo.macroscopic_sigma_method",
+                                "backwardeuler") or "backwardeuler"
+            ).lower().replace("_", "").replace("-", ""),
+            macro_sigma=s_v, macro_sigma_function=s_f,
+            macro_epsilon=e_v, macro_epsilon_function=e_f,
+            macro_mu=m_v, macro_mu_function=m_f,
+        )
+
     return SimConfig(
         geometry=geom,
         max_step=max_step,
         dt=dt,
         particle_shape=deck.get_int("algo.particle_shape", 1),
         em_solver=em_solver,
+        **macro_kw,
         current_deposition=current_dep,
         field_gathering=(
             deck.get_string(

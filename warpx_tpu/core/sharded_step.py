@@ -182,11 +182,20 @@ def make_sharded_step(cfg: SimConfig, staggering: Dict, smesh: SpatialMesh):
         )
         fields = fields.replace(Ex=Ex, Ey=Ey, Ez=Ez, Bx=Bx, By=By, Bz=Bz)
 
+        # surface exchange-buffer overflow: cumulative, replicated count the
+        # host asserts on at flush (parallel/particles.py contract)
+        shard_axes = tuple(ax for ax in dim_axes if ax is not None)
+        if shard_axes:
+            total_lost = lax.psum(total_lost, shard_axes)
+        aux = dict(state.aux)
+        aux["lost"] = aux.get("lost", jnp.zeros((), jnp.int32)) + total_lost
+
         return state.replace(
             fields=fields,
             species=new_species,
             step=state.step + 1,
             time=state.time + dt,
+            aux=aux,
         )
 
     # --- shard_map wrapping: fields sharded spatially, particles blocked
@@ -261,7 +270,7 @@ def make_sharded_half_push(cfg: SimConfig, staggering: Dict, smesh: SpatialMesh)
     return jax.jit(wrapped)
 
 
-def _state_pspecs(cfg: SimConfig, field_spec, particle_spec):
+def _state_pspecs(cfg: SimConfig, field_spec, particle_spec, aux_keys=("lost",)):
     """PartitionSpec pytree matching SimState."""
     from .state import FieldState, ParticleState, SimState
 
@@ -284,5 +293,6 @@ def _state_pspecs(cfg: SimConfig, field_spec, particle_spec):
         kw["z"] = particle_spec
         species[sp_cfg.name] = ParticleState(**kw)
     return SimState(
-        fields=fs, species=species, step=P(), time=P(), rng=P()
+        fields=fs, species=species, step=P(), time=P(), rng=P(),
+        aux={k: P() for k in aux_keys},
     )

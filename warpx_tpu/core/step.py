@@ -244,7 +244,8 @@ def _apply_nci(farr, cfg):
 
 
 def pic_step(
-    state: SimState, cfg: SimConfig, staggering: Dict, psatd=None
+    state: SimState, cfg: SimConfig, staggering: Dict, psatd=None,
+    medium=None,
 ) -> SimState:
     """One explicit electromagnetic PIC step (periodic boundaries)."""
     geom = cfg.geometry
@@ -596,7 +597,7 @@ def pic_step(
         state.fields, cfg, j_total, rho_old, rho_new,
         (j_old_total if j_old_total is not None else j_total)
         if multi_j else None,
-        psatd,
+        psatd, medium=medium,
     )
 
     return state.replace(
@@ -610,7 +611,7 @@ def pic_step(
 
 def advance_fields(
     fields: FieldState, cfg: SimConfig, j_total, rho_old, rho_new,
-    j_old_total, psatd,
+    j_old_total, psatd, medium=None,
 ) -> FieldState:
     """Filter J and advance the Maxwell fields by one step (the tail of
     OneStep_nosub, WarpXEvolve.cpp:373-450: SyncCurrent/filter then the
@@ -692,7 +693,12 @@ def advance_fields(
         fields = yee.evolve_b(fields, geom, 0.5 * dt, algo)
         if cfg.do_divb_cleaning:
             fields = yee.add_grad_g(fields, G, geom, 0.5 * dt, algo)
-        fields = yee.evolve_e(fields, geom, dt, algo)
+        if medium is not None:
+            from ..solvers.macroscopic import evolve_e_macroscopic
+
+            fields = evolve_e_macroscopic(fields, medium, geom, dt, algo)
+        else:
+            fields = yee.evolve_e(fields, geom, dt, algo)
         if cfg.do_dive_cleaning:
             fields = yee.add_grad_f(fields, F, geom, dt, algo)
             F = yee.evolve_f(F, fields, rho_new, geom, 0.5 * dt, algo)

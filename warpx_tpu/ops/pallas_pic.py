@@ -5,21 +5,26 @@ two hot loops — PushPX (gather+push, PhysicalParticleContainer.cpp:2550) and
 DepositCurrent (CurrentDeposition.H:643 doEsirkepovDepositionShapeN) — fused
 into a single kernel over the tile-binned layout of ops/tiling.py.
 
-TPU-native formulation: per-particle shape weights become dense one-hot
-matrices over the tile window (W grid points per dim), so
+TPU-native formulation: per-particle B-spline weights become dense band
+matrices over the tile window (W grid points per dim).  Because the centered
+B-spline S_n has compact support, the (W, P) matrix A[i, p] = S_n(x_p - i)
+is exactly the scatter-free placement of each particle's weights — no one-hot
+comparisons, no scatter/gather primitives, out-of-window particles simply see
+their support clipped (and are counted in the per-tile violation output).
 
-  * gather is an MXU contraction  G1[(jk),p] = sum_i Ewin[(jk),i] * Ax[i,p]
-    followed by a VPU reduction with the outer-product weight matrix
-    B = Ay (x) Az, replacing the reference's per-particle random access;
-  * deposition is an MXU contraction over the particle axis
-    J[(jk),i] = sum_p Tyz[(jk),p] * Cx[i,p], replacing atomicAdd scatter
-    (the design analog of the reference's shared-memory binned deposition,
-    WarpXParticleContainer.cpp:490-548).
+MXU shapes are chosen for systolic-array utilization (K or N = W*W = 256+):
 
-No scatter/gather primitives appear anywhere; all indexing is one-hot
-comparisons against iota, so out-of-window particles (drift beyond the rebin
-margin) contribute zero and are counted in the per-tile violation output
-instead of corrupting memory.
+  * gather contracts the window over the fused (y,z) axis:
+      h[i_x, p] = sum_{jk} Ewin[i_x, jk] * (Ay ⊙ Az)[jk, p]       (K = W^2)
+    followed by a cheap VPU reduction  e[p] = sum_i Ax[i, p] h[i, p];
+  * deposition contracts over the particle axis with the wide output last:
+      J[i_d, jk] = sum_p (Wd ⊙ wq)[i_d, p] * Tab[jk, p]           (N = W^2)
+    replacing atomicAdd scatter (the design analog of the reference's
+    shared-memory binned deposition, WarpXParticleContainer.cpp:490-548).
+
+The Esirkepov transverse mix uses the 3-outer-product identity
+  1/3 (AB + CD) + 1/6 (AD + CB) = 1/6 [(A+C)(B+D) + AB + CD]
+(cf. CurrentDeposition.H:820 one_third/one_sixth combination).
 """
 
 from __future__ import annotations
@@ -51,12 +56,6 @@ _AXES = ("x", "y", "z")
 
 def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
                   dtype):
-    import os
-
-    dbg_skip_gather = os.environ.get("WTPU_SKIP_GATHER", "0") == "1"
-    dbg_skip_deposit = os.environ.get("WTPU_SKIP_DEPOSIT", "0") == "1"
-    dbg_dot_bf16 = os.environ.get("WTPU_DOT_BF16", "0") == "1"
-    dbg_skip_onehot = os.environ.get("WTPU_SKIP_ONEHOT", "0") == "1"
     W, P, T = spec.w, spec.p_max, order + 3
     ntx, nty, ntz = spec.tiles_per_dim
     tdims = spec.tile
@@ -93,63 +92,63 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
             (pos[d] - lo[d]) * inv_dx[d] - worig[d].astype(f)
             for d in range(3)
         ]
-        iota_wp = jax.lax.broadcasted_iota(jnp.int32, (W, P), 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (W, P), 0).astype(f)
 
-        def onehot_t(i0, wts):
-            """(W, P) matrix with wts[t] at window row i0+t (zero outside)."""
-            if dbg_skip_onehot:
-                # debug: skip the scatter-free placement (wrong physics)
-                acc = jnp.zeros((W, P), f)
-                for t_, wt in enumerate(wts):
-                    acc = acc.at[t_ % W].set(wt) if False else acc + wt[None, :] * (1.0 / W)
-                return acc
-            acc = jnp.zeros((W, P), f)
-            for t_, wt in enumerate(wts):
-                acc = acc + jnp.where(
-                    iota_wp == (i0 + t_)[None, :], wt[None, :],
-                    jnp.zeros((), f),
+        def band(xc, o_eff):
+            """(W, P) band matrix A[i, p] = S_o(xc_p - i): each particle's
+            shape weights land on its o+1 support rows, zero elsewhere.
+
+            Order 0 uses the half-open box [-1/2, 1/2) so a particle exactly
+            at a half-integer position lands on one row, matching the
+            reference's floor(x + 0.5) index selection (ShapeFactors.H:40)."""
+            xi = xc[None, :] - rows
+            if o_eff == 0:
+                return jnp.where(
+                    (xi >= -0.5) & (xi < 0.5),
+                    jnp.ones((), f), jnp.zeros((), f),
                 )
-            return acc
+            return spline(xi, o_eff)
 
         # ---- gather ------------------------------------------------------
         acache = {}
 
-        def gather_a(d, o_eff, stag):
+        def axis_mat(d, o_eff, stag):
             key_ = (d, o_eff, stag)
             if key_ not in acache:
-                xc = X[d] - (0.5 if stag else 0.0)
-                i0 = start_index(xc, o_eff)
-                wts = [
-                    spline(xc - (i0.astype(f) + t_), o_eff)
-                    for t_ in range(o_eff + 1)
-                ]
-                acache[key_] = onehot_t(i0, wts)
+                acache[key_] = band(X[d] - (0.5 if stag else 0.0), o_eff)
             return acache[key_]
 
+        bcache = {}
+
+        def yz_mat(ykey, zkey):
+            key_ = (ykey, zkey)
+            if key_ not in bcache:
+                ay = axis_mat(1, *ykey)
+                az = axis_mat(2, *zkey)
+                bcache[key_] = (ay[:, None, :] * az[None, :, :]).reshape(
+                    W * W, P
+                )
+            return bcache[key_]
+
         e6 = []
-        if dbg_skip_gather:
-            zz = jnp.zeros((P,), f)
-            e6 = [zz, zz, zz, zz, zz, zz]
         for comp, win in zip(
-            [] if dbg_skip_gather else
             ("Ex", "Ey", "Ez", "Bx", "By", "Bz"),
             (exw, eyw, ezw, bxw, byw, bzw),
         ):
             flags = staggering[comp]
-            amats = []
+            keys = []
             for d in range(3):
                 reduced = galerkin and (_AXES[d] in _GALERKIN_AXES[comp])
                 o_eff = order - 1 if reduced else order
-                amats.append(gather_a(d, o_eff, flags[d] == 0))
-            # (W^2, P) = Ewin ((jk), i) contracted with Ax (i, p)
-            g1 = jax.lax.dot_general(
-                win[0], amats[0], (((1,), (0,)), ((), ())),
+                keys.append((o_eff, flags[d] == 0))
+            byz = yz_mat(keys[1], keys[2])
+            # (W, P) = Ewin (i, (jk)) contracted with Byz ((jk), p): K = W^2
+            h = jax.lax.dot_general(
+                win[0], byz, (((1,), (0,)), ((), ())),
                 preferred_element_type=f,
             )
-            byz = (amats[1][:, None, :] * amats[2][None, :, :]).reshape(
-                W * W, P
-            )
-            e6.append(jnp.sum(byz * g1, axis=0))
+            ax_m = axis_mat(0, *keys[0])
+            e6.append(jnp.sum(ax_m * h, axis=0))
         ex, ey, ez, bx, by, bz = e6
         ex = ex + params[0, 2]
         ey = ey + params[0, 3]
@@ -179,48 +178,43 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
         nn, no, cs, bad = [], [], [], None
         for d in range(3):
             xn = X[d] + vel[d] * (dt * inv_dx[d])
+            nn.append(band(xn, order))
+            no.append(band(X[d], order))
+            # cumulative Esirkepov difference sums: prefix over window rows
+            # (rows outside the support accumulate to exactly 0); log-step
+            # shifted adds — Mosaic has no cumsum primitive
+            acc = no[d] - nn[d]
+            s = 1
+            while s < W:
+                acc = acc + jnp.pad(acc[:-s], ((s, 0), (0, 0)))
+                s *= 2
+            cs.append(acc)
             i0 = start_index(xn, order) - 1
-            base = i0.astype(f)
-            sn = [spline(xn - (base + t_), order) for t_ in range(T)]
-            so = [spline(X[d] - (base + t_), order) for t_ in range(T)]
-            cum, acc = [], jnp.zeros((P,), f)
-            for t_ in range(T):
-                acc = acc + (so[t_] - sn[t_])
-                cum.append(acc)
-            nn.append(onehot_t(i0, sn))
-            no.append(onehot_t(i0, so))
-            cs.append(onehot_t(i0, cum))
             bd = (i0 < 0) | (i0 > W - T)
             bad = bd if bad is None else (bad | bd)
 
-        third, sixth = 1.0 / 3.0, 1.0 / 6.0
+        sixth = 1.0 / 6.0
 
         def mix(a, b):
-            """Esirkepov transverse mix (CurrentDeposition.H:820 one_third/
-            one_sixth combination) as a (W^2, P) matrix over dims (a, b)."""
+            """Esirkepov transverse mix as a (W^2, P) matrix over dims (a, b):
+            1/6 [(nn_a+no_a)(nn_b+no_b) + nn_a nn_b + no_a no_b]."""
+            sa, sb = nn[a] + no[a], nn[b] + no[b]
             m_ = (
-                (nn[a][:, None, :] * nn[b][None, :, :]
-                 + no[a][:, None, :] * no[b][None, :, :]) * third
-                + (nn[a][:, None, :] * no[b][None, :, :]
-                   + no[a][:, None, :] * nn[b][None, :, :]) * sixth
+                sa[:, None, :] * sb[None, :, :]
+                + nn[a][:, None, :] * nn[b][None, :, :]
+                + no[a][:, None, :] * no[b][None, :, :]
             )
             return m_.reshape(W * W, P)
 
         for d, (a, b, out_ref) in enumerate(
             ((1, 2, jxw), (0, 2, jyw), (0, 1, jzw))
         ):
-            if dbg_skip_deposit:
-                out_ref[0] = jnp.zeros((W * W, W), f) + wq[0]
-                continue
-            lhs = mix(a, b)
-            rhs = cs[d] * (wq * invdtd[d])[None, :]
-            if dbg_dot_bf16:
-                lhs = lhs.astype(jnp.bfloat16)
-                rhs = rhs.astype(jnp.bfloat16)
+            lhs = cs[d] * ((sixth * wq) * invdtd[d])[None, :]
+            # (W, W^2) = Wd (i, p) x Tab ((jk), p) contracted over p: N = W^2
             out_ref[0] = jax.lax.dot_general(
-                lhs, rhs, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32 if dbg_dot_bf16 else f,
-            ).astype(f)
+                lhs, mix(a, b), (((1,), (1,)), ((), ())),
+                preferred_element_type=f,
+            )
 
         alive = wr[0].reshape(P) > 0
         cnt = jnp.sum((bad & alive).astype(jnp.int32))
@@ -252,14 +246,14 @@ def binned_push_deposit(
 ):
     """Run the fused kernel over all tiles.
 
-    params: (1, 8) [q, m, Eext(3), Bext(3)]; windows6: 6 x (n_tiles, W*W, W)
-    field windows (extract_windows layout); parts7: (x, y, z, ux, uy, uz, w)
-    each (n_tiles, p_max).
+    params: (1, 8) [q, m, Eext(3), Bext(3)]; windows6: 6 x (n_tiles, W, W*W)
+    field windows (extract_windows layout (x, (y,z))); parts7: (x, y, z, ux,
+    uy, uz, w) each (n_tiles, p_max).
 
     Returns (new_parts6 (x,y,z,ux,uy,uz), (jx_w, jy_w, jz_w), violations):
-    J windows are (n_tiles, W*W, W) with per-component axis orders
-    ((y,z),x), ((x,z),y), ((x,y),z) — pass fold_windows axes=(1,2,0)/(0,2,1)/
-    (0,1,2) respectively.  ``violations`` is (n_tiles,) int32 counting alive
+    J windows are (n_tiles, W, W*W) with per-component layouts
+    (x,(y,z)), (y,(x,z)), (z,(x,y)) — pass fold_windows axes=(0,1,2)/(1,0,2)/
+    (2,0,1) respectively.  ``violations`` is (n_tiles,) int32 counting alive
     particles that drifted beyond the rebin margin (must be all zero).
     """
     staggering = dict(stag_items)
@@ -271,7 +265,7 @@ def binned_push_deposit(
     if P % 128:
         raise ValueError("p_max must be a multiple of 128")
     win_spec = pl.BlockSpec(
-        (1, W * W, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, W, W * W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     part_spec = pl.BlockSpec(
         (1, P // 128, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -294,7 +288,7 @@ def binned_push_deposit(
     )
     out_shape = (
         [jax.ShapeDtypeStruct((nt, P // 128, 128), dtype)] * 6
-        + [jax.ShapeDtypeStruct((nt, W * W, W), dtype)] * 3
+        + [jax.ShapeDtypeStruct((nt, W, W * W), dtype)] * 3
         + [jax.ShapeDtypeStruct((nt, 8, 128), jnp.int32)]
     )
     outs = pl.pallas_call(

@@ -147,10 +147,15 @@ def rebin(sp, geom, spec: TileSpec):
         + [sp.extra[k] for k in sorted(sp.extra)],
         axis=0,
     )
-    key_sorted, order = jax.lax.sort(
-        [tid.astype(jnp.int32), jnp.arange(cap_in, dtype=jnp.int32)],
+    # multi-operand sort: the payload rides the sorting network (one fused
+    # TPU sort) instead of a random gather through a permutation — the
+    # remaining slot gather below has near-monotonic indices
+    sorted_all = jax.lax.sort(
+        [tid.astype(jnp.int32)] + [payload[i] for i in range(payload.shape[0])],
         num_keys=1,
     )
+    key_sorted = sorted_all[0]
+    payload_sorted = jnp.stack(sorted_all[1:], axis=0)
     # slot (t, s) takes sorted particle offsets[t] + s when s < count[t]
     offsets = jnp.searchsorted(key_sorted, jnp.arange(n_tiles, dtype=jnp.int32))
     counts = (
@@ -167,7 +172,7 @@ def rebin(sp, geom, spec: TileSpec):
     )
     src = jnp.clip(offsets[slot_t] + slot_s, 0, cap_in - 1)
     valid = slot_s < counts[slot_t]
-    gathered = payload[:, order[src]]  # (n_attr, n_tiles*p_max)
+    gathered = payload_sorted[:, src]  # (n_attr, n_tiles*p_max)
 
     # dead-slot fills: tile center position, zero momentum/weight
     centers = []
@@ -204,29 +209,45 @@ def rebin(sp, geom, spec: TileSpec):
 
 
 def extract_windows(grid: jnp.ndarray, spec: TileSpec) -> jnp.ndarray:
-    """Per-tile periodic windows: (n_tiles, W*W, W) with layout ((y,z), x).
+    """Per-tile periodic windows: (n_tiles, W, W*W) with layout (x, (y,z)).
 
-    windows[t, b*W+c, a] = grid[(t_x*tx - off + a) % nx,
+    windows[t, a, b*W+c] = grid[(t_x*tx - off + a) % nx,
                                 (t_y*ty - off + b) % ny,
                                 (t_z*tz - off + c) % nz]
     — the dense analog of FillBoundary guard cells feeding the tile-local
-    gather; the x window axis is last so the kernel's first MXU contraction
-    (over x) reads it as the natural (M=W*W, K=W) operand.
+    gather; the fused (y,z) axis is last so the kernel's MXU contraction
+    over it reads the window as the natural (M=W, K=W*W) operand.
     """
     w, off = spec.w, spec.off
     out = grid
     for d in range(3):
-        n = grid.shape[d]
         nt = spec.tiles_per_dim[d]
-        idx = (
-            (jnp.arange(nt, dtype=jnp.int32)[:, None] * spec.tile[d] - off)
-            + jnp.arange(w, dtype=jnp.int32)[None, :]
-        ) % n
-        out = jnp.take(out, idx.reshape(-1), axis=2 * d)
-        out = out.reshape(out.shape[:2 * d] + (nt, w) + out.shape[2 * d + 1:])
-    # out: (ntx, Wx, nty, Wy, ntz, Wz) -> (ntx, nty, ntz, Wy, Wz, Wx)
-    out = out.transpose(0, 2, 4, 3, 5, 1)
-    return out.reshape(spec.n_tiles, w * w, w)
+        tile = spec.tile[d]
+        ax = 2 * d
+        if w % tile == 0:
+            # roll-based: window = concat of k=W/tile tile-aligned chunks of
+            # the off-rolled grid — pure shifts, no gather
+            rolled = jnp.roll(out, off, axis=ax)
+            tv = rolled.reshape(
+                out.shape[:ax] + (nt, tile) + out.shape[ax + 1:]
+            )
+            out = jnp.concatenate(
+                [jnp.roll(tv, -j, axis=ax) for j in range(w // tile)],
+                axis=ax + 1,
+            )
+        else:
+            n = out.shape[ax]
+            idx = (
+                (jnp.arange(nt, dtype=jnp.int32)[:, None] * tile - off)
+                + jnp.arange(w, dtype=jnp.int32)[None, :]
+            ) % n
+            out = jnp.take(out, idx.reshape(-1), axis=ax)
+            out = out.reshape(
+                out.shape[:ax] + (nt, w) + out.shape[ax + 1:]
+            )
+    # out: (ntx, Wx, nty, Wy, ntz, Wz) -> (ntx, nty, ntz, Wx, Wy, Wz)
+    out = out.transpose(0, 2, 4, 1, 3, 5)
+    return out.reshape(spec.n_tiles, w, w * w)
 
 
 def fold_windows(
@@ -238,7 +259,8 @@ def fold_windows(
     guard-cell accumulation after deposition, WarpXComm.cpp:1074 SyncCurrent):
     grid[(t*tile - off + a) % n] += windows[t, a].  ``axes`` names the spatial
     axis of each of the three window dims (the deposition kernel emits each J
-    component with a different axis order).
+    component with a different axis order).  ``windows`` is (n_tiles, W, W*W)
+    or any shape reshapeable to (ntx, nty, ntz, w, w, w).
     """
     w, off = spec.w, spec.off
     ntx, nty, ntz = spec.tiles_per_dim
@@ -248,9 +270,33 @@ def fold_windows(
         for pos_, ax in enumerate(axes):
             inv[ax] = 3 + pos_
         arr = arr.transpose(0, 1, 2, *inv)
-    # fold each (tile axis, window axis) pair with a 0/1 placement matrix
-    # P[(t,a), g] = [(t*tile - off + a) mod n == g]: the overlap-add becomes
-    # three MXU contractions instead of lane-axis slice/roll loops
+    if all(w % t == 0 for t in spec.tile):
+        # roll-based overlap-add (the adjoint of the roll-based extract):
+        # chunk j of the window axis adds into tile t+j; then un-roll by off
+        out = arr  # (ntx, nty, ntz, wx, wy, wz)
+        for d in (2, 1, 0):
+            tile = spec.tile[d]
+            k = w // tile
+            t_ax, w_ax = d, 3 + d
+            chunks = [
+                jnp.roll(
+                    jax.lax.slice_in_dim(out, j * tile, (j + 1) * tile, axis=w_ax),
+                    j, axis=t_ax,
+                )
+                for j in range(k)
+            ]
+            out = sum(chunks[1:], chunks[0])
+            # merge (nt, tile) -> n and shift back by off
+            moved = jnp.moveaxis(out, w_ax, t_ax + 1)
+            ms = list(moved.shape)
+            merged = moved.reshape(
+                ms[:t_ax] + [n_cell[d]] + ms[t_ax + 2:]
+            )
+            out = jnp.roll(merged, -off, axis=t_ax)
+        return out
+    # general fallback: fold each (tile axis, window axis) pair with a 0/1
+    # placement matrix P[(t,a), g] = [(t*tile - off + a) mod n == g] — the
+    # overlap-add becomes three MXU contractions
     px, py, pz = (
         jnp.asarray(
             _placement(spec.tiles_per_dim[d], spec.tile[d], w, off,
