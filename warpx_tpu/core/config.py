@@ -234,6 +234,12 @@ class CollisionConfig:
     # background stopping (reference: BackgroundStopping.H)
     background_type: str = "electrons"  # electrons | ions
     background_charge_state: float = 0.0
+    # nuclear fusion (reference: NuclearFusionFunc.H:61-79)
+    product_species: Tuple[str, ...] = ()
+    fusion_kind: str = ""  # protonboron | dt | ddp | ddn | dhe
+    fusion_multiplier: float = 1.0
+    fusion_probability_threshold: float = 0.02
+    fusion_probability_target_value: float = 0.002
 
 
 @dataclasses.dataclass(frozen=True)

@@ -270,7 +270,7 @@ def _gate_unimplemented(deck: Deck) -> None:
         kind = (deck.get_string(f"{nm}.type", "pairwisecoulomb")
                 or "pairwisecoulomb").lower()
         if kind not in ("pairwisecoulomb", "background_mcc",
-                        "background_stopping"):
+                        "background_stopping", "nuclearfusion"):
             raise NotImplementedError(f"collision type {kind}")
     if deck.get_strings("fluids.species_names", []) and deck.get_real(
         "warpx.gamma_boost", 1.0
@@ -508,6 +508,43 @@ def config_from_deck(deck: Deck) -> SimConfig:
         mcc_kw = {}
         if kind == "background_mcc":
             mcc_kw = _mcc_from_deck(deck, nm)
+        elif kind == "nuclearfusion":
+            # fusion type from the reactants' physical species types
+            # (BinaryCollisionUtils::get_nuclear_fusion_type)
+            types = []
+            for sp_nm in pair[:2]:
+                types.append((deck.get_string(
+                    f"{sp_nm}.species_type", "") or "").lower())
+            tset = set(types)
+            prods = tuple(deck.get_strings(f"{nm}.product_species", []))
+            ptypes = set(
+                (deck.get_string(f"{p}.species_type", "") or "").lower()
+                for p in prods
+            )
+            if tset == {"hydrogen1", "boron11"}:
+                fkind = "protonboron"
+            elif tset == {"hydrogen2", "hydrogen3"}:
+                fkind = "dt"
+            elif tset == {"hydrogen2"}:
+                fkind = (
+                    "ddp" if "hydrogen3" in ptypes else "ddn"
+                )
+            elif tset == {"hydrogen2", "helium3"}:
+                fkind = "dhe"
+            else:
+                raise NotImplementedError(
+                    f"nuclear fusion between species types {tset}"
+                )
+            mcc_kw = dict(
+                product_species=prods,
+                fusion_kind=fkind,
+                fusion_multiplier=deck.get_real(
+                    f"{nm}.fusion_multiplier", 1.0),
+                fusion_probability_threshold=deck.get_real(
+                    f"{nm}.fusion_probability_threshold", 0.02),
+                fusion_probability_target_value=deck.get_real(
+                    f"{nm}.fusion_probability_target_value", 0.002),
+            )
         elif kind == "background_stopping":
             dens = deck.get_real(f"{nm}.background_density", None)
             temp = deck.get_real(f"{nm}.background_temperature", None)

@@ -562,6 +562,20 @@ class Simulation:
                         product_capacity.get(nm2, 0) + budget
                     )
         for col in cfg.collisions:
+            if col.kind == "nuclearfusion":
+                # products: up to 2*num_products per fusing pair per step;
+                # with typical fusion multipliers the yield per step is tiny,
+                # so budget a fraction of the reactant capacity (the emit
+                # machinery drops overflow, which the low yield avoids)
+                src_cfg = by_cfg_name[col.species[0]]
+                ps0 = inject_species(src_cfg, geom, np_dtype,
+                                     np.random.default_rng(cfg.seed))
+                per_prod = 6 if col.fusion_kind == "protonboron" else 4
+                for nm2 in col.product_species:
+                    product_capacity[nm2] = (
+                        product_capacity.get(nm2, 0)
+                        + max(per_prod * ps0.capacity // 4, 65536)
+                    )
             if col.kind == "background_mcc" and col.ionization_species:
                 mcc_grow.add(col.species[0])
                 src_cfg = by_cfg_name[col.species[0]]

@@ -170,16 +170,23 @@ def rigid_undo_push(pos_old, u_old3, pos_new, u_new3, z_plane_new,
     return pos, u3
 
 
-def wrap_positions(sp: ParticleState, geom) -> ParticleState:
+def wrap_positions(sp: ParticleState, geom, shift=None) -> ParticleState:
     """Periodic particle boundary: wrap into [lo, hi) on every active axis.
 
     The reference handles this in Redistribute after the push
     (WarpXEvolve.cpp:540-564); non-periodic boundaries come later as masks.
+    ``shift`` (per active dim) wraps into the DRIFTED domain
+    [lo+shift, hi+shift) of a Galilean run — the reference's prob_lo/hi move
+    with ShiftGalileanBoundary, so its particles wrap into the moving box
+    (this is what the position checksums record).
     """
     pos = sp.positions(geom.ndim)
     wrapped = []
     for d in range(geom.ndim):
         lo, hi = geom.prob_lo[d], geom.prob_hi[d]
+        if shift is not None:
+            lo = lo + shift[d]
+            hi = hi + shift[d]
         length = hi - lo
         wrapped.append(lo + jnp.mod(pos[d] - lo, length))
     return sp.with_positions(geom.ndim, wrapped)
@@ -260,13 +267,30 @@ def pic_step(
 
     # Galilean PSATD: the grid coordinates drift at v_galilean every step
     # (WarpXEvolve.cpp:234 ShiftGalileanBoundary, unconditionally), realized
-    # here as a time-dependent deposition/gather origin.
-    gal_origin = None
+    # here as a time-dependent deposition/gather origin.  CRUCIAL: each
+    # source is deposited with the origin evaluated AT ITS OWN TIME — J at
+    # t^{n+1/2} and rho_new at t^{n+1} (reference: WarpX::LowerCorner's
+    # time_shift_delta argument, WarpXParticleContainer.cpp:479 "0.5*dt" for
+    # J and :992,:1161 "icomp==0 ? 0 : dt" for rho; gather and rho_old use
+    # shift 0, PhysicalParticleContainer.cpp:2599).  With a uniform origin
+    # the scheme's galilean continuity identity
+    # rho_new = T2 rho_old + (1-T2) k.J/w_c is violated at O(k v dt) and the
+    # NCI cancellation turns into a strong instability (round-2/3 bug).
+    gal_origin = None          # o(t^n): gather + rho_old
+    gal_origin_half = None     # o(t^n + dt/2): J
+    gal_origin_new = None      # o(t^{n+1}): rho_new
     if any(cfg.psatd_v_galilean):
         _ax = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[geom.ndim]
+        v_act = [cfg.psatd_v_galilean[_ax[d]] for d in range(geom.ndim)]
         gal_origin = [
-            geom.prob_lo[d] + cfg.psatd_v_galilean[_ax[d]] * state.time
+            geom.prob_lo[d] + v_act[d] * state.time
             for d in range(geom.ndim)
+        ]
+        gal_origin_half = [
+            o + v * (0.5 * dt) for o, v in zip(gal_origin, v_act)
+        ]
+        gal_origin_new = [
+            o + v * dt for o, v in zip(gal_origin, v_act)
         ]
 
     # binary collisions then ionization before the main push
@@ -315,6 +339,24 @@ def pic_step(
                 species_mut[c1.name] = sp1
                 species_mut[c2.name] = sp2
         state = state.replace(species=species_mut, rng=rng)
+
+    fusion_cols = [c for c in cfg.collisions if c.kind == "nuclearfusion"]
+    if fusion_cols:
+        from ..ops.fusion import fusion_collision_update
+
+        rng = state.rng
+        for col in fusion_cols:
+            rng, sub = jax.random.split(rng)
+            do_now = (state.step % col.ndt) == 0
+            state = jax.lax.cond(
+                do_now,
+                lambda s, k=sub, c=col: fusion_collision_update(
+                    s, cfg, c, dt * c.ndt, k
+                ),
+                lambda s: s,
+                state,
+            )
+        state = state.replace(rng=rng)
 
     if any(c.kind == "background_mcc" for c in cfg.collisions):
         from ..ops.mcc import mcc_collision_update
@@ -487,12 +529,12 @@ def pic_step(
             jo = deposit_current_direct(
                 new_pos, ux, uy, uz, w_eff, sp_cfg.charge, geom,
                 staggering, dt, cfg.particle_shape,
-                relative_time=-dt, origin=gal_origin,
+                relative_time=-dt, origin=gal_origin_half,
             )
             jn = deposit_current_direct(
                 new_pos, ux, uy, uz, w_eff, sp_cfg.charge, geom,
                 staggering, dt, cfg.particle_shape,
-                relative_time=0.0, origin=gal_origin,
+                relative_time=0.0, origin=gal_origin_half,
             )
             j_old_total = (
                 jo if j_old_total is None
@@ -522,7 +564,7 @@ def pic_step(
                     new_pos, ux, uy, uz, w_eff, sp_cfg.charge,
                     geom, dt, cfg.particle_shape,
                     chunk_size=cfg.deposit_chunk_size,
-                    origin=gal_origin,
+                    origin=gal_origin_half,
                 )
             elif cfg.current_deposition == "vay":
                 from ..ops.deposit import deposit_current_vay
@@ -531,13 +573,13 @@ def pic_step(
                     new_pos, ux, uy, uz, w_eff, sp_cfg.charge,
                     geom, dt, cfg.particle_shape,
                     chunk_size=cfg.deposit_chunk_size,
-                    origin=gal_origin,
+                    origin=gal_origin_half,
                 )
             else:
                 jx, jy, jz = deposit_current_direct(
                     new_pos, ux, uy, uz, w_eff, sp_cfg.charge,
                     geom, staggering, dt, cfg.particle_shape,
-                    origin=gal_origin,
+                    origin=gal_origin_half,
                 )
             j_total = (
                 (jx, jy, jz)
@@ -551,14 +593,20 @@ def pic_step(
             w_eff1 = jnp.where(sp.alive, sp.w, 0.0)
             rho_new = deposit_rho(
                 new_pos, w_eff1, sp_cfg.charge, geom, cfg.particle_shape,
-                out=rho_new, origin=gal_origin,
+                out=rho_new, origin=gal_origin_new,
             )
 
         sp_new = sp.replace(ux=ux, uy=uy, uz=uz)
         if qed_extra is not None:
             sp_new = sp_new.replace(extra={**sp_new.extra, **qed_extra})
         sp_new = sp_new.with_positions(geom.ndim, new_pos)
-        new_species[sp_cfg.name] = wrap_positions(sp_new, geom)
+        gal_shift_new = (
+            [v * (state.time + dt) for v in v_act]
+            if gal_origin is not None else None
+        )
+        new_species[sp_cfg.name] = wrap_positions(
+            sp_new, geom, shift=gal_shift_new
+        )
 
     # cold-fluid species: deposit rho^n, push+advect, deposit rho^{n+1} and
     # J from the advanced state (WarpXFluidContainer::Evolve ordering)
