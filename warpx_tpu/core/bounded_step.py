@@ -24,6 +24,8 @@ from __future__ import annotations
 import math
 from typing import Dict
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -111,11 +113,22 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
     wdir = cfg.moving_window_dir
     bounded = [bc_lo[d] != "periodic" for d in range(ndim)]
 
-    if cfg.em_solver == "psatd":
-        raise NotImplementedError(
-            "PSATD with non-periodic boundaries / moving window / lasers "
-            "is not implemented yet (bounded path is FDTD-only)"
-        )
+    is_psatd = cfg.em_solver == "psatd"
+    if is_psatd:
+        # bounded PSATD: periodic and damped field boundaries only
+        # (FieldBoundaryType::Damped + DampFieldsInGuards,
+        # WarpXPushFieldsEM.cpp:1276; PML-PSATD is a separate gap)
+        for d in range(ndim):
+            for bc in (bc_lo[d], bc_hi[d]):
+                if bc not in ("periodic", "damped"):
+                    raise NotImplementedError(
+                        f"PSATD with field boundary '{bc}' "
+                        "(only periodic|damped implemented)"
+                    )
+        if cfg.do_dive_cleaning or cfg.do_divb_cleaning:
+            raise NotImplementedError(
+                "PSATD divergence cleaning on bounded domains"
+            )
     layout = DomainLayout.from_config(cfg)
     shapes = layout.field_shapes(staggering)
     ext_lo = [layout.ext_lo(d) for d in range(ndim)]
@@ -126,6 +139,91 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
         n_ext[d] + (1 if bounded[d] else 0) + 2 * ng for d in range(ndim)
     )
     static_origin = layout.static_origin()
+
+    # Galilean PSATD: per-dim grid-drift velocity on the active axes; every
+    # gather/deposit origin gains v_gal * (its own source time) — see the
+    # periodic path's derivation (core/step.py) and WarpX::LowerCorner.
+    _gal_ax = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[ndim]
+    v_gal_act = [cfg.psatd_v_galilean[_gal_ax[d]] for d in range(ndim)]
+    is_galilean = any(v != 0.0 for v in v_gal_act)
+    if is_galilean and not is_psatd:
+        raise NotImplementedError("psatd.v_galilean without the PSATD solver")
+
+    def gal_origin_at(origin, state, frac):
+        """Origin shifted by the galilean drift at t^n + frac*dt."""
+        if not is_galilean:
+            return origin
+        t = state.time + frac * dt
+        return [o + v * t for o, v in zip(origin, v_gal_act)]
+
+    if is_psatd:
+        from ..solvers.psatd import PsatdSolver
+        from .grid import Geometry as _Geometry
+
+        ext_geom = _Geometry(
+            ndim=ndim,
+            n_cell=tuple(n_ext),
+            prob_lo=tuple(static_origin),
+            prob_hi=tuple(
+                static_origin[d] + n_ext[d] * dxs[d] for d in range(ndim)
+            ),
+            periodic=(True,) * ndim,
+        )
+        psatd_b = PsatdSolver(
+            ext_geom, staggering, dt,
+            n_order=cfg.psatd_order,
+            collocated_grid=(cfg.grid_type == "collocated"),
+            update_with_rho=cfg.psatd_update_with_rho,
+            current_correction=cfg.psatd_current_correction,
+            v_galilean=cfg.psatd_v_galilean,
+            single_box=True,
+            vay_deposition=(cfg.current_deposition == "vay"),
+            time_averaging=cfg.psatd_time_averaging,
+            dtype=dtype,
+        )
+        psatd_need_rho = (
+            cfg.psatd_update_with_rho or cfg.psatd_current_correction
+        )
+        # damped-BC profiles: sin^2 ramp over the OUTER HALF of each damp
+        # zone (damp_field_in_guards + constrain_tilebox_to_guards,
+        # WarpXPushFieldsEM_K.H:78-120)
+        _damp_1d = []
+        for d in range(ndim):
+            prof = np.ones(n_ext[d])
+            ngd = layout.damp_ncell
+            if bc_lo[d] == "damped":
+                i = np.arange(ngd // 2)
+                prof[: ngd // 2] = np.sin(np.pi * i / ngd) ** 2
+            if bc_hi[d] == "damped":
+                i = np.arange(ngd // 2)
+                prof[n_ext[d] - ngd // 2:] = (
+                    np.sin(np.pi * i / ngd) ** 2)[::-1]
+            _damp_1d.append(prof)
+        _prof_nd = np.ones(tuple(n_ext))
+        for d in range(ndim):
+            shape_d = [1] * ndim
+            shape_d[d] = n_ext[d]
+            _prof_nd = _prof_nd * _damp_1d[d].reshape(shape_d)
+        damp_profile = jnp.asarray(_prof_nd, dtype)
+
+        def crop_to_ext(arr):
+            """Drop the extra wall node of nodal comps on bounded dims."""
+            for d in range(ndim):
+                if arr.shape[d] == n_ext[d] + 1:
+                    arr = jax.lax.slice_in_dim(arr, 0, n_ext[d], axis=d)
+            return arr
+
+        def restore_shape(arr, comp_name):
+            """Re-append the (damped-to-zero) wall node where needed."""
+            for d in range(ndim):
+                want = shapes[comp_name][d]
+                if arr.shape[d] == want - 1:
+                    zshape = list(arr.shape)
+                    zshape[d] = 1
+                    arr = jnp.concatenate(
+                        [arr, jnp.zeros(zshape, arr.dtype)], axis=d
+                    )
+            return arr
 
     # --- PML machinery: split-field ownership masks and damping factors
     has_pml = layout.has_pml
@@ -251,12 +349,18 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
         out = list(geom.prob_lo)
         if cfg.do_moving_window:
             out[wdir] = state.aux["window_lo"]
+        if is_galilean:
+            # the grid (and so the physical coverage) drifts with v_gal
+            # (ShiftGalileanBoundary moves prob_lo/hi)
+            out = [o + v * state.time for o, v in zip(out, v_gal_act)]
         return out
 
     def domain_hi_of(state):
         out = list(geom.prob_hi)
         if cfg.do_moving_window:
             out[wdir] = state.aux["window_hi"]
+        if is_galilean:
+            out = [o + v * state.time for o, v in zip(out, v_gal_act)]
         return out
 
     def pad_eb(arr, comp_name):
@@ -454,9 +558,16 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
 
     # ------------------------------------------------------------- step_main
     def step_main(state: SimState) -> SimState:
-        origin = origin_of(state)
+        origin = gal_origin_at(origin_of(state), state, 0.0)
+        use_avg = (
+            is_psatd and cfg.psatd_time_averaging
+            and state.fields.Ex_avg is not None
+        )
         farr_pad = {
-            name: pad_eb(getattr(state.fields, name), name)
+            name: pad_eb(
+                getattr(state.fields, name + "_avg" if use_avg else name),
+                name,
+            )
             for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz")
         }
         gather_stag = staggering
@@ -584,9 +695,14 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 )
                 q_eff = sp_cfg.charge
 
-            if cfg.do_dive_cleaning and not sp_cfg.do_not_deposit and not is_es:
-                # start/end-of-step charge density for EvolveF
-                # (rho_fp components 0/1; WarpXPushFieldsEM.cpp:1041)
+            need_rho_b = cfg.do_dive_cleaning or (
+                is_psatd and psatd_need_rho
+            )
+            if need_rho_b and not sp_cfg.do_not_deposit and not is_es:
+                # start/end-of-step charge density for EvolveF / PSATD rho
+                # (rho_fp components 0/1; WarpXPushFieldsEM.cpp:1041); with
+                # galilean PSATD each rho is deposited with the origin at
+                # ITS OWN time (LowerCorner icomp==0 ? 0 : dt)
                 from ..ops.deposit import deposit_rho
 
                 w_eff0 = jnp.where(sp.alive, sp.w, 0.0)
@@ -598,15 +714,18 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 w_eff1 = jnp.where(sp_new.alive, sp_new.w, 0.0)
                 rho_new_pad = deposit_rho(
                     sp_new.positions(ndim), w_eff1, q_eff, geom, order,
-                    out=rho_new_pad, origin=origin, wrap=False, offset=ng,
+                    out=rho_new_pad,
+                    origin=gal_origin_at(origin_of(state), state, 1.0),
+                    wrap=False, offset=ng,
                     out_shape=big_shape,
                 )
             if not sp_cfg.do_not_deposit and not is_es:
                 w_eff = jnp.where(sp.alive, sp_new.w, 0.0)
+                origin_j = gal_origin_at(origin_of(state), state, 0.5)
                 if cfg.current_deposition == "esirkepov":
                     jx, jy, jz = deposit_current_esirkepov(
                         new_pos, ux, uy, uz, w_eff, q_eff, geom, dt, order,
-                        origin=origin, wrap=False, offset=ng,
+                        origin=origin_j, wrap=False, offset=ng,
                         out_shape=big_shape,
                         chunk_size=cfg.deposit_chunk_size,
                     )
@@ -614,7 +733,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                     jx, jy, jz = deposit_current_direct(
                         new_pos, ux, uy, uz, w_eff, q_eff, geom,
                         staggering, dt, order,
-                        origin=origin, wrap=False, offset=ng,
+                        origin=origin_j, wrap=False, offset=ng,
                         out_shape=big_shape,
                     )
                 j_total = (
@@ -664,7 +783,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
         )
 
         rho_old = rho_new = None
-        if cfg.do_dive_cleaning:
+        if cfg.do_dive_cleaning or (is_psatd and psatd_need_rho):
             if rho_old_pad is None:
                 rho_old = rho_new = jnp.zeros(shapes["rho"], dtype)
             else:
@@ -674,6 +793,41 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                     rho_new_pad = bilinear_filter_padded(rho_new_pad, npass)
                 rho_old = fold_and_crop(rho_old_pad, "rho")
                 rho_new = fold_and_crop(rho_new_pad, "rho")
+
+        if is_psatd:
+            # --- spectral field advance on the extended (damp-zone) box:
+            # periodic FFT over the stored arrays (finite-order stencils keep
+            # the update local so the damped zones isolate the wrap-around),
+            # then sin^2 damping of the outer half of each damped zone
+            # (PushPSATD + DampFieldsInGuards)
+            f = fields
+            fs_ext = f.replace(
+                **{nm: crop_to_ext(getattr(f, nm)) for nm in
+                   ("Ex", "Ey", "Ez", "Bx", "By", "Bz", "jx", "jy", "jz")}
+            )
+            rho_pair = None
+            if psatd_need_rho:
+                rho_pair = (crop_to_ext(rho_old), crop_to_ext(rho_new))
+            out = psatd_b.push(fs_ext, rho_pair)
+            upd_psatd = {}
+            for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
+                arr = getattr(out, nm) * damp_profile
+                upd_psatd[nm] = restore_shape(arr, nm)
+            for nm in ("Ex_avg", "Ey_avg", "Ez_avg",
+                       "Bx_avg", "By_avg", "Bz_avg"):
+                arr = getattr(out, nm)
+                if arr is not None:
+                    upd_psatd[nm] = restore_shape(arr, nm[:2])
+            fields = fields.replace(**upd_psatd)
+            aux = dict(state.aux)
+            aux.update(aux_updates)
+            return state.replace(
+                fields=fields,
+                species=new_species,
+                step=state.step + 1,
+                time=state.time + dt,
+                aux=aux,
+            )
 
         # --- field advance: B half, E full, B half; PML strips evolve the
         # Berenger split fields (EvolveBPML.cpp/EvolveEPML.cpp: each split
@@ -796,7 +950,11 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
 
     # ----------------------------------------------------------- step_window
     max_shift = (
-        int(math.ceil(cfg.moving_window_v * _c * dt / dxs[wdir])) + 1
+        int(math.ceil(
+            abs(cfg.moving_window_v * _c
+                - (v_gal_act[wdir] if is_galilean else 0.0))
+            * dt / dxs[wdir]
+        )) + 1
         if cfg.do_moving_window
         else 0
     )
@@ -968,8 +1126,15 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             v = cfg.moving_window_v * _c
             window_x = aux["window_x"] + v * dt
             dz = dxs[wdir]
+            # with Galilean PSATD the grid itself drifts at v_gal: the array
+            # shift count is the window motion RELATIVE to the drifting grid
+            # (WarpXMovingWindow.cpp:171 uses the galilean-shifted
+            # current_lo); state.time is already t^{n+1} here
+            gal_off = (
+                v_gal_act[wdir] * state.time if is_galilean else 0.0
+            )
             num_shift = jnp.floor(
-                (window_x - aux["window_lo"]) / dz
+                (window_x - (aux["window_lo"] + gal_off)) / dz
             ).astype(jnp.int32)
             num_shift = jnp.clip(num_shift, 0, max_shift)
             aux["window_x"] = window_x
@@ -984,6 +1149,9 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 shift_names.append("F")
             if f.G is not None:
                 shift_names.append("G")
+            if f.Ex_avg is not None:
+                shift_names += ["Ex_avg", "Ey_avg", "Ez_avg",
+                                "Bx_avg", "By_avg", "Bz_avg"]
             upd = {
                 name: shift_field(getattr(f, name), num_shift)
                 for name in shift_names
@@ -1126,7 +1294,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
 
     # ------------------------------------------------------------- half push
     def half_push(state: SimState, dt_half) -> SimState:
-        origin = origin_of(state)
+        origin = gal_origin_at(origin_of(state), state, 0.0)
         farr_pad = {
             name: pad_eb(getattr(state.fields, name), name)
             for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz")

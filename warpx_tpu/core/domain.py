@@ -27,6 +27,9 @@ class DomainLayout:
     bc_lo: Tuple[str, ...]
     bc_hi: Tuple[str, ...]
     pml_ncell: int
+    # damped-BC zone width (PSATD; reference: the FFT guard region that
+    # DampFieldsInGuards operates on, WarpXPushFieldsEM.cpp:1276)
+    damp_ncell: int = 16
 
     @classmethod
     def from_config(cls, cfg: SimConfig) -> "DomainLayout":
@@ -36,6 +39,9 @@ class DomainLayout:
             bc_lo=cfg.field_bc_lo or ("periodic",) * ndim,
             bc_hi=cfg.field_bc_hi or ("periodic",) * ndim,
             pml_ncell=cfg.pml_ncell,
+            damp_ncell=(
+                max(cfg.psatd_order, 16) if cfg.psatd_order > 0 else 16
+            ),
         )
 
     # ------------------------------------------------------------------ sizes
@@ -49,6 +55,8 @@ class DomainLayout:
         # (reference: ApplySilverMuellerBoundary.cpp "innermost guard cell")
         if self.bc_lo[d] == "absorbing_silver_mueller":
             return 1
+        if self.bc_lo[d] == "damped":
+            return self.damp_ncell
         return 0
 
     def ext_hi(self, d: int) -> int:
@@ -56,6 +64,8 @@ class DomainLayout:
             return self.pml_ncell
         if self.bc_hi[d] == "absorbing_silver_mueller":
             return 1
+        if self.bc_hi[d] == "damped":
+            return self.damp_ncell
         return 0
 
     @property
