@@ -1068,6 +1068,19 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 for e in sp_cfg.momentum_exprs
             ]
             u_new = [jnp.asarray(f(*xyz), dtype) * _c for f in fns]
+        elif sp_cfg.momentum_distribution == "gaussian":
+            key_inj = jax.random.fold_in(
+                jax.random.fold_in(state.rng, state.step),
+                abs(hash(sp_cfg.name)) % (2**31),
+            )
+            ks = jax.random.split(key_inj, 3)
+            means = (sp_cfg.ux, sp_cfg.uy, sp_cfg.uz)
+            ths = (sp_cfg.ux_th or 0.0, sp_cfg.uy_th or 0.0,
+                   sp_cfg.uz_th or 0.0)
+            u_new = [
+                (mu + th * jax.random.normal(k, (npart,), dtype)) * _c
+                for mu, th, k in zip(means, ths, ks)
+            ]
         else:
             raise NotImplementedError(
                 f"continuous injection with {sp_cfg.momentum_distribution}"
@@ -1123,6 +1136,25 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
     def step_window(state: SimState, move_j) -> SimState:
         if cfg.do_moving_window:
             aux = dict(state.aux)
+            # the injection front rides with the plasma bulk velocity
+            # (boost-transformed), so the injected band covers ALL newly
+            # exposed grid cells (UpdateInjectionPosition,
+            # WarpXMovingWindow.cpp:61-134)
+            for sp_cfg in cfg.species:
+                if not sp_cfg.do_continuous_injection or is_laser[sp_cfg.name]:
+                    continue
+                from .injection import _bulk_momentum
+
+                ub = _bulk_momentum(sp_cfg)
+                u_d = float(ub[{1: (2,), 2: (0, 2), 3: (0, 1, 2)}[ndim][wdir]])
+                v_shift = _c * u_d / math.sqrt(1.0 + u_d * u_d)
+                if cfg.gamma_boost > 1.0:
+                    bb = math.sqrt(1.0 - 1.0 / cfg.gamma_boost**2)
+                    v_shift = (v_shift - _c * bb) / (
+                        1.0 - v_shift * bb / _c
+                    )
+                key_ip = f"inject_pos:{sp_cfg.name}"
+                aux[key_ip] = aux[key_ip] + v_shift * dt
             v = cfg.moving_window_v * _c
             window_x = aux["window_x"] + v * dt
             dz = dxs[wdir]

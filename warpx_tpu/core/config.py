@@ -313,6 +313,10 @@ class SimConfig:
     b_ext_grid: Tuple | None = None
     # deck my_constants, for expression evaluation at init
     user_constants: Tuple = ()
+    # hybrid QED Maxwell (reference: warpx.use_hybrid_QED + quantum_xi,
+    # WarpX_QED_Field_Pushers.cpp; requires collocated grid + PSATD)
+    use_hybrid_qed: bool = False
+    quantum_xi_c2: float = 1.1728865132395492e-35
     # PSATD knobs (reference: WarpX.cpp:1409-1520)
     psatd_order: int = 16  # -1 = infinite order (periodic single box)
     psatd_update_with_rho: bool = False

@@ -286,8 +286,13 @@ def _gate_unimplemented(deck: Deck) -> None:
     if medium not in ("vacuum", "macroscopic"):
         raise NotImplementedError(f"em_solver_medium = {medium}")
     if deck.get_bool("warpx.use_hybrid_QED", False):
-        # reference: Source/FieldSolver/WarpX_QED_Field_Pushers.cpp
-        raise NotImplementedError("hybrid QED Maxwell (warpx.use_hybrid_QED)")
+        solver_q = (deck.get_string("algo.maxwell_solver", "yee") or "yee").lower()
+        gridt_q = (deck.get_string("warpx.grid_type", "staggered") or "staggered").lower()
+        if solver_q != "psatd" or gridt_q != "collocated":
+            raise NotImplementedError(
+                "hybrid QED Maxwell requires PSATD + collocated grid "
+                "(as in the reference's Hybrid_QED_Push)"
+            )
     for nm in deck.get_strings("lasers.names", []):
         prof = (deck.get_string(f"{nm}.profile", "gaussian") or "gaussian").lower()
         if prof not in ("gaussian",):
@@ -653,12 +658,18 @@ def config_from_deck(deck: Deck) -> SimConfig:
             macro_mu=m_v, macro_mu_function=m_f,
         )
 
+    xi_q = deck.get_real("warpx.quantum_xi", None)
     return SimConfig(
         geometry=geom,
         max_step=max_step,
         dt=dt,
         particle_shape=deck.get_int("algo.particle_shape", 1),
         em_solver=em_solver,
+        use_hybrid_qed=deck.get_bool("warpx.use_hybrid_QED", False),
+        quantum_xi_c2=(
+            xi_q * 299792458.0**2 if xi_q is not None
+            else 1.1728865132395492e-35
+        ),
         **macro_kw,
         current_deposition=current_dep,
         field_gathering=(

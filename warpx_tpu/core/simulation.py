@@ -470,6 +470,9 @@ class Simulation:
         return fields.replace(**upd)
 
     def init(self, seed: int | None = None) -> SimState:
+        from ..runtime import set_simulation
+
+        set_simulation(self)  # data-view wrappers (fields.py) see this sim
         cfg = self.cfg
         geom = cfg.geometry
         np_dtype = np.dtype(jnp.zeros((), self.dtype).dtype.name)

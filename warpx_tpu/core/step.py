@@ -723,10 +723,20 @@ def advance_fields(
             j_old_total = tuple(
                 bilinear_filter(a, npass) for a in j_old_total
             )
+        if cfg.use_hybrid_qed:
+            # Heisenberg-Euler half-correction before and after the spectral
+            # push (WarpXEvolve.cpp:386-402 Hybrid_QED_Push)
+            from ..solvers.hybrid_qed import hybrid_qed_push
+
+            fields = hybrid_qed_push(fields, geom, dt, cfg.quantum_xi_c2)
         fields = psatd.push(
             fields, (rho_old, rho_new) if need_rho else None,
             j_old=j_old_total if multi_j else None,
         )
+        if cfg.use_hybrid_qed:
+            from ..solvers.hybrid_qed import hybrid_qed_push
+
+            fields = hybrid_qed_push(fields, geom, dt, cfg.quantum_xi_c2)
     else:
         # Field advance: B half, E full, B half (WarpXEvolve.cpp:418-446);
         # collocated grids use centered differences (CartesianNodalAlgorithm).
