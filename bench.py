@@ -99,7 +99,7 @@ def _build_sim(n, ppc):
         geometry=geom, max_step=10**9, dt=compute_dt_yee(geom, 0.999),
         particle_shape=1, species=species,
         tiled_particles=os.environ.get("BENCH_TILED", "auto"),
-        sort_interval=20, sort_margin=1,
+        sort_interval=int(os.environ.get("BENCH_SORT_INTERVAL", 40)), sort_margin=1,
     )
     sim = Simulation(cfg, dtype=jnp.float32)
     n_particles = 2 * ppc * n**3

@@ -336,6 +336,46 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
         ]
 
     # ---------------------------------------------------------------- helpers
+    # --- embedded boundary (staircase level set): covered-edge E and
+    # covered-face B components are FROZEN (the reference's Yee-EB skips
+    # their update when the edge length / face area is zero,
+    # EvolveE.cpp "lx(i,j,k) <= 0" / EvolveB.cpp face-area branch); the
+    # implicit function is sampled at each component's staggered points.
+    has_eb = bool(cfg.eb_implicit_function)
+    if has_eb:
+        if is_psatd:
+            raise NotImplementedError("embedded boundaries with PSATD")
+        if cfg.do_moving_window:
+            raise NotImplementedError(
+                "embedded boundaries with a moving window"
+            )
+        _eb_fn = compile_expression(
+            cfg.eb_implicit_function, ("x", "y", "z"),
+            dict(cfg.user_constants or ()),
+        )
+        _axes3 = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[ndim]
+
+        def _eb_phi_at(coords_active):
+            xyz = [0.0, 0.0, 0.0]
+            for d in range(ndim):
+                xyz[_axes3[d]] = coords_active[d]
+            return _eb_fn(*xyz)
+
+        eb_mask = {}
+        for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
+            coords = []
+            for d in range(ndim):
+                n_pts = shapes[nm][d]
+                off = 0.0 if staggering[nm][d] == 1 else 0.5
+                coords.append(
+                    static_origin[d]
+                    + (np.arange(n_pts) + off) * dxs[d]
+                )
+            mesh = np.meshgrid(*coords, indexing="ij")
+            phi = np.asarray(_eb_phi_at([jnp.asarray(m) for m in mesh]))
+            # evolve where NOT covered (phi <= 0: regular or boundary)
+            eb_mask[nm] = jnp.asarray(phi <= 0.0)
+
     def origin_of(state):
         """Array-origin coordinates (index 0, including PML strips)."""
         out = list(static_origin)
@@ -882,6 +922,11 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                     upd[nm] = jnp.where(
                         sm_mask[nm], getattr(fields, nm), upd[nm]
                     )
+                if has_eb and nm in eb_mask:
+                    # covered components frozen (staircase EB)
+                    upd[nm] = jnp.where(
+                        eb_mask[nm], upd[nm], getattr(fields, nm)
+                    )
             return fields.replace(**upd)
 
         dive = cfg.do_dive_cleaning
@@ -1226,15 +1271,24 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             # boundary scraping buffer: record absorbed particles per face
             # (ParticleBoundaryBuffer; <sp>.save_particles_at_*)
             for face in sp_cfg.save_particles_at:
-                if face[0] not in axes:
+                if face == "eb":
+                    if not has_eb:
+                        continue
+                    coords3 = [jnp.zeros_like(pos[0])] * 3
+                    _a3 = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[ndim]
+                    for dd in range(ndim):
+                        coords3[_a3[dd]] = pos[dd]
+                    crossed = alive & (_eb_fn(*coords3) > 0.0)
+                elif face[0] not in axes:
                     continue
-                d = axes.index(face[0])
-                is_lo = face.endswith("lo")
-                if (pbc_lo[d] if is_lo else pbc_hi[d]) != "absorbing":
-                    continue
-                crossed = alive & (
-                    pos[d] < origin[d] if is_lo else pos[d] > hi[d]
-                )
+                else:
+                    d = axes.index(face[0])
+                    is_lo = face.endswith("lo")
+                    if (pbc_lo[d] if is_lo else pbc_hi[d]) != "absorbing":
+                        continue
+                    crossed = alive & (
+                        pos[d] < origin[d] if is_lo else pos[d] > hi[d]
+                    )
                 pref = f"scrape:{sp_cfg.name}:{face}"
                 n0 = state.aux[f"{pref}:n"]
                 buf_cap = state.aux[f"{pref}:w"].shape[0]
@@ -1263,6 +1317,14 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                     alive = alive & (pos[d] >= origin[d])
                 if pbc_hi[d] == "absorbing":
                     alive = alive & (pos[d] <= hi[d])
+            if has_eb:
+                # scrape particles inside the EB body
+                # (EmbeddedBoundary/ParticleScraper.H)
+                coords3 = [jnp.zeros_like(pos[0])] * 3
+                _a3 = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[ndim]
+                for dd in range(ndim):
+                    coords3[_a3[dd]] = pos[dd]
+                alive = alive & ~(_eb_fn(*coords3) > 0.0)
             upd_pos = list(pos)
             u = {"x": sp.ux, "y": sp.uy, "z": sp.uz}
             rng_loc = state.rng

@@ -313,6 +313,11 @@ class SimConfig:
     b_ext_grid: Tuple | None = None
     # deck my_constants, for expression evaluation at init
     user_constants: Tuple = ()
+    # embedded boundary: implicit function f(x,y,z), >0 covered (reference:
+    # warpx.eb_implicit_function, Source/EmbeddedBoundary/; staircase
+    # level-set realization: covered-edge E / covered-face B frozen like the
+    # reference's Yee-EB skip-update, EvolveE.cpp lx<=0 branch)
+    eb_implicit_function: str = ""
     # hybrid QED Maxwell (reference: warpx.use_hybrid_QED + quantum_xi,
     # WarpX_QED_Field_Pushers.cpp; requires collocated grid + PSATD)
     use_hybrid_qed: bool = False

@@ -135,6 +135,9 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
             f"{ax}{side}"
             for ax in "xyz" for side in ("lo", "hi")
             if deck.get_bool(f"{name}.save_particles_at_{ax}{side}", False)
+        ) + (
+            ("eb",)
+            if deck.get_bool(f"{name}.save_particles_at_eb", False) else ()
         ),
         zinject_plane=(
             deck.get_real(f"{name}.zinject_plane", None)
@@ -257,9 +260,16 @@ def _gate_unimplemented(deck: Deck) -> None:
             raise NotImplementedError(f"implicit nonlinear solver {nl}")
     if deck.get_int("amr.max_level", 0) > 0:
         raise NotImplementedError("mesh refinement (amr.max_level > 0)")
-    if (deck.get_string("warpx.eb_implicit_function", "")
-            or deck.get_string("eb2.geom_type", "")):
-        raise NotImplementedError("embedded boundaries (EB)")
+    if deck.get_string("eb2.geom_type", ""):
+        raise NotImplementedError("EB geometry from eb2.* (STL/box builders)")
+    if deck.get_string("warpx.eb_implicit_function", ""):
+        solver_eb = (deck.get_string("algo.maxwell_solver", "yee")
+                     or "yee").lower()
+        if solver_eb in ("ect", "psatd"):
+            raise NotImplementedError(
+                f"embedded boundaries with the {solver_eb} solver "
+                "(ECT conformal / spectral EB)"
+            )
     for sp in deck.get_strings("particles.species_names", []):
         style = (
             deck.get_string(f"{sp}.injection_style", "none") or "none"
@@ -403,7 +413,11 @@ def config_from_deck(deck: Deck) -> SimConfig:
     es_solver = es_map.get(es_solver, es_solver)
     if solver == "none":
         em_solver = "none"
-    elif solver in ("yee", "ckc", "psatd", "ect", "hybrid"):
+    elif solver == "ect":
+        raise NotImplementedError(
+            "ECT (enlarged-cell) conformal FDTD solver"
+        )
+    elif solver in ("yee", "ckc", "psatd", "hybrid"):
         em_solver = solver
     else:
         raise NotImplementedError(f"maxwell solver {solver}")
@@ -666,6 +680,9 @@ def config_from_deck(deck: Deck) -> SimConfig:
         particle_shape=deck.get_int("algo.particle_shape", 1),
         em_solver=em_solver,
         use_hybrid_qed=deck.get_bool("warpx.use_hybrid_QED", False),
+        eb_implicit_function=(
+            deck.get_string("warpx.eb_implicit_function", "") or ""
+        ).strip('"'),
         quantum_xi_c2=(
             xi_q * 299792458.0**2 if xi_q is not None
             else 1.1728865132395492e-35

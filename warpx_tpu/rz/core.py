@@ -258,8 +258,10 @@ def gather_rz(pos3, farr: Dict[str, jnp.ndarray], cfg, order, ng):
                 contrib = vals[0]
                 for m in range(1, nmodes):
                     pc, ps = phases[m]
-                    contrib = contrib + 2.0 * (
-                        vals[2 * m - 1] * pc - vals[2 * m] * ps
+                    # stored components are the cos/sin coefficients (the
+                    # deposit's factor 2 normalizes them); FieldGather.H:322
+                    contrib = contrib + (
+                        vals[2 * m - 1] * pc + vals[2 * m] * ps
                     )
                 term = (wa * wb) * contrib
                 val = term if val is None else val + term
@@ -281,7 +283,7 @@ def _scatter_rz(target, ridx, zidx, vals):
     ).reshape(nr_e, nz)
 
 
-def _fold_and_scale(ext, name, cfg, ng, kind):
+def _fold_and_scale(ext, name, cfg, ng, kind, mode_sign=1.0):
     """Below-axis guard folds + inverse ring-volume scaling for deposited
     quantities (WarpXPushFieldsEM.cpp ApplyInverseVolumeScaling*).
 
@@ -308,6 +310,7 @@ def _fold_and_scale(ext, name, cfg, ng, kind):
             if tgt >= nr_valid:
                 continue
             sgn = {"r": -1.0, "t": -1.0, "z": +1.0, "rho": +1.0}[kind]
+            sgn = sgn * mode_sign
             updates.append((tgt, sgn * guard))
         for tgt, add in updates:
             arr = arr.at[tgt].add(add)
@@ -329,41 +332,66 @@ def _fold_and_scale(ext, name, cfg, ng, kind):
 
 
 def deposit_rho_rz(pos3, w, q, cfg, order, ng, dtype):
-    """Nodal rho, mode 0 (ChargeDeposition.H RZ) with ring-volume scaling."""
+    """Nodal rho, all azimuthal modes (ChargeDeposition.H RZ: factor
+    2 e^{i m theta} per mode) with ring-volume scaling."""
     geom = cfg.geometry
     dr, dz = geom.dx
     rmin, zmin = geom.prob_lo
     nr, nz = geom.n_cell
+    nmodes = cfg.n_rz_modes
+    ncomp = 2 * nmodes - 1
     x, y, z = pos3
     r = jnp.sqrt(x * x + y * y)
+    ok = r > 0
+    safe = jnp.where(ok, r, 1.0)
+    c0 = jnp.where(ok, x / safe, 1.0)
+    s0 = jnp.where(ok, y / safe, 0.0)
+    phases = [(jnp.ones_like(c0), jnp.zeros_like(s0))]
+    for _ in range(1, nmodes):
+        pc, ps = phases[-1]
+        phases.append((pc * c0 - ps * s0, pc * s0 + ps * c0))
     rg = (r - rmin) / dr
     zg = (z - zmin) / dz
     i0, wr = shape_weights(rg, order)
     k0, wz = shape_weights(zg, order)
-    ext = jnp.zeros((nr + 1 + 2 * ng, nz), dtype)
+    ext = jnp.zeros((ncomp, nr + 1 + 2 * ng, nz), dtype)
     wq = (q / (dr * dz)) * w
     for a, wa in enumerate(wr):
-        ridx = jnp.clip(i0 + a + ng, 0, ext.shape[0] - 1)
+        ridx = jnp.clip(i0 + a + ng, 0, ext.shape[1] - 1)
         for b, wb in enumerate(wz):
             zidx = jnp.mod(k0 + b, nz)
-            ext = _scatter_rz(ext, ridx, zidx, wq * wa * wb)
-    return _fold_and_scale(ext, "rho", cfg, ng, "rho")[None]
+            val = wq * wa * wb
+            ext = ext.at[0].set(_scatter_rz(ext[0], ridx, zidx, val))
+            for m in range(1, nmodes):
+                pc, ps = phases[m]
+                ext = ext.at[2 * m - 1].set(_scatter_rz(
+                    ext[2 * m - 1], ridx, zidx, 2.0 * val * pc))
+                ext = ext.at[2 * m].set(_scatter_rz(
+                    ext[2 * m], ridx, zidx, 2.0 * val * ps))
+    return _fold_and_scale_modes(ext, "rho", cfg, ng, "rho")
 
 
 def deposit_current_rz(pos_new3, ux, uy, uz, w, q, cfg, dt, order, ng,
                        dtype):
-    """Esirkepov RZ mode 0 (CurrentDeposition.H:643 RZ branch).
+    """Esirkepov RZ current deposition, all azimuthal modes
+    (CurrentDeposition.H:826-890 RZ branch).
 
     pos_new3 are the already-pushed Cartesian positions; the old Cartesian
     position is reconstructed ballistically and the deposit runs on the
     RADII (charge conserving in (r, z)); J_theta is direct with the theta
-    velocity at the mid position.  Returns (jr, jt, jz) mode-0 arrays,
-    ring-volume scaled.
+    velocity at the mid position for mode 0 and the charge-conserving
+    theta-displacement form for modes m >= 1 (the -2i r wq/(m dt dz) *
+    [S_new (xy_new - xy_mid) + S_old (xy_mid - xy_old)] term,
+    CurrentDeposition.H:218).  Components (2m-1, 2m) store the cos/sin
+    coefficients (deposit factor 2 from the mode normalization).
+    Returns (jr, jt, jz) ring-volume-scaled (C, NR(+1), NZ) arrays.
     """
     geom = cfg.geometry
     dr, dz = geom.dx
     rmin, zmin = geom.prob_lo
     nr, nz = geom.n_cell
+    nmodes = cfg.n_rz_modes
+    ncomp = 2 * nmodes - 1
     inv_c2 = 1.0 / (_c * _c)
     gaminv = 1.0 / jnp.sqrt(
         1.0 + (ux * ux + uy * uy + uz * uz) * inv_c2
@@ -377,9 +405,28 @@ def deposit_current_rz(pos_new3, ux, uy, uz, w, q, cfg, dt, order, ng,
     rp_new = jnp.sqrt(xn * xn + yn * yn)
     rp_mid = jnp.sqrt(xm * xm + ym * ym)
     rp_old = jnp.sqrt(xo * xo + yo * yo)
-    cmid = jnp.where(rp_mid > 0, xm / jnp.where(rp_mid > 0, rp_mid, 1.0), 1.0)
-    smid = jnp.where(rp_mid > 0, ym / jnp.where(rp_mid > 0, rp_mid, 1.0), 0.0)
+
+    def _trig(xc, yc, rp):
+        ok = rp > 0
+        safe = jnp.where(ok, rp, 1.0)
+        return jnp.where(ok, xc / safe, 1.0), jnp.where(ok, yc / safe, 0.0)
+
+    cnew, snew = _trig(xn, yn, rp_new)
+    cmid, smid = _trig(xm, ym, rp_mid)
+    cold, sold = _trig(xo, yo, rp_old)
     vt = (-ux * smid + uy * cmid) * gaminv
+
+    # e^{i m theta} at new/mid/old via recurrence
+    def _phases(c0, s0):
+        out = [(jnp.ones_like(c0), jnp.zeros_like(s0))]
+        for _ in range(1, nmodes):
+            pc, ps = out[-1]
+            out.append((pc * c0 - ps * s0, pc * s0 + ps * c0))
+        return out
+
+    ph_new = _phases(cnew, snew)
+    ph_mid = _phases(cmid, smid)
+    ph_old = _phases(cold, sold)
 
     r_new = (rp_new - rmin) / dr
     r_old = (rp_old - rmin) / dr
@@ -394,10 +441,9 @@ def deposit_current_rz(pos_new3, ux, uy, uz, w, q, cfg, dt, order, ng,
     invvol = 1.0 / (dr * dz)
     third, sixth = 1.0 / 3.0, 1.0 / 6.0
 
-    nr_er = nr  # Er/jr cell-centered rows
-    ext_r = jnp.zeros((nr + 2 * ng, nz), dtype)
-    ext_t = jnp.zeros((nr + 1 + 2 * ng, nz), dtype)
-    ext_z = jnp.zeros((nr + 1 + 2 * ng, nz), dtype)
+    ext_r = jnp.zeros((ncomp, nr + 2 * ng, nz), dtype)
+    ext_t = jnp.zeros((ncomp, nr + 1 + 2 * ng, nz), dtype)
+    ext_z = jnp.zeros((ncomp, nr + 1 + 2 * ng, nz), dtype)
 
     cum_r = []
     acc = 0.0
@@ -411,38 +457,70 @@ def deposit_current_rz(pos_new3, ux, uy, uz, w, q, cfg, dt, order, ng,
         cum_z.append(acc)
 
     for a in range(T):
-        ridx = jnp.clip(i0 + a + ng, 0, ext_r.shape[0] - 1)
+        ridx_r = jnp.clip(i0 + a + ng, 0, ext_r.shape[1] - 1)
+        ridx_tz = jnp.clip(i0 + a + ng, 0, ext_t.shape[1] - 1)
+        # radius of this tap in units of dr (CurrentDeposition.H:218's
+        # (i_new-1+i + xyzmin.x*dinv.x) factor)
+        r_tap = (i0 + a).astype(dtype) + rmin / dr
         for b in range(T):
             zidx = jnp.mod(k0 + b, nz)
             # jr: cumulative in r, averaged z shapes
             val_r = (wq * invdtd_r) * cum_r[a] * 0.5 * (sz_n[b] + sz_o[b])
-            ext_r = _scatter_rz(ext_r, ridx, zidx, val_r)
-            # jt: direct with the Esirkepov transverse mix
+            ext_r = ext_r.at[0].set(_scatter_rz(ext_r[0], ridx_r, zidx, val_r))
+            # jt mode 0: direct with the Esirkepov transverse mix
             mix = (
                 third * (sr_n[a] * sz_n[b] + sr_o[a] * sz_o[b])
                 + sixth * (sr_n[a] * sz_o[b] + sr_o[a] * sz_n[b])
             )
-            ext_t = _scatter_rz(ext_t, ridx, zidx, (wq * vt * invvol) * mix)
+            ext_t = ext_t.at[0].set(_scatter_rz(
+                ext_t[0], ridx_tz, zidx, (wq * vt * invvol) * mix
+            ))
             # jz: cumulative in z, averaged r shapes
             val_z = (wq * invdtd_z) * cum_z[b] * 0.5 * (sr_n[a] + sr_o[a])
-            ext_z = _scatter_rz(ext_z, ridx, zidx, val_z)
+            ext_z = ext_z.at[0].set(_scatter_rz(ext_z[0], ridx_tz, zidx, val_z))
+            sn_ab = sr_n[a] * sz_n[b]
+            so_ab = sr_o[a] * sz_o[b]
+            for m in range(1, nmodes):
+                pcn, psn = ph_new[m]
+                pcm, psm = ph_mid[m]
+                pco, pso = ph_old[m]
+                # jr / jz: factor 2 e^{i m theta_mid}
+                ext_r = ext_r.at[2 * m - 1].set(_scatter_rz(
+                    ext_r[2 * m - 1], ridx_r, zidx, 2.0 * val_r * pcm))
+                ext_r = ext_r.at[2 * m].set(_scatter_rz(
+                    ext_r[2 * m], ridx_r, zidx, 2.0 * val_r * psm))
+                ext_z = ext_z.at[2 * m - 1].set(_scatter_rz(
+                    ext_z[2 * m - 1], ridx_tz, zidx, 2.0 * val_z * pcm))
+                ext_z = ext_z.at[2 * m].set(_scatter_rz(
+                    ext_z[2 * m], ridx_tz, zidx, 2.0 * val_z * psm))
+                # jt: -2i r_tap wq/(m dt dz) [Sn (xy_n-xy_m) + So (xy_m-xy_o)]
+                K = 2.0 * r_tap * wq * invdtd_r / m
+                p_re = sn_ab * (pcn - pcm) + so_ab * (pcm - pco)
+                p_im = sn_ab * (psn - psm) + so_ab * (psm - pso)
+                ext_t = ext_t.at[2 * m - 1].set(_scatter_rz(
+                    ext_t[2 * m - 1], ridx_tz, zidx, K * p_im))
+                ext_t = ext_t.at[2 * m].set(_scatter_rz(
+                    ext_t[2 * m], ridx_tz, zidx, -K * p_re))
 
-    jr = _fold_and_scale(ext_r, "jr", cfg, ng, "r")[None]
-    jt = _fold_and_scale(ext_t, "jt", cfg, ng, "t")[None]
-    jz = _fold_and_scale(ext_z, "jz", cfg, ng, "z")[None]
-    # pad the mode axis for multi-mode layouts
-    ncomp = 2 * cfg.n_rz_modes - 1
-    if ncomp > 1:
-        jr = jnp.concatenate(
-            [jr, jnp.zeros((ncomp - 1,) + jr.shape[1:], dtype)], axis=0
-        )
-        jt = jnp.concatenate(
-            [jt, jnp.zeros((ncomp - 1,) + jt.shape[1:], dtype)], axis=0
-        )
-        jz = jnp.concatenate(
-            [jz, jnp.zeros((ncomp - 1,) + jz.shape[1:], dtype)], axis=0
-        )
+    jr = _fold_and_scale_modes(ext_r, "jr", cfg, ng, "r")
+    jt = _fold_and_scale_modes(ext_t, "jt", cfg, ng, "t")
+    jz = _fold_and_scale_modes(ext_z, "jz", cfg, ng, "z")
     return jr, jt, jz
+
+
+def _fold_and_scale_modes(ext, name, cfg, ng, kind):
+    """Per-mode below-axis folds + ring-volume scaling for a (C, NR+2ng, NZ)
+    deposited array: fold sign for mode m is the mode-0 sign times (-1)^m
+    (a point at (-r, theta) is (r, theta+pi): e^{im(theta+pi)} =
+    (-1)^m e^{im theta})."""
+    comps = []
+    for ci in range(ext.shape[0]):
+        m = (ci + 1) // 2
+        comps.append(
+            _fold_and_scale(ext[ci], name, cfg, ng, kind,
+                            mode_sign=(-1.0) ** m)
+        )
+    return jnp.stack(comps, axis=0)
 
 
 # ------------------------------------------------------------- field solve
