@@ -307,6 +307,9 @@ class SimConfig:
     # do_divb_cleaning; EvolveF.cpp / EvolveG.cpp)
     do_dive_cleaning: bool = False
     do_divb_cleaning: bool = False
+    # initialization projection div(B) cleaner for loaded external fields
+    # (reference: warpx.do_divb_cleaning_external, ProjectionDivCleaner)
+    do_divb_cleaning_external: bool = False
     # initial grid fields (reference: warpx.B_ext_grid_init_style):
     # None | ("constant", (vx,vy,vz)) | ("parse", (expr_x, expr_y, expr_z))
     e_ext_grid: Tuple | None = None

@@ -462,6 +462,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
     psatd_single_box = deck.get_bool("psatd.periodic_single_box_fft", False)
     psatd_order = deck.get_int("psatd.nox", 16)
     dive_cleaning = deck.get_bool("warpx.do_dive_cleaning", False)
+    divb_cleaning_ext = deck.get_bool("warpx.do_divb_cleaning_external", False)
     cc_default = not (
         current_dep in ("esirkepov", "villasenor", "vay") or dive_cleaning
     )
@@ -680,6 +681,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
         particle_shape=deck.get_int("algo.particle_shape", 1),
         em_solver=em_solver,
         use_hybrid_qed=deck.get_bool("warpx.use_hybrid_QED", False),
+        do_divb_cleaning_external=divb_cleaning_ext,
         eb_implicit_function=(
             deck.get_string("warpx.eb_implicit_function", "") or ""
         ).strip('"'),

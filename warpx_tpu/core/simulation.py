@@ -518,6 +518,16 @@ class Simulation:
             G=zeros("G") if cfg.do_divb_cleaning else None,
         )
         fields = self._init_external_grid(fields, shapes)
+        if cfg.do_divb_cleaning_external:
+            # projection div(B) cleaner on the loaded external field
+            # (ProjectionDivCleaner, WarpXInitData.cpp:589-591)
+            if self.is_bounded or geom.rz:
+                raise NotImplementedError(
+                    "warpx.do_divb_cleaning_external on bounded/RZ domains"
+                )
+            from ..solvers.div_cleaner import project_div_b
+
+            fields = project_div_b(fields, geom)
         species = {}
         aux = {}
         wdir = cfg.moving_window_dir

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 from typing import Dict, List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -402,6 +403,255 @@ def particle_histogram2d(state, cfg, staggering, params) -> "Dict[str, float]":
     }
 
 
+def _deposit_number_density(state, cfg, name):
+    """Cell-centered number density of one species (CIC, like the
+    reference's GetChargeDensity/|q| + Coarsen in ColliderRelevant)."""
+    from ..ops.deposit import deposit_rho
+
+    geom = cfg.geometry
+    sp = state.species[name]
+    w_eff = jnp.where(sp.alive, sp.w, 0.0)
+    rho = deposit_rho(
+        sp.positions(geom.ndim), w_eff, 1.0, geom, cfg.particle_shape,
+    )
+    return rho  # weight density [m^-3] (charge set to 1)
+
+
+def collider_relevant(state, cfg, staggering, params) -> Dict[str, float]:
+    """ColliderRelevant.cpp: dL_dt = 2 c sum_cells n1 n2 dV plus per-beam
+    transverse position/angle statistics (and chi when QED is active)."""
+    from .. import constants as _k
+
+    beams = params.get("species", [])
+    if len(beams) != 2:
+        raise ValueError("ColliderRelevant needs exactly 2 species")
+    geom = cfg.geometry
+    n1 = _deposit_number_density(state, cfg, beams[0])
+    n2 = _deposit_number_density(state, cfg, beams[1])
+    out = {
+        "dL_dt": float(
+            2.0 * _k.c * jnp.sum(n1 * n2) * geom.cell_volume
+        )
+    }
+    by_name = {s.name: s for s in cfg.species}
+    for nm in beams:
+        sp = state.species[nm]
+        alive = sp.alive
+        w = jnp.where(alive, sp.w, 0.0)
+        wsum = jnp.maximum(jnp.sum(w), 1e-300)
+
+        def wavg(a):
+            return jnp.sum(w * a) / wsum
+
+        if sp.x is not None:
+            xa = wavg(sp.x)
+            out[f"x_ave_{nm}"] = float(xa)
+            out[f"x_std_{nm}"] = float(
+                jnp.sqrt(jnp.maximum(wavg((sp.x - xa) ** 2), 0.0))
+            )
+        if sp.y is not None:
+            ya = wavg(sp.y)
+            out[f"y_ave_{nm}"] = float(ya)
+            out[f"y_std_{nm}"] = float(
+                jnp.sqrt(jnp.maximum(wavg((sp.y - ya) ** 2), 0.0))
+            )
+        safe_uz = jnp.where(sp.uz == 0, 1.0, sp.uz)
+        pairs = [("thetax", sp.ux)]
+        if geom.ndim == 3:
+            pairs.append(("thetay", sp.uy))
+        for lbl, u_t in pairs:
+            th = jnp.arctan2(u_t, safe_uz)
+            tha = wavg(th)
+            big = jnp.where(alive, th, jnp.inf)
+            small = jnp.where(alive, th, -jnp.inf)
+            out[f"{lbl}_min_{nm}"] = float(jnp.min(big))
+            out[f"{lbl}_ave_{nm}"] = float(tha)
+            out[f"{lbl}_max_{nm}"] = float(jnp.max(small))
+            out[f"{lbl}_std_{nm}"] = float(
+                jnp.sqrt(jnp.maximum(wavg((th - tha) ** 2), 0.0))
+            )
+        sp_cfg = by_name[nm]
+        if sp_cfg.do_qed_quantum_sync or sp_cfg.do_qed_breit_wheeler:
+            from ..ops.qed import particle_chi
+
+            farr = {
+                "Ex": state.fields.Ex, "Ey": state.fields.Ey,
+                "Ez": state.fields.Ez, "Bx": state.fields.Bx,
+                "By": state.fields.By, "Bz": state.fields.Bz,
+            }
+            from ..ops.gather import gather_eb
+
+            e6 = gather_eb(
+                sp.positions(geom.ndim), farr, staggering, geom,
+                cfg.particle_shape, cfg.galerkin,
+            )
+            chi = particle_chi(sp.ux, sp.uy, sp.uz, *e6)
+            out[f"chimin_{nm}"] = float(
+                jnp.min(jnp.where(alive, chi, jnp.inf)))
+            out[f"chiave_{nm}"] = float(wavg(chi))
+            out[f"chimax_{nm}"] = float(
+                jnp.max(jnp.where(alive, chi, -jnp.inf)))
+    return out
+
+
+def differential_luminosity(state, cfg, staggering, params) -> Dict[str, float]:
+    """DifferentialLuminosity.cpp: d^2L/(dE_com dt) histogram, accumulated
+    per step into state.aux['dluminosity:<name>'].
+
+    The reference loops ALL same-cell pairs; here pairs are sampled with the
+    strided in-cell pairing of the collision machinery (each of max(N1,N2)
+    pairs carries the min(N1,N2) multiplicity) — an unbiased estimator of
+    the same integral at bounded cost.
+    """
+    from .. import constants as _k
+    from ..ops.collisions import _cell_of
+
+    beams = params.get("species", [])
+    nbin = int(params.get("bin_number", 100))
+    bmin = float(params.get("bin_min", 0.0))
+    bmax = float(params.get("bin_max", 1.0))
+    bsize = (bmax - bmin) / nbin
+    geom = cfg.geometry
+    by_name = {s.name: s for s in cfg.species}
+    sp1 = state.species[beams[0]]
+    sp2 = state.species[beams[1]]
+    c1, c2 = by_name[beams[0]], by_name[beams[1]]
+    m_e = 9.1093837015e-31
+    n_cells_tot = 1
+    for d in range(geom.ndim):
+        n_cells_tot *= geom.n_cell[d]
+    cell1 = _cell_of(sp1, geom, n_cells_tot)
+    cell2 = _cell_of(sp2, geom, n_cells_tot)
+    key = jax.random.PRNGKey(int(state.step))
+    o1 = jnp.lexsort((jax.random.uniform(key, (sp1.capacity,)), cell1))
+    o2 = jnp.lexsort((jax.random.uniform(
+        jax.random.fold_in(key, 1), (sp2.capacity,)), cell2))
+    counts1 = jnp.zeros(n_cells_tot + 1, jnp.int32).at[cell1].add(
+        jnp.where(sp1.alive, 1, 0))
+    counts2 = jnp.zeros(n_cells_tot + 1, jnp.int32).at[cell2].add(
+        jnp.where(sp2.alive, 1, 0))
+    starts1 = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(counts1)[:-1].astype(jnp.int32)])
+    starts2 = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(counts2)[:-1].astype(jnp.int32)])
+    j = jnp.arange(sp1.capacity)
+    cL = cell1[o1]
+    rank = j - starts1[jnp.clip(cL, 0, n_cells_tot)]
+    N2c = counts2[jnp.clip(cL, 0, n_cells_tot)]
+    ok = sp1.alive[o1] & (cL < n_cells_tot) & (N2c > 0)
+    slot2 = jnp.clip(
+        starts2[jnp.clip(cL, 0, n_cells_tot)]
+        + rank % jnp.maximum(N2c, 1), 0, sp2.capacity - 1)
+    i1 = o1
+    i2 = o2[slot2]
+    ok = ok & sp2.alive[i2]
+    mult = jnp.minimum(counts1, counts2)[jnp.clip(cL, 0, n_cells_tot)]
+
+    def four_mom(sp, c, idx):
+        u_sq = sp.ux[idx]**2 + sp.uy[idx]**2 + sp.uz[idx]**2
+        if c.species_type == "photon":
+            pt = m_e * jnp.sqrt(u_sq)
+            m = 0.0
+        else:
+            pt = c.mass * jnp.sqrt(_k.c**2 + u_sq)
+            m = c.mass
+        return pt, c.mass * sp.ux[idx], c.mass * sp.uy[idx], \
+            c.mass * sp.uz[idx], m
+
+    p1t, p1x, p1y, p1z, m1 = four_mom(sp1, c1, i1)
+    p2t, p2x, p2y, p2z, m2 = four_mom(sp2, c2, i2)
+    E_com = (_k.c / _k.q_e) * jnp.sqrt(jnp.maximum(
+        m1 * m1 * _k.c**2 + m2 * m2 * _k.c**2
+        + 2 * (p1t * p2t - p1x * p2x - p1y * p2y - p1z * p2z), 0.0))
+    ip1 = 1.0 / jnp.maximum(p1t, 1e-300)
+    ip2 = 1.0 / jnp.maximum(p2t, 1e-300)
+    b1sq = (p1x**2 + p1y**2 + p1z**2) * ip1 * ip1
+    b2sq = (p2x**2 + p2y**2 + p2z**2) * ip2 * ip2
+    b12 = (p1x * p2x + p1y * p2y + p1z * p2z) * ip1 * ip2
+    radicand = jnp.maximum(b1sq + b2sq - 2 * b12 - b1sq * b2sq + b12**2, 0.0)
+    w1 = sp1.w[i1]
+    w2 = sp2.w[i2]
+    val = (_k.c * jnp.sqrt(radicand) * w1 * w2
+           * mult.astype(w1.dtype)
+           / geom.cell_volume / bsize * cfg.dt)
+    bins = jnp.floor((E_com - bmin) / bsize).astype(jnp.int32)
+    inb = ok & (bins >= 0) & (bins < nbin)
+    hist = jnp.zeros(nbin).at[jnp.where(inb, bins, 0)].add(
+        jnp.where(inb, val, 0.0))
+    # accumulate across steps like the reference's d_data
+    key_aux = "dluminosity:" + "_".join(beams)
+    prev = state.aux.get(key_aux)
+    if prev is not None:
+        hist = hist + prev
+    state.aux[key_aux] = hist  # caller persists aux mutation by convention
+    return {
+        f"bin{i+1}={bmin + bsize * (i + 0.5):.6e}(m^-2/eV)": float(hist[i])
+        for i in range(nbin)
+    }
+
+
+def charge_on_eb(state, cfg, staggering, params) -> Dict[str, float]:
+    """ChargeOnEB.cpp: total charge inside the embedded boundary via Gauss,
+    Q = eps0 * sum_covered div(E) dV (the staircase form of the reference's
+    surface integral of eps0 E.n over the EB); optional weighting function
+    w(x,y,z) applied per covered cell."""
+    from .. import constants as _k
+    from ..solvers.yee import compute_div_e
+    from ..utils.expression import compile_expression
+
+    if not cfg.eb_implicit_function:
+        raise ValueError("ChargeOnEB requires an embedded boundary")
+    geom = cfg.geometry
+    dive = compute_div_e(state.fields, geom)
+    fn = compile_expression(
+        cfg.eb_implicit_function, ("x", "y", "z"),
+        dict(cfg.user_constants or ()),
+    )
+    axes3 = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[geom.ndim]
+    coords = [geom.cell_centers(d) for d in range(geom.ndim)]
+    mesh = jnp.meshgrid(*[jnp.asarray(cc) for cc in coords], indexing="ij")
+    xyz = [jnp.zeros_like(mesh[0])] * 3
+    for d in range(geom.ndim):
+        xyz[axes3[d]] = mesh[d]
+    covered = fn(*xyz) > 0.0
+    weight = 1.0
+    wexpr = params.get("weighting_function", "")
+    if wexpr:
+        weight = compile_expression(
+            wexpr, ("x", "y", "z"), dict(cfg.user_constants or ())
+        )(*xyz)
+    q = _k.ep0 * jnp.sum(
+        jnp.where(covered, dive[: covered.shape[0]] if
+                  dive.shape != covered.shape else dive, 0.0) * weight
+    ) * geom.cell_volume
+    return {"Charge (C)": float(q)}
+
+
+def load_balance_costs(state, cfg, staggering) -> Dict[str, float]:
+    """LoadBalanceCosts.cpp: per-device heuristic cost
+    (costs_heuristic_particles_wt * n_particles +
+    costs_heuristic_cells_wt * n_cells; reference WarpXRegrid.cpp:316).
+    Single-chip runs report one box; sharded runs report per-shard costs
+    via the parallel.distribute machinery."""
+    n_parts = 0.0
+    for nm, sp in state.species.items():
+        n_parts += float(jnp.sum(sp.alive))
+    n_cells = 1.0
+    for n in cfg.geometry.n_cell:
+        n_cells *= n
+    part_wt, cell_wt = 0.9, 0.1  # reference GPU defaults (WarpX.cpp)
+    cost = part_wt * n_parts + cell_wt * n_cells
+    return {
+        "cost_box_0": cost,
+        "proc_box_0": 0.0,
+        "lev_box_0": 0.0,
+        "i_low_box_0": 0.0,
+        "num_cells_box_0": n_cells,
+        "num_macro_particles_box_0": n_parts,
+    }
+
+
+
 REDUCED_DIAGS = {
     "BeamRelevant": beam_relevant,
     "ParticleHistogram": particle_histogram,
@@ -418,12 +668,17 @@ REDUCED_DIAGS = {
     "LoadBalanceEfficiency": load_balance_efficiency,
     "Timestep": timestep,
     "ParticleHistogram2D": particle_histogram2d,
+    "ColliderRelevant": collider_relevant,
+    "DifferentialLuminosity": differential_luminosity,
+    "ChargeOnEB": charge_on_eb,
+    "LoadBalanceCosts": load_balance_costs,
 }
 
 
 _PARAM_KINDS = {
     "BeamRelevant", "ParticleHistogram", "FieldProbe", "FieldReduction",
-    "ParticleHistogram2D",
+    "ParticleHistogram2D", "ColliderRelevant", "DifferentialLuminosity",
+    "ChargeOnEB",
 }
 
 
