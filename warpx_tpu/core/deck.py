@@ -280,8 +280,19 @@ def _gate_unimplemented(deck: Deck) -> None:
         kind = (deck.get_string(f"{nm}.type", "pairwisecoulomb")
                 or "pairwisecoulomb").lower()
         if kind not in ("pairwisecoulomb", "background_mcc",
-                        "background_stopping", "nuclearfusion"):
+                        "background_stopping", "nuclearfusion", "dsmc"):
             raise NotImplementedError(f"collision type {kind}")
+        if kind == "dsmc":
+            import os as _os
+
+            for proc in deck.get_strings(f"{nm}.scattering_processes", []):
+                fp = deck.get_string(
+                    f"{nm}.{proc}_cross_section", "") or ""
+                if not fp or not _os.path.exists(fp):
+                    raise NotImplementedError(
+                        f"DSMC cross-section table for '{proc}' not found "
+                        f"({fp!r}); the reference ships these in warpx-data"
+                    )
     if deck.get_strings("fluids.species_names", []) and deck.get_real(
         "warpx.gamma_boost", 1.0
     ) > 1.0:
@@ -528,6 +539,18 @@ def config_from_deck(deck: Deck) -> SimConfig:
         mcc_kw = {}
         if kind == "background_mcc":
             mcc_kw = _mcc_from_deck(deck, nm)
+        elif kind == "dsmc":
+            from ..ops.dsmc import load_cross_section
+            from .config import MCCProcessConfig
+
+            procs = []
+            for proc in deck.get_strings(f"{nm}.scattering_processes", []):
+                fp = deck.get_string(f"{nm}.{proc}_cross_section", "") or ""
+                en, sg = load_cross_section(fp)
+                procs.append(MCCProcessConfig(
+                    kind=proc, energies=tuple(en), sigmas=tuple(sg),
+                ))
+            mcc_kw = dict(processes=tuple(procs))
         elif kind == "nuclearfusion":
             # fusion type from the reactants' physical species types
             # (BinaryCollisionUtils::get_nuclear_fusion_type)

@@ -358,6 +358,24 @@ def pic_step(
             )
         state = state.replace(rng=rng)
 
+    dsmc_cols = [c for c in cfg.collisions if c.kind == "dsmc"]
+    if dsmc_cols:
+        from ..ops.dsmc import dsmc_collision_update
+
+        rng = state.rng
+        for col in dsmc_cols:
+            rng, sub = jax.random.split(rng)
+            do_now = (state.step % col.ndt) == 0
+            state = jax.lax.cond(
+                do_now,
+                lambda s, k=sub, c=col: dsmc_collision_update(
+                    s, cfg, c, dt * c.ndt, k
+                ),
+                lambda s: s,
+                state,
+            )
+        state = state.replace(rng=rng)
+
     if any(c.kind == "background_mcc" for c in cfg.collisions):
         from ..ops.mcc import mcc_collision_update
 
