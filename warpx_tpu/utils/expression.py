@@ -58,6 +58,9 @@ _FUNCS = {
     "heaviside": _heaviside,
     "sign": jnp.sign,
     "where": _if,  # target of the if() rewrite
+    "logand": lambda a, b: jnp.logical_and(a, b),
+    "logor": lambda a, b: jnp.logical_or(a, b),
+    "lognot": lambda a: jnp.logical_not(a),
     "erf": None,  # filled lazily below (jax.scipy)
 }
 
@@ -84,9 +87,10 @@ def _translate(expr: str) -> str:
     s = _IF_RE.sub("where(", s)
     # and/or/not on {0,1} floats: a*b, max(a,b), 1-a.  Implemented via bitwise-ish
     # float tricks using multiplication and min/max through operator rewriting.
-    s = _AND_RE.sub("&", s)
-    s = _OR_RE.sub("|", s)
-    s = _NOT_RE.sub("~", s)
+    # and/or/not keep Python's loose precedence (a<b and c>d parses as
+    # (a<b) and (c>d)); the AST pass below turns them into logical calls —
+    # a textual "&" substitution would BIND TIGHTER than the comparisons
+    # and produce bitwise_and on floats (e.g. the field_probe EB deck).
     return s
 
 
@@ -117,7 +121,33 @@ def compile_expression(
         namespace.update(user_constants)
     namespace["__builtins__"] = {"__import__": __import__}
 
-    code = compile(src, f"<deck-expr: {expr[:60]}>", "eval")
+    import ast
+
+    tree = ast.parse(src, mode="eval")
+
+    class _Bool(ast.NodeTransformer):
+        def visit_BoolOp(self, node):
+            self.generic_visit(node)
+            fn = "logand" if isinstance(node.op, ast.And) else "logor"
+            out = node.values[0]
+            for v in node.values[1:]:
+                out = ast.Call(
+                    func=ast.Name(id=fn, ctx=ast.Load()),
+                    args=[out, v], keywords=[],
+                )
+            return out
+
+        def visit_UnaryOp(self, node):
+            self.generic_visit(node)
+            if isinstance(node.op, ast.Not):
+                return ast.Call(
+                    func=ast.Name(id="lognot", ctx=ast.Load()),
+                    args=[node.operand], keywords=[],
+                )
+            return node
+
+    tree = ast.fix_missing_locations(_Bool().visit(tree))
+    code = compile(tree, f"<deck-expr: {expr[:60]}>", "eval")
 
     def fn(*args):
         local = dict(zip(variables, args))
