@@ -132,3 +132,51 @@ def test_psatd_moving_window_vacuum():
     ex = np.asarray(state.fields.Ex)
     imax = np.unravel_index(np.argmax(np.abs(ex)), ex.shape)
     assert 4 < imax[1] < ex.shape[1] - 4
+
+
+@pytest.mark.slow
+def test_galilean_psatd_hybrid_deck():
+    """The full 2D boosted-frame galilean-PSATD hybrid-grid moving-window
+    deck (rigid beam + continuously injected plasma, damped z boundaries)
+    runs 400 steps and lands on the golden for every drift-dominated
+    checksum (the transverse momenta are quiet-start-noise sums and RNG
+    dependent; fields agree to ~10%)."""
+    import json
+    import os
+
+    from warpx_tpu.core.simulation import Simulation
+
+    from .conftest import REFERENCE, reference_available
+
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    deck = os.path.join(
+        REFERENCE,
+        "Examples/Tests/nci_psatd_stability/"
+        "inputs_test_2d_galilean_psatd_hybrid",
+    )
+    sim = Simulation.from_deck(deck, overrides=("diagnostics.diags_names =",))
+    sim.init()
+    sim.evolve()
+    gold = json.load(open(os.path.join(
+        REFERENCE,
+        "Regression/Checksum/benchmarks_json/"
+        "test_2d_galilean_psatd_hybrid.json",
+    )))
+    ours = sim.checksums()
+    for sp, q, tol in (
+        ("electrons", "particle_weight", 0.01),
+        ("ions", "particle_weight", 0.01),
+        ("beam", "particle_weight", 1e-9),
+        ("electrons", "particle_momentum_z", 0.01),
+        ("ions", "particle_momentum_z", 0.01),
+        ("beam", "particle_momentum_z", 0.05),
+        ("electrons", "particle_position_y", 0.03),
+    ):
+        ref = gold[sp][q]
+        got = ours[sp][q]
+        assert abs(got - ref) <= tol * abs(ref), (sp, q, got, ref)
+    for q in ("Ey", "jy"):
+        ref = gold["lev=0"][q]
+        got = ours["lev=0"][q]
+        assert abs(got - ref) <= 0.12 * abs(ref), (q, got, ref)

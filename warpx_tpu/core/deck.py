@@ -306,6 +306,12 @@ def _gate_unimplemented(deck: Deck) -> None:
     ).lower()
     if medium not in ("vacuum", "macroscopic"):
         raise NotImplementedError(f"em_solver_medium = {medium}")
+    if (any(deck.get_reals("psatd.v_comoving", (0.0, 0.0, 0.0)))
+            or deck.get_bool("psatd.use_default_v_comoving", False)):
+        # reference: PsatdAlgorithmComoving.cpp — a different spectral
+        # family from Galilean; running it as plain PSATD would silently
+        # drop the deck's central feature
+        raise NotImplementedError("comoving PSATD (psatd.v_comoving)")
     if deck.get_bool("warpx.use_hybrid_QED", False):
         solver_q = (deck.get_string("algo.maxwell_solver", "yee") or "yee").lower()
         gridt_q = (deck.get_string("warpx.grid_type", "staggered") or "staggered").lower()
