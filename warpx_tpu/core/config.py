@@ -94,6 +94,9 @@ class LaserConfig:
     do_continuous_injection: bool = False
     # lab-frame plane coordinate along the normal (boosted runs)
     z0_lab: float = 0.0
+    # profile = from_file (lasy): LaserProfileFromFile.cpp
+    lasy_file_name: str = ""
+    delay: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -235,6 +235,10 @@ def _laser_from_deck(deck: Deck, name: str) -> LaserConfig:
         phi2=g("phi2", 0.0),
         theta_stc=g("theta_stc", 0.0),
         do_continuous_injection=bool(deck.get_int(f"{name}.do_continuous_injection", 0)),
+        lasy_file_name=(
+            deck.get_string(f"{name}.lasy_file_name", "") or ""
+        ).strip('"'),
+        delay=g("delay", 0.0),
     )
 
 
@@ -322,8 +326,22 @@ def _gate_unimplemented(deck: Deck) -> None:
             )
     for nm in deck.get_strings("lasers.names", []):
         prof = (deck.get_string(f"{nm}.profile", "gaussian") or "gaussian").lower()
-        if prof not in ("gaussian",):
-            # reference: LaserProfilesImpl/{LaserProfileFromFile,LaserProfileParseField}.cpp
+        if prof == "from_file":
+            import os as _os
+
+            fp = (deck.get_string(f"{nm}.lasy_file_name", "") or "").strip('"')
+            if not fp:
+                raise NotImplementedError(
+                    f"laser profile from binary_file_name ({nm}): only the "
+                    "lasy (openPMD) format is implemented"
+                )
+            if not _os.path.exists(fp):
+                raise FileNotFoundError(
+                    f"{nm}.lasy_file_name: {fp} (the lasy decks generate "
+                    "this in a PICMI prepare step)"
+                )
+        elif prof not in ("gaussian",):
+            # reference: LaserProfilesImpl/LaserProfileParseField.cpp
             raise NotImplementedError(f"laser profile '{prof}' ({nm}.profile)")
     if deck.get_bool("warpx.do_pml_j_damping", False):
         pass  # damping knob only alters PML strength; handled by PML path

@@ -87,6 +87,14 @@ def gaussian_amplitude(laser: LaserConfig, Xp, Yp, t):
 
 def fill_amplitude(laser: LaserConfig, ndim: int, Xp, Yp, t):
     """Vectorized amplitude for antenna particles (jnp, traced t)."""
+    if laser.profile == "from_file":
+        # lasy envelope file (LaserProfileFromFile.cpp: fill_amplitude maps
+        # simulation time to t_env = t + t_min - delay)
+        from .laser_file import lasy_amplitude, load_lasy
+
+        ld = load_lasy(laser.lasy_file_name)
+        t_env = t + ld.t_min - laser.delay
+        return lasy_amplitude(ld, laser, Xp, Yp, t_env)
     k0 = 2.0 * math.pi / laser.wavelength
     inv_tau2 = 1.0 / (laser.profile_duration**2)
     osc = k0 * constants.c * (t - laser.profile_t_peak) + laser.phi0
