@@ -287,6 +287,16 @@ class SimConfig:
     # WarpXFluidContainer) — reuses the SpeciesConfig profile fields
     fluids: Tuple[SpeciesConfig, ...] = ()
     pml_ncell: int = 10
+    # mesh refinement (reference: amr.max_level, warpx.fine_tag_lo/hi;
+    # one static fine patch, Vay substitution scheme — see core/mr.py)
+    max_level: int = 0
+    ref_ratio: int = 2
+    fine_tag_lo: Tuple[float, ...] = ()
+    fine_tag_hi: Tuple[float, ...] = ()
+    # particles within this many FINE cells of the patch edge gather from /
+    # deposit to the coarse level (reference: WarpX::BuildBufferMasks)
+    n_field_gather_buffer: int = 3
+    n_current_deposition_buffer: int = 2
     # constant external fields applied to particles during gather
     # (reference: particles.E_ext_particle_init_style = constant)
     e_ext_particle: Tuple[float, float, float] = (0.0, 0.0, 0.0)

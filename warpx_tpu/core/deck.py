@@ -262,8 +262,55 @@ def _gate_unimplemented(deck: Deck) -> None:
         ).strip('"').lower()
         if nl not in ("picard", "newton"):
             raise NotImplementedError(f"implicit nonlinear solver {nl}")
-    if deck.get_int("amr.max_level", 0) > 0:
-        raise NotImplementedError("mesh refinement (amr.max_level > 0)")
+    max_level = deck.get_int("amr.max_level", 0)
+    if max_level > 0:
+        # supported MR envelope (core/mr.py): one static fine patch,
+        # explicit FDTD, periodic level-0, energy-conserving gather
+        _mr_solver = (deck.get_string("algo.maxwell_solver", "yee")
+                      or "yee").lower()
+        _mr_es = (deck.get_string(
+            "warpx.do_electrostatic",
+            deck.get_string("algo.do_electrostatic", "none")) or "none"
+        ).lower()
+        _mr_gather = (deck.get_string(
+            "algo.field_gathering", "energy-conserving")
+            or "energy-conserving").lower()
+        if max_level > 1:
+            raise NotImplementedError("amr.max_level > 1")
+        if deck.get_bool("warpx.do_subcycling", False):
+            raise NotImplementedError("MR with subcycling (do_subcycling)")
+        if _mr_solver not in ("yee", "ckc") or _mr_es != "none":
+            raise NotImplementedError(
+                f"mesh refinement with solver '{_mr_solver}'/"
+                f"electrostatic '{_mr_es}' (FDTD Yee/CKC only)"
+            )
+        if _mr_gather.startswith("momentum"):
+            raise NotImplementedError(
+                "MR with momentum-conserving gathering "
+                "(UpdateAuxilaryDataStagToNodal)"
+            )
+        if (deck.get_string("warpx.grid_type", "staggered")
+                or "staggered").lower() != "staggered":
+            raise NotImplementedError("MR requires a staggered grid")
+        _mr_bcs = deck.get_strings(
+            "boundary.field_lo", []) + deck.get_strings(
+            "boundary.field_hi", [])
+        if any(b != "periodic" for b in _mr_bcs):
+            raise NotImplementedError(
+                "MR with non-periodic level-0 boundaries"
+            )
+        if deck.get_bool("warpx.do_moving_window", False):
+            raise NotImplementedError("MR with a moving window")
+        if deck.get_strings("lasers.names", []):
+            raise NotImplementedError("MR with laser antennas")
+        if deck.get_strings("collisions.collision_names", []):
+            raise NotImplementedError("MR with collisions")
+        _mr_dep = (deck.get_string(
+            "algo.current_deposition", "esirkepov") or "esirkepov").lower()
+        if _mr_dep not in ("esirkepov", "villasenor"):
+            raise NotImplementedError(
+                f"MR with {_mr_dep} current deposition"
+            )
     if deck.get_string("eb2.geom_type", ""):
         raise NotImplementedError("EB geometry from eb2.* (STL/box builders)")
     if deck.get_string("warpx.eb_implicit_function", ""):
@@ -471,6 +518,13 @@ def config_from_deck(deck: Deck) -> SimConfig:
         else:
             # Yee and collocated (nodal) share the same CFL formula
             dt = compute_dt_yee(geom, cfl)
+        if deck.get_int("amr.max_level", 0) > 0:
+            # dt is set by the FINEST level's cell size
+            # (WarpXComputeDt.cpp:57 geom[max_level].CellSize()); with a
+            # uniform ref_ratio the CFL dt scales exactly by 1/r
+            dt /= max(int(
+                (deck.get_reals("amr.ref_ratio_vect", ()) or
+                 [deck.get_real("amr.ref_ratio", 2)])[0]), 1)
     # stop_time: run while cur_time < stop_time (WarpXEvolve.cpp:112)
     stop_time = deck.get_real(
         "stop_time", deck.get_real("warpx.stop_time", None)
@@ -782,6 +836,16 @@ def config_from_deck(deck: Deck) -> SimConfig:
         collisions=tuple(collisions),
         fluids=fluid_species,
         pml_ncell=deck.get_int("pml_ncell", deck.get_int("warpx.pml_ncell", 10)),
+        max_level=deck.get_int("amr.max_level", 0),
+        ref_ratio=max(int(
+            (deck.get_reals("amr.ref_ratio_vect", ()) or
+             [deck.get_real("amr.ref_ratio", 2)])[0]), 1),
+        fine_tag_lo=tuple(deck.get_reals("warpx.fine_tag_lo", ())),
+        fine_tag_hi=tuple(deck.get_reals("warpx.fine_tag_hi", ())),
+        n_field_gather_buffer=deck.get_int(
+            "warpx.n_field_gather_buffer", 3),
+        n_current_deposition_buffer=deck.get_int(
+            "warpx.n_current_deposition_buffer", 2),
         electrostatic=es_solver,
         boundary_potentials=boundary_potentials,
         poisson_solver=(

@@ -39,6 +39,7 @@ class Simulation:
             else yee_staggering(cfg.geometry.ndim)
         )
         self.state: SimState | None = None
+        self.mr_layout = None
         self.is_synchronized = True
         self.is_bounded = self._needs_bounded_kernels(cfg)
         self.psatd = None
@@ -61,6 +62,21 @@ class Simulation:
             raise NotImplementedError(
                 "implicit schemes support periodic EM domains only"
             )
+        if cfg.max_level > 0:
+            from .mr import make_mr_step
+
+            if self.is_bounded:
+                raise NotImplementedError(
+                    "mesh refinement with non-periodic level-0 boundaries"
+                )
+            step, half, layout = make_mr_step(cfg, self.staggering)
+            self.mr_layout = layout
+            self._step = jax.jit(step)
+            self._step_main = self._step
+            self._step_window = None
+            self._solve_es = None
+            self._half_push = jax.jit(half, static_argnames=("dt_half",))
+            return
         if self.is_bounded:
             if cfg.em_solver_medium != "vacuum":
                 raise NotImplementedError(
@@ -815,6 +831,13 @@ class Simulation:
             self.state = self.state.replace(
                 aux={**self.state.aux, **scrape_aux}
             )
+        if self.mr_layout is not None:
+            from .mr import mr_init_aux
+
+            self.state = self.state.replace(aux={
+                **self.state.aux,
+                **mr_init_aux(cfg, self.mr_layout, self.dtype),
+            })
         if cfg.fluids:
             # cold-fluid nodal state lives in aux (WarpXFluidContainer)
             from ..solvers.fluids import init_fluid
@@ -1099,7 +1122,8 @@ class Simulation:
             return rz_checksums(self.state, self.cfg)
         self._normalize_binned()
         return compute_checksums(
-            self.state, self.cfg, self.staggering, psatd=self.psatd
+            self.state, self.cfg, self.staggering, psatd=self.psatd,
+            mr_layout=self.mr_layout,
         )
 
 

@@ -23,13 +23,21 @@ __all__ = ["compute_checksums", "compare_checksums"]
 
 
 def compute_checksums(
-    state: SimState, cfg: SimConfig, staggering: Dict, psatd=None
+    state: SimState, cfg: SimConfig, staggering: Dict, psatd=None,
+    mr_layout=None,
 ) -> Dict[str, Dict[str, float]]:
     data: Dict[str, Dict[str, float]] = {}
     fields = cell_centered_output(state, cfg, staggering, psatd=psatd)
     data["lev=0"] = {
         name: float(np.sum(np.abs(arr))) for name, arr in fields.items()
     }
+    if mr_layout is not None:
+        from ..core.mr import mr_output_fields
+
+        lev1 = mr_output_fields(state, cfg, staggering, mr_layout)
+        data["lev=1"] = {
+            name: float(np.sum(np.abs(arr))) for name, arr in lev1.items()
+        }
 
     ndim = cfg.geometry.ndim
     for sp_cfg in cfg.species:
