@@ -290,7 +290,8 @@ class SimConfig:
     # mesh refinement (reference: amr.max_level, warpx.fine_tag_lo/hi;
     # one static fine patch, Vay substitution scheme — see core/mr.py)
     max_level: int = 0
-    ref_ratio: int = 2
+    # per-active-dim refinement ratio (amr.ref_ratio / amr.ref_ratio_vect)
+    ref_ratio: Tuple[int, ...] = ()
     fine_tag_lo: Tuple[float, ...] = ()
     fine_tag_hi: Tuple[float, ...] = ()
     # particles within this many FINE cells of the patch edge gather from /

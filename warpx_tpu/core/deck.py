@@ -394,6 +394,19 @@ def _gate_unimplemented(deck: Deck) -> None:
         pass  # damping knob only alters PML strength; handled by PML path
 
 
+def _mr_ref_ratio(deck, ndim):
+    """Per-active-dim refinement ratio (amr.ref_ratio_vect wins over the
+    scalar amr.ref_ratio; AmrMesh convention)."""
+    vect = deck.get_reals("amr.ref_ratio_vect", ())
+    if vect:
+        rv = [max(int(v), 1) for v in vect[:ndim]]
+        while len(rv) < ndim:
+            rv.append(rv[-1])
+        return tuple(rv)
+    r = max(int(deck.get_real("amr.ref_ratio", 2)), 1)
+    return (r,) * ndim
+
+
 def config_from_deck(deck: Deck) -> SimConfig:
     _gate_unimplemented(deck)
     dims_tok = deck.get_string("geometry.dims", "3").lower()
@@ -520,11 +533,19 @@ def config_from_deck(deck: Deck) -> SimConfig:
             dt = compute_dt_yee(geom, cfl)
         if deck.get_int("amr.max_level", 0) > 0:
             # dt is set by the FINEST level's cell size
-            # (WarpXComputeDt.cpp:57 geom[max_level].CellSize()); with a
-            # uniform ref_ratio the CFL dt scales exactly by 1/r
-            dt /= max(int(
-                (deck.get_reals("amr.ref_ratio_vect", ()) or
-                 [deck.get_real("amr.ref_ratio", 2)])[0]), 1)
+            # (WarpXComputeDt.cpp:57 geom[max_level].CellSize())
+            import dataclasses as _dc
+
+            _rv = _mr_ref_ratio(deck, geom.ndim)
+            _gf = _dc.replace(
+                geom, n_cell=tuple(
+                    n * r for n, r in zip(geom.n_cell, _rv)
+                )
+            )
+            if em_solver == "ckc" and grid_type != "collocated":
+                dt = compute_dt_ckc(_gf, cfl)
+            else:
+                dt = compute_dt_yee(_gf, cfl)
     # stop_time: run while cur_time < stop_time (WarpXEvolve.cpp:112)
     stop_time = deck.get_real(
         "stop_time", deck.get_real("warpx.stop_time", None)
@@ -837,9 +858,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
         fluids=fluid_species,
         pml_ncell=deck.get_int("pml_ncell", deck.get_int("warpx.pml_ncell", 10)),
         max_level=deck.get_int("amr.max_level", 0),
-        ref_ratio=max(int(
-            (deck.get_reals("amr.ref_ratio_vect", ()) or
-             [deck.get_real("amr.ref_ratio", 2)])[0]), 1),
+        ref_ratio=_mr_ref_ratio(deck, geom.ndim),
         fine_tag_lo=tuple(deck.get_reals("warpx.fine_tag_lo", ())),
         fine_tag_hi=tuple(deck.get_reals("warpx.fine_tag_hi", ())),
         n_field_gather_buffer=deck.get_int(

@@ -95,11 +95,14 @@ class MRLayout:
     def __init__(self, cfg, staggering):
         geom = cfg.geometry
         ndim = geom.ndim
-        r = int(cfg.ref_ratio)
-        if r % 2 != 0:
+        rv = cfg.ref_ratio or (2,) * ndim
+        if isinstance(rv, int):
+            rv = (rv,) * ndim
+        rv = tuple(int(r) for r in rv)
+        if any(r % 2 != 0 for r in rv):
             raise NotImplementedError("amr.ref_ratio must be even")
         self.ndim = ndim
-        self.r = r
+        self.rv = rv
         dxc = geom.dx
         lo = cfg.fine_tag_lo
         hi = cfg.fine_tag_hi
@@ -121,7 +124,7 @@ class MRLayout:
             raise NotImplementedError(
                 "fine patch must be strictly interior to the level-0 domain"
             )
-        self.nf = tuple(n * r for n in self.nc)
+        self.nf = tuple(n * r for n, r in zip(self.nc, rv))
         self.npml_f = int(cfg.pml_ncell)
         self.npml_c = int(cfg.pml_ncell)
         self.patch_lo = tuple(
@@ -130,7 +133,7 @@ class MRLayout:
         self.patch_hi = tuple(
             geom.prob_lo[d] + self.i1[d] * dxc[d] for d in range(ndim)
         )
-        dxf = tuple(d / r for d in dxc)
+        dxf = tuple(d / r for d, r in zip(dxc, rv))
         self.dxf = dxf
         self.n_fext = tuple(n + 2 * self.npml_f for n in self.nf)
         self.n_cext = tuple(n + 2 * self.npml_c for n in self.nc)
@@ -158,7 +161,7 @@ class MRLayout:
         )
         # global index offsets of the ext grids
         self.f_off = tuple(
-            self.i0[d] * r - self.npml_f for d in range(ndim)
+            self.i0[d] * rv[d] - self.npml_f for d in range(ndim)
         )
         self.c_off = tuple(self.i0[d] - self.npml_c for d in range(ndim))
         self.n0 = geom.n_cell
@@ -186,7 +189,7 @@ class MRLayout:
         """1/time damping profile along ``axis`` on the ext grid."""
         npml = self.npml_f if fine else self.npml_c
         n_int = self.nf[axis] if fine else self.nc[axis]
-        dx = self.dxf[axis] if fine else (self.dxf[axis] * self.r)
+        dx = self.dxf[axis] if fine else (self.dxf[axis] * self.rv[axis])
         n_ext = n_int + 2 * npml
         pos = np.arange(n_ext, dtype=np.float64) + (0.0 if nodal else 0.5)
         depth = np.maximum(npml - pos, pos - (npml + n_int))
@@ -224,9 +227,9 @@ class MRLayout:
         """Per-axis (idx, weights, valid) for staggering-aware average-down
         (ablastr::coarsen::average): cc axis averages r fine cells; nodal
         axis uses (1/2, 1, ..., 1, 1/2)/r over r+1 fine nodes."""
-        r = self.r
         tabs = []
         for d in range(self.ndim):
+            r = self.rv[d]
             n_out = self.n_cext[d]
             cg = np.arange(n_out) + self.c_off[d]  # global coarse index
             if flags[d] == 1:
@@ -246,9 +249,9 @@ class MRLayout:
         """Per-axis (idx(2), weights(2)) for the 2-point coarse->fine interp
         (warpx_interp, WarpXComm_K.H:28): output on the fine ext grid,
         source on the coarse ext grid, zero-padded out of range."""
-        r = self.r
         tabs = []
         for d in range(self.ndim):
+            r = self.rv[d]
             jf = np.arange(self.n_fext[d])
             jg = jf + self.f_off[d]  # global fine index
             h = 0.0 if flags[d] == 1 else 0.5
@@ -631,7 +634,6 @@ def mr_output_fields(state, cfg, staggering, layout: MRLayout):
     ndim = layout.ndim
     n0 = layout.n0
     nf = layout.nf
-    r = layout.r
     grids = np.meshgrid(
         *[np.arange(n0[d]) for d in range(ndim)], indexing="ij"
     )
@@ -642,7 +644,8 @@ def mr_output_fields(state, cfg, staggering, layout: MRLayout):
         np.clip(g, 0, nf[d] - 1) for d, g in enumerate(grids)
     )
     c_idx = tuple(
-        ((layout.i0[d] * r + g) // r) % n0[d] for d, g in enumerate(grids)
+        ((layout.i0[d] * layout.rv[d] + g) // layout.rv[d]) % n0[d]
+        for d, g in enumerate(grids)
     )
 
     def covering(fine_cc, coarse_cc):
