@@ -152,7 +152,12 @@ def test_patch_pml_absorbs():
     lay = MRLayout(cfg, stag)
     c = 299792458.0
     dt = 0.9 * lay.dxf[0] / (c * np.sqrt(2.0))
-    adv = make_patch_advance(lay, stag, "yee", dt, True, jnp.float64)
+    b_step, e_step = make_patch_advance(
+        lay, stag, "yee", 0.5 * dt, dt, True, jnp.float64
+    )
+
+    def adv(parts, j3):
+        return b_step(e_step(b_step(parts), j3))
     parts = {k: jnp.zeros(lay.n_fext) for k in _part_keys(lay)}
     # gaussian Ey pulse in the patch center
     nx, nz = lay.n_fext
@@ -169,13 +174,15 @@ def test_patch_pml_absorbs():
     assert e_end < 1e-4 * e0, (e_end, e0)
 
 
-def test_mr_gate_subcycling():
+def test_mr_gate_subcycling_ratio():
+    """OneStep_sub1 runs exactly two fine substeps: subcycling with
+    ref_ratio != 2 must hard-fail, ratio 2 must construct."""
     from warpx_tpu.utils.parser import Deck
 
-    deck = Deck.from_string(
-        """
+    base = """
         amr.max_level = 1
         amr.n_cell = 16 16
+        amr.ref_ratio = {r}
         geometry.dims = 2
         geometry.prob_lo = -1 -1
         geometry.prob_hi = 1 1
@@ -185,6 +192,92 @@ def test_mr_gate_subcycling():
         warpx.fine_tag_lo = -0.5 -0.5
         warpx.fine_tag_hi = 0.5 0.5
         """
-    )
     with pytest.raises(NotImplementedError):
-        Simulation.from_deck(deck)
+        Simulation.from_deck(Deck.from_string(base.format(r=4)))
+    Simulation.from_deck(Deck.from_string(base.format(r=2)))
+
+
+def _mr_state(cfg, stag, layout, rng_fields=False):
+    import dataclasses as _dc
+
+    import jax
+
+    from warpx_tpu.core.mr import mr_init_aux
+    from warpx_tpu.core.state import FieldState, SimState
+
+    dtype = jnp.float64
+    n = cfg.geometry.n_cell
+    rng = np.random.default_rng(7)
+
+    def arr(scale):
+        if not rng_fields:
+            return jnp.zeros(n, dtype)
+        return jnp.asarray(rng.standard_normal(n) * scale, dtype)
+
+    fields = FieldState(
+        Ex=arr(1.0), Ey=arr(1.0), Ez=arr(1.0),
+        Bx=arr(1e-8), By=arr(1e-8), Bz=arr(1e-8),
+        jx=jnp.zeros(n, dtype), jy=jnp.zeros(n, dtype),
+        jz=jnp.zeros(n, dtype),
+    )
+    aux = mr_init_aux(cfg, layout, dtype)
+    return SimState(
+        fields=fields, species={}, step=jnp.asarray(0, jnp.int32),
+        time=jnp.asarray(0.0, dtype), rng=jax.random.PRNGKey(0), aux=aux,
+    )
+
+
+def test_subcycling_lev0_field_equivalence():
+    """Without patch feedback (zero fine fields, no particles), the
+    subcycled mother-grid split advance [B,E]/[E,B] with half steps
+    composes to exactly the plain B/E/B step."""
+    import dataclasses as _dc
+
+    from warpx_tpu.core.mr import MRLayout, make_mr_step
+
+    cfg, stag = _mini_cfg()
+    c = 299792458.0
+    dx = cfg.geometry.dx[0]
+    cfg = _dc.replace(cfg, dt=0.5 * dx / (c * np.sqrt(2.0)), max_step=5)
+    cfg_s = _dc.replace(cfg, do_subcycling=True)
+    step_n, _, lay = make_mr_step(cfg, stag)
+    step_s, _, lay_s = make_mr_step(cfg_s, stag)
+    s_n = _mr_state(cfg, stag, lay, rng_fields=True)
+    s_s = s_n
+    for _ in range(5):
+        s_n = step_n(s_n)
+        s_s = step_s(s_s)
+    for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
+        a = np.asarray(getattr(s_n.fields, nm))
+        b = np.asarray(getattr(s_s.fields, nm))
+        assert np.allclose(a, b, rtol=1e-12, atol=1e-14), nm
+
+
+@pytest.mark.slow
+def test_nci_corrector_mr_subcycled():
+    """inputs_test_2d_nci_corrector_mr: full-domain refined patch, subcycled,
+    Godfrey corrector on.  Gate = the reference's own analysis_ncicorr.py
+    criterion (lev-0 EM energy < 1e28 after 600 steps, vs 5e32 with the
+    corrector off) plus particle golden checksums."""
+    sim = Simulation.from_deck(
+        "/root/reference/Examples/Tests/nci_fdtd_stability/"
+        "inputs_test_2d_nci_corrector_mr"
+    )
+    sim.init()
+    sim.evolve()
+    cs = sim.checksums()
+    c = 299792458.0
+    st = sim.state
+    energy = float(
+        jnp.sum(st.fields.Ex**2 + st.fields.Ez**2 + c**2 * st.fields.By**2)
+    )
+    assert energy < 1.0e28, energy
+    gold = json.load(open(
+        "/root/reference/Regression/Checksum/benchmarks_json/"
+        "test_2d_nci_corrector_mr.json"
+    ))
+    for sp in ("electrons", "ions"):
+        for k in ("particle_position_x", "particle_position_y",
+                  "particle_momentum_z", "particle_weight"):
+            assert _rel(cs[sp][k], gold[sp][k]) < 5e-3, (
+                sp, k, cs[sp][k], gold[sp][k])

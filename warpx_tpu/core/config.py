@@ -298,6 +298,8 @@ class SimConfig:
     # deposit to the coarse level (reference: WarpX::BuildBufferMasks)
     n_field_gather_buffer: int = 3
     n_current_deposition_buffer: int = 2
+    # fine-level time subcycling (warpx.do_subcycling; OneStep_sub1)
+    do_subcycling: bool = False
     # constant external fields applied to particles during gather
     # (reference: particles.E_ext_particle_init_style = constant)
     e_ext_particle: Tuple[float, float, float] = (0.0, 0.0, 0.0)

@@ -278,7 +278,12 @@ def _gate_unimplemented(deck: Deck) -> None:
         if max_level > 1:
             raise NotImplementedError("amr.max_level > 1")
         if deck.get_bool("warpx.do_subcycling", False):
-            raise NotImplementedError("MR with subcycling (do_subcycling)")
+            _rv_sub = _mr_ref_ratio(deck, deck.get_int("geometry.dims", 3))
+            if any(r != 2 for r in _rv_sub):
+                raise NotImplementedError(
+                    "subcycling requires ref_ratio = 2 (OneStep_sub1 runs "
+                    "exactly two fine substeps)"
+                )
         if _mr_solver not in ("yee", "ckc") or _mr_es != "none":
             raise NotImplementedError(
                 f"mesh refinement with solver '{_mr_solver}'/"
@@ -546,6 +551,9 @@ def config_from_deck(deck: Deck) -> SimConfig:
                 dt = compute_dt_ckc(_gf, cfl)
             else:
                 dt = compute_dt_yee(_gf, cfl)
+            if deck.get_bool("warpx.do_subcycling", False):
+                # dt[coarse] = ref_ratio * dt[fine] (ComputeDt do_subcycling)
+                dt *= _rv[0]
     # stop_time: run while cur_time < stop_time (WarpXEvolve.cpp:112)
     stop_time = deck.get_real(
         "stop_time", deck.get_real("warpx.stop_time", None)
@@ -859,6 +867,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
         pml_ncell=deck.get_int("pml_ncell", deck.get_int("warpx.pml_ncell", 10)),
         max_level=deck.get_int("amr.max_level", 0),
         ref_ratio=_mr_ref_ratio(deck, geom.ndim),
+        do_subcycling=deck.get_bool("warpx.do_subcycling", False),
         fine_tag_lo=tuple(deck.get_reals("warpx.fine_tag_lo", ())),
         fine_tag_hi=tuple(deck.get_reals("warpx.fine_tag_hi", ())),
         n_field_gather_buffer=deck.get_int(

@@ -119,14 +119,25 @@ class MRLayout:
         self.nc = tuple(self.i1[d] - self.i0[d] for d in range(ndim))
         if any(n <= 0 for n in self.nc):
             raise ValueError("empty fine_tag box")
-        if any(self.i0[d] < 1 or self.i1[d] > geom.n_cell[d] - 1
-               for d in range(ndim)):
+        # a patch covering the whole periodic domain gets no PML and no
+        # buffers (reference InitPML: patch edges on the domain boundary
+        # inherit the level-0 (periodic) treatment; BuildBufferMasks sees
+        # no coarse-fine interface) — e.g. inputs_test_2d_nci_corrector_mr
+        self.full_domain = all(
+            self.i0[d] == 0 and self.i1[d] == geom.n_cell[d]
+            for d in range(ndim)
+        )
+        if not self.full_domain and any(
+            self.i0[d] < 1 or self.i1[d] > geom.n_cell[d] - 1
+            for d in range(ndim)
+        ):
             raise NotImplementedError(
-                "fine patch must be strictly interior to the level-0 domain"
+                "fine patch must be strictly interior to the level-0 "
+                "domain (or cover it entirely)"
             )
         self.nf = tuple(n * r for n, r in zip(self.nc, rv))
-        self.npml_f = int(cfg.pml_ncell)
-        self.npml_c = int(cfg.pml_ncell)
+        self.npml_f = 0 if self.full_domain else int(cfg.pml_ncell)
+        self.npml_c = 0 if self.full_domain else int(cfg.pml_ncell)
         self.patch_lo = tuple(
             geom.prob_lo[d] + self.i0[d] * dxc[d] for d in range(ndim)
         )
@@ -175,6 +186,8 @@ class MRLayout:
         """True where the particle's FINE cell is >= nbuf fine cells from
         every patch edge (BuildBufferMasksInBox: all cells within nbuf must
         be interior)."""
+        if self.full_domain:
+            return jnp.ones(positions[0].shape, bool)
         ok = None
         for d in range(self.ndim):
             idx = jnp.floor(
@@ -191,6 +204,8 @@ class MRLayout:
         n_int = self.nf[axis] if fine else self.nc[axis]
         dx = self.dxf[axis] if fine else (self.dxf[axis] * self.rv[axis])
         n_ext = n_int + 2 * npml
+        if npml == 0:
+            return np.zeros(n_ext)
         pos = np.arange(n_ext, dtype=np.float64) + (0.0 if nodal else 0.5)
         depth = np.maximum(npml - pos, pos - (npml + n_int))
         depth = np.clip(depth, 0.0, npml)
@@ -198,15 +213,15 @@ class MRLayout:
         sigma_max = 3.0 * (-math.log(1e-8)) * _c / (2.0 * npml * dx)
         return sigma_max * (depth / npml) ** 2
 
-    def damping_tables(self, staggering, dt, fine, dtype):
+    def damping_tables(self, staggering, tau_b, tau_e, fine, dtype):
         """Per (component, split part): (decay, source_coef) arrays shaped to
         broadcast along the part's damping axis.  decay = exp(-sigma tau),
-        coef = (1-decay)/sigma (-> tau as sigma -> 0); B parts use tau=dt/2
-        (two half steps), E parts tau=dt."""
+        coef = (1-decay)/sigma (-> tau as sigma -> 0); B parts use tau_b,
+        E parts tau_e."""
         out = {}
         for comp, terms, tau in (
-            [(c, t, 0.5 * dt) for c, t in self._b_terms.items()]
-            + [(c, t, dt) for c, t in self._e_terms.items()]
+            [(c, t, tau_b) for c, t in self._b_terms.items()]
+            + [(c, t, tau_e) for c, t in self._e_terms.items()]
         ):
             flags = staggering[comp]
             for i, (_src, ax, _sign) in enumerate(terms):
@@ -241,8 +256,13 @@ class MRLayout:
                 taps = np.arange(r)
                 w = np.full(r, 1.0 / r)
                 fidx = cg[:, None] * r + taps[None, :] - self.f_off[d]
-            valid = (fidx >= 0) & (fidx < fine_shape[d])
-            tabs.append((np.clip(fidx, 0, fine_shape[d] - 1), w, valid))
+            if self.full_domain:
+                tabs.append((fidx % fine_shape[d], w, None))
+            else:
+                valid = (fidx >= 0) & (fidx < fine_shape[d])
+                tabs.append(
+                    (np.clip(fidx, 0, fine_shape[d] - 1), w, valid)
+                )
         return tabs
 
     def interp_tables(self, flags):
@@ -267,9 +287,13 @@ class MRLayout:
                 ) / r
             w = np.clip(w, 0.0, None)
             cidx = idx - self.c_off[d]
-            valid = (cidx >= 0) & (cidx < self.n_cext[d])
-            w = w * valid
-            tabs.append((np.clip(cidx, 0, self.n_cext[d] - 1), w))
+            if self.full_domain:
+                cidx = cidx % self.n_cext[d]
+            else:
+                valid = (cidx >= 0) & (cidx < self.n_cext[d])
+                w = w * valid
+                cidx = np.clip(cidx, 0, self.n_cext[d] - 1)
+            tabs.append((cidx, w))
         return tabs
 
     def window_indices(self):
@@ -286,7 +310,9 @@ class MRLayout:
         npml = self.npml_c if grid == "c" else self.npml_f
         nvals = self.nc if grid == "c" else self.nf
         for d in range(self.ndim):
-            extra = 1 if flags[d] == 1 else 0
+            extra = (
+                1 if (flags[d] == 1 and not self.full_domain) else 0
+            )
             dst.append(slice(self.i0[d], self.i1[d] + extra))
             src.append(slice(npml, npml + nvals[d] + extra))
         return tuple(dst), tuple(src)
@@ -313,13 +339,21 @@ def _take_window(arr, win_idx):
     return arr
 
 
-def make_patch_advance(layout: MRLayout, staggering, algo, dt, fine, dtype):
-    """B(dt/2) / E(dt) / B(dt/2) advance on a patch ext grid with split-field
-    PML (exponential damping; reference PML.cpp SigmaBox semantics)."""
+def make_patch_advance(layout: MRLayout, staggering, algo, tau_b, tau_e,
+                       fine, dtype):
+    """Composable B/E sub-steps on a patch ext grid with split-field PML
+    (exponential damping; reference PML.cpp SigmaBox semantics).
+
+    Returns (b_step, e_step): b_step advances every B split part by tau_b
+    from the current E; e_step advances E parts by tau_e with the current J.
+    The standard FDTD step is b_step; e_step; b_step with tau_b = dt/2,
+    tau_e = dt; the subcycled coarse patch composes them as [B,E] / [E,B]
+    with tau_b = tau_e = dt_fine (OneStep_sub1, WarpXEvolve.cpp:928,:1000).
+    """
     geom = layout.geom_f_ext if fine else layout.geom_c_ext
     ndim = layout.ndim
     inv_d = [1.0 / dx for dx in geom.dx]
-    damp = layout.damping_tables(staggering, dt, fine, dtype)
+    damp = layout.damping_tables(staggering, tau_b, tau_e, fine, dtype)
     b_terms = layout._b_terms
     e_terms = layout._e_terms
 
@@ -344,20 +378,19 @@ def make_patch_advance(layout: MRLayout, staggering, algo, dt, fine, dtype):
             tot = tot + parts[f"{comp}:{i}"]
         return tot
 
-    def advance(parts, j3):
+    def b_step(parts):
         parts = dict(parts)
         E = {c: total(parts, c, e_terms) for c in ("Ex", "Ey", "Ez")}
+        for comp, terms in b_terms.items():
+            for i, (src, ax, sign) in enumerate(terms):
+                key = f"{comp}:{i}"
+                decay, coef = damp[key]
+                rhs = sign * dup(E[src], ax)
+                parts[key] = decay * parts[key] + coef * rhs
+        return parts
 
-        def b_half(parts):
-            for comp, terms in b_terms.items():
-                for i, (src, ax, sign) in enumerate(terms):
-                    key = f"{comp}:{i}"
-                    decay, coef = damp[key]
-                    rhs = sign * dup(E[src], ax)
-                    parts[key] = decay * parts[key] + coef * rhs
-            return parts
-
-        parts = b_half(parts)
+    def e_step(parts, j3):
+        parts = dict(parts)
         B = {c: total(parts, c, b_terms) for c in ("Bx", "By", "Bz")}
         jmap = {"Ex": j3[0], "Ey": j3[1], "Ez": j3[2]}
         for comp, terms in e_terms.items():
@@ -368,12 +401,9 @@ def make_patch_advance(layout: MRLayout, staggering, algo, dt, fine, dtype):
                 if i == 0:
                     rhs = rhs - _c2 * _mu0 * jmap[comp]
                 parts[key] = decay * parts[key] + coef * rhs
-        E2 = {c: total(parts, c, e_terms) for c in ("Ex", "Ey", "Ez")}
-        E.update(E2)
-        parts = b_half(parts)
         return parts
 
-    return advance
+    return b_step, e_step
 
 
 def _part_keys(layout):
@@ -450,8 +480,23 @@ def make_mr_step(cfg, staggering):
     dt = cfg.dt
     algo = cfg.em_solver
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    adv_f = make_patch_advance(layout, staggering, algo, dt, True, dtype)
-    adv_c = make_patch_advance(layout, staggering, algo, dt, False, dtype)
+    sub = bool(cfg.do_subcycling)
+    if sub and (cfg.do_dive_cleaning or cfg.do_divb_cleaning):
+        raise NotImplementedError("subcycling with divergence cleaning")
+    # fine-level timestep: dt/ref_ratio under subcycling (ComputeDt with
+    # do_subcycling: dt[lev] = dt[lev+1] * refRatio), same dt otherwise
+    dt_f = dt / layout.rv[0] if sub else dt
+    bf, ef = make_patch_advance(
+        layout, staggering, algo, 0.5 * dt_f, dt_f, True, dtype)
+    bc, ec = make_patch_advance(
+        layout, staggering, algo,
+        dt_f if sub else 0.5 * dt, dt_f if sub else dt, False, dtype)
+
+    def adv_f(parts, j3):
+        return bf(ef(bf(parts), j3))
+
+    def adv_c(parts, j3):
+        return bc(ec(bc(parts), j3))
 
     def _apply_nci_fine(farr):
         """Godfrey corrector on the fine aux (UpdateAuxilaryData applies the
@@ -459,7 +504,7 @@ def make_mr_step(cfg, staggering):
         from ..solvers.filter import apply_z_stencil, nci_godfrey_stencil
 
         zax = geom.ndim - 1
-        cdtodz = _c * dt / layout.dxf[zax]
+        cdtodz = _c * dt_f / layout.dxf[zax]
         nodal = cfg.field_gathering == "momentum-conserving"
         s1 = nci_godfrey_stencil(cdtodz, "ExEyBz", nodal)
         s2 = nci_godfrey_stencil(cdtodz, "BxByEz", nodal)
@@ -590,6 +635,246 @@ def make_mr_step(cfg, staggering):
             aux=aux_new,
         )
 
+    def _lev0_half(fields, j3, first):
+        """Half-coarse-step mother-grid advance (OneStep_sub1: EvolveB/E
+        (coarse_lev, fine, 0.5*dt) — [B,E] on the first half, [E,B] on the
+        second, WarpXEvolve.cpp:936-946,:1022-1031)."""
+        from ..solvers import yee
+
+        if cfg.use_filter:
+            from ..solvers.filter import bilinear_filter
+
+            npass = cfg.filter_npass_each_dir or (1,) * geom.ndim
+            j3 = tuple(bilinear_filter(a, npass) for a in j3)
+        fields = fields.replace(jx=j3[0], jy=j3[1], jz=j3[2])
+        algo0 = "nodal" if cfg.grid_type == "collocated" else cfg.em_solver
+        h = 0.5 * dt
+        if first:
+            fields = yee.evolve_b(fields, geom, h, algo0)
+            fields = yee.evolve_e(fields, geom, h, algo0)
+        else:
+            fields = yee.evolve_e(fields, geom, h, algo0)
+            fields = yee.evolve_b(fields, geom, h, algo0)
+        return fields
+
+    def _add_patch_j(j0_t, jcp_t):
+        """AddCurrentFromFineLevelandSumBoundary: restricted fine current
+        added into the level-0 J over the patch footprint."""
+        jnames = ("jx", "jy", "jz")
+        out = []
+        for a, b, nm in zip(j0_t, jcp_t, jnames):
+            dst, src = layout.patch_slices(staggering[nm], "c")
+            out.append(a.at[dst].add(b[src]))
+        return tuple(out)
+
+    def _sub_deposit(pos_new, ux, uy, uz, w_f, w_b, sp_cfg):
+        """Fine-substep deposits: patch current (fine grid) from non-buffer
+        fine-level particles, buffer current (level-0 grid) from
+        deposition-buffer particles — both over a dt_f trajectory."""
+        jf_sp = deposit_current_esirkepov(
+            pos_new, ux, uy, uz, w_f, sp_cfg.charge,
+            layout.geom_f_ext, dt_f, cfg.particle_shape,
+            chunk_size=cfg.deposit_chunk_size,
+        )
+        jb_sp = deposit_current_esirkepov(
+            pos_new, ux, uy, uz, w_b, sp_cfg.charge,
+            geom, dt_f, cfg.particle_shape,
+            chunk_size=cfg.deposit_chunk_size,
+        )
+        return jf_sp, jb_sp
+
+    def mr_step_sub(state):
+        """OneStep_sub1 (WarpXEvolve.cpp:856): two fine substeps (dt/2 each)
+        bracketing a split coarse advance; fine-level particles (those inside
+        the patch box) push twice with dt/2, level-0 particles once with dt;
+        each mother-grid half-step is driven by its own substep's restricted
+        fine current."""
+        zero_f = lambda: tuple(
+            jnp.zeros(layout.n_fext, state.fields.Ex.dtype) for _ in range(3)
+        )
+        zero_0 = lambda: tuple(
+            jnp.zeros(geom.n_cell, state.fields.Ex.dtype) for _ in range(3)
+        )
+
+        # ---------------- substep 1: gather at t^n, fine push dt/2 /
+        # coarse push dt (PushParticlesandDeposit fine FirstHalf + coarse)
+        farr0 = _field_dict(state.fields)
+        aux1 = compute_aux1(farr0, state.aux, layout, staggering)
+        if cfg.use_nci_corr:
+            farr0 = _apply_nci(farr0, cfg)
+            aux1 = _apply_nci_fine(aux1)
+
+        jf1, jb1, j0 = zero_f(), zero_0(), zero_0()
+        mid_species = {}
+        lev_masks = {}
+        for sp_cfg in cfg.species:
+            sp = state.species[sp_cfg.name]
+            if sp.capacity == 0:
+                mid_species[sp_cfg.name] = sp
+                continue
+            pos = sp.positions(geom.ndim)
+            lev = layout.fine_mask(pos, 0)  # particle-level assignment
+            lev_masks[sp_cfg.name] = lev
+            mask_g = layout.fine_mask(pos, layout.gather_buf)
+            mask_d = layout.fine_mask(pos, layout.dep_buf)
+            if sp_cfg.do_not_gather:
+                z = jnp.zeros_like(sp.ux)
+                e6 = (z, z, z, z, z, z)
+            else:
+                e6 = gather_both(pos, farr0, aux1, mask_g)
+            if sp_cfg.do_not_push:
+                ux, uy, uz = sp.ux, sp.uy, sp.uz
+                new_pos = pos
+            else:
+                pusher = PUSHERS[sp_cfg.pusher]
+                # per-particle dt: dt/2 on the fine level, dt on level 0
+                dt_p = jnp.where(lev, dt_f, dt)
+                ux, uy, uz = pusher(
+                    sp.ux, sp.uy, sp.uz, *e6,
+                    sp_cfg.charge, sp_cfg.mass, dt_p,
+                )
+                new_pos = position_step(pos, ux, uy, uz, dt_p, geom.ndim)
+            if not sp_cfg.do_not_deposit:
+                w = jnp.where(sp.alive, sp.w, 0.0)
+                w_f = jnp.where(lev & mask_d, w, 0.0)
+                w_b = jnp.where(lev & ~mask_d, w, 0.0)
+                w_c = jnp.where(lev, 0.0, w)
+                jf_sp, jb_sp = _sub_deposit(
+                    new_pos, ux, uy, uz, w_f, w_b, sp_cfg)
+                j0_sp = deposit_current_esirkepov(
+                    new_pos, ux, uy, uz, w_c, sp_cfg.charge,
+                    geom, dt, cfg.particle_shape,
+                    chunk_size=cfg.deposit_chunk_size,
+                )
+                jf1 = tuple(a + b for a, b in zip(jf1, jf_sp))
+                jb1 = tuple(a + b for a, b in zip(jb1, jb_sp))
+                j0 = tuple(a + b for a, b in zip(j0, j0_sp))
+            sp_new = sp.replace(ux=ux, uy=uy, uz=uz)
+            sp_new = sp_new.with_positions(geom.ndim, new_pos)
+            mid_species[sp_cfg.name] = wrap_positions(sp_new, geom)
+
+        jnames = ("jx", "jy", "jz")
+        jcp1 = tuple(
+            coarsen_field(a, staggering[nm], layout)
+            for a, nm in zip(jf1, jnames)
+        )
+        if cfg.use_filter:
+            from ..solvers.filter import bilinear_filter
+
+            npass = cfg.filter_npass_each_dir or (1,) * geom.ndim
+            jf1 = tuple(bilinear_filter(a, npass) for a in jf1)
+            jcp1f = tuple(bilinear_filter(a, npass) for a in jcp1)
+        else:
+            jcp1f = jcp1
+
+        # fine patch: full B/E/B step with dt/2 halves, then the coarse
+        # patch [B,E] leg and the mother-grid first half with J0+buf+cp
+        parts_f = {
+            k[len("mr:f:"):]: v for k, v in state.aux.items()
+            if k.startswith("mr:f:")
+        }
+        parts_c = {
+            k[len("mr:c:"):]: v for k, v in state.aux.items()
+            if k.startswith("mr:c:")
+        }
+        parts_f = adv_f(parts_f, jf1)
+        parts_c = ec(bc(parts_c), jcp1f)
+        j_half1 = _add_patch_j(
+            tuple(a + b for a, b in zip(j0, jb1)), jcp1)
+        fields = _lev0_half(state.fields, j_half1, first=True)
+
+        # ---------------- aux at t^n + dt/2 (UpdateAuxilaryData between
+        # the substeps), then substep 2 for fine-level particles only
+        aux_mid = dict(state.aux)
+        for k, v in parts_f.items():
+            aux_mid[f"mr:f:{k}"] = v
+        for k, v in parts_c.items():
+            aux_mid[f"mr:c:{k}"] = v
+        farr_h = _field_dict(fields)
+        aux1b = compute_aux1(farr_h, aux_mid, layout, staggering)
+        if cfg.use_nci_corr:
+            farr_h = _apply_nci(farr_h, cfg)
+            aux1b = _apply_nci_fine(aux1b)
+
+        jf2, jb2 = zero_f(), zero_0()
+        new_species = {}
+        for sp_cfg in cfg.species:
+            sp = mid_species[sp_cfg.name]
+            if sp.capacity == 0:
+                new_species[sp_cfg.name] = sp
+                continue
+            lev = lev_masks[sp_cfg.name]
+            pos = sp.positions(geom.ndim)
+            mask_g = layout.fine_mask(pos, layout.gather_buf)
+            mask_d = layout.fine_mask(pos, layout.dep_buf)
+            if sp_cfg.do_not_gather:
+                z = jnp.zeros_like(sp.ux)
+                e6 = (z, z, z, z, z, z)
+            else:
+                e6 = gather_both(pos, farr_h, aux1b, mask_g)
+            if sp_cfg.do_not_push:
+                ux, uy, uz = sp.ux, sp.uy, sp.uz
+                new_pos = pos
+            else:
+                pusher = PUSHERS[sp_cfg.pusher]
+                ux2, uy2, uz2 = pusher(
+                    sp.ux, sp.uy, sp.uz, *e6,
+                    sp_cfg.charge, sp_cfg.mass, dt_f,
+                )
+                pos2 = position_step(pos, ux2, uy2, uz2, dt_f, geom.ndim)
+                ux = jnp.where(lev, ux2, sp.ux)
+                uy = jnp.where(lev, uy2, sp.uy)
+                uz = jnp.where(lev, uz2, sp.uz)
+                new_pos = tuple(
+                    jnp.where(lev, p2, p) for p2, p in zip(pos2, pos)
+                )
+            if not sp_cfg.do_not_deposit:
+                w = jnp.where(sp.alive, sp.w, 0.0)
+                w_f = jnp.where(lev & mask_d, w, 0.0)
+                w_b = jnp.where(lev & ~mask_d, w, 0.0)
+                jf_sp, jb_sp = _sub_deposit(
+                    new_pos, ux, uy, uz, w_f, w_b, sp_cfg)
+                jf2 = tuple(a + b for a, b in zip(jf2, jf_sp))
+                jb2 = tuple(a + b for a, b in zip(jb2, jb_sp))
+            sp_new = sp.replace(ux=ux, uy=uy, uz=uz)
+            sp_new = sp_new.with_positions(geom.ndim, new_pos)
+            new_species[sp_cfg.name] = wrap_positions(sp_new, geom)
+
+        jcp2 = tuple(
+            coarsen_field(a, staggering[nm], layout)
+            for a, nm in zip(jf2, jnames)
+        )
+        if cfg.use_filter:
+            from ..solvers.filter import bilinear_filter
+
+            npass = cfg.filter_npass_each_dir or (1,) * geom.ndim
+            jf2 = tuple(bilinear_filter(a, npass) for a in jf2)
+            jcp2f = tuple(bilinear_filter(a, npass) for a in jcp2)
+        else:
+            jcp2f = jcp2
+
+        parts_f = adv_f(parts_f, jf2)
+        parts_c = bc(ec(parts_c, jcp2f))
+        j_half2 = _add_patch_j(
+            tuple(a + b for a, b in zip(j0, jb2)), jcp2)
+        fields = _lev0_half(fields, j_half2, first=False)
+
+        aux_new = dict(state.aux)
+        for k, v in parts_f.items():
+            aux_new[f"mr:f:{k}"] = v
+        for k, v in parts_c.items():
+            aux_new[f"mr:c:{k}"] = v
+        for nm, arr in zip(jnames, jf2):
+            aux_new[f"mr:j:{nm}"] = arr
+
+        return state.replace(
+            fields=fields,
+            species=new_species,
+            step=state.step + 1,
+            time=state.time + dt,
+            aux=aux_new,
+        )
+
     def mr_half_push(state, dt_half):
         """PushP with the MR aux gather (sync/desync around diagnostics)."""
         farr0 = _field_dict(state.fields)
@@ -608,14 +893,21 @@ def make_mr_step(cfg, staggering):
             mask_g = layout.fine_mask(pos, layout.gather_buf)
             e6 = gather_both(pos, farr0, aux1, mask_g)
             pusher = PUSHERS[sp_cfg.pusher]
+            if sub:
+                # synchronization uses each level's own dt (Evolve.cpp
+                # PushP(lev, 0.5*dt[lev])): half of dt/2 on the fine level
+                lev = layout.fine_mask(pos, 0)
+                dt_p = jnp.where(lev, dt_half / layout.rv[0], dt_half)
+            else:
+                dt_p = dt_half
             ux, uy, uz = pusher(
                 sp.ux, sp.uy, sp.uz, *e6, sp_cfg.charge, sp_cfg.mass,
-                dt_half,
+                dt_p,
             )
             new_species[sp_cfg.name] = sp.replace(ux=ux, uy=uy, uz=uz)
         return state.replace(species=new_species)
 
-    return mr_step, mr_half_push, layout
+    return (mr_step_sub if sub else mr_step), mr_half_push, layout
 
 
 def mr_output_fields(state, cfg, staggering, layout: MRLayout):
