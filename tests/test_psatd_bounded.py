@@ -180,3 +180,52 @@ def test_galilean_psatd_hybrid_deck():
         ref = gold["lev=0"][q]
         got = ours["lev=0"][q]
         assert abs(got - ref) <= 0.12 * abs(ref), (q, got, ref)
+
+
+@pytest.mark.slow
+def test_comoving_psatd_hybrid_deck():
+    """inputs_test_2d_comoving_psatd_hybrid (PsatdAlgorithmComoving.cpp):
+    boosted-frame moving-window run with the comoving spectral family and
+    direct deposition, 400 steps.  Measured: weights 2.5e-4, drift momenta
+    0.4-2.5%, positions 0.4-0.7%, fields 3-4% of the reference goldens."""
+    import json
+    import os
+
+    from warpx_tpu.core.simulation import Simulation
+
+    from .conftest import REFERENCE, reference_available
+
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    deck = os.path.join(
+        REFERENCE,
+        "Examples/Tests/nci_psatd_stability/"
+        "inputs_test_2d_comoving_psatd_hybrid",
+    )
+    sim = Simulation.from_deck(deck, overrides=("diagnostics.diags_names =",))
+    sim.init()
+    sim.evolve()
+    gold = json.load(open(os.path.join(
+        REFERENCE,
+        "Regression/Checksum/benchmarks_json/"
+        "test_2d_comoving_psatd_hybrid.json",
+    )))
+    ours = sim.checksums()
+    for sp, q, tol in (
+        ("electrons", "particle_weight", 1e-3),
+        ("ions", "particle_weight", 1e-3),
+        ("beam", "particle_weight", 1e-9),
+        ("electrons", "particle_momentum_z", 0.02),
+        ("ions", "particle_momentum_z", 0.02),
+        ("beam", "particle_momentum_z", 0.05),
+        ("electrons", "particle_position_x", 0.02),
+        ("electrons", "particle_position_y", 0.02),
+        ("ions", "particle_position_x", 0.02),
+    ):
+        ref = gold[sp][q]
+        got = ours[sp][q]
+        assert abs(got - ref) <= tol * abs(ref), (sp, q, got, ref)
+    for comp in ("Ex", "Ey", "Ez", "jx", "jy", "jz", "rho"):
+        ref = gold["lev=0"][comp]
+        got = ours["lev=0"][comp]
+        assert abs(got - ref) <= 0.1 * abs(ref), (comp, got, ref)

@@ -176,6 +176,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             update_with_rho=cfg.psatd_update_with_rho,
             current_correction=cfg.psatd_current_correction,
             v_galilean=cfg.psatd_v_galilean,
+            v_comoving=cfg.psatd_v_comoving,
             single_box=True,
             vay_deposition=(cfg.current_deposition == "vay"),
             time_averaging=cfg.psatd_time_averaging,

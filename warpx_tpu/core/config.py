@@ -354,8 +354,19 @@ class SimConfig:
     boost_direction: str = "z"
     # multi-J: J time dependence (reference: psatd.J_in_time, warpx.do_multi_J)
     psatd_j_in_time: str = "constant"
+    # multi-J sub-depositions per step (warpx.do_multi_J_n_depositions)
+    multi_j_n_depositions: int = 1
+    # psatd.solution_type: second-order | first-order
+    # (PsatdAlgorithmFirstOrder.cpp for the latter)
+    psatd_solution_type: str = "second-order"
+    # psatd.rho_in_time: linear | constant (constant only with first-order
+    # multi-J, WarpX.cpp:1454-1459)
+    psatd_rho_in_time: str = "linear"
     # Galilean frame velocity [m/s] (reference: psatd.v_galilean * c)
     psatd_v_galilean: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # comoving-PSATD velocity [m/s] (reference: psatd.v_comoving * c /
+    # psatd.use_default_v_comoving, WarpX.cpp:1534-1551)
+    psatd_v_comoving: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # implicit evolve schemes (reference: algo.evolve_scheme,
     # Source/FieldSolver/ImplicitSolvers/): explicit | theta_implicit_em |
     # semi_implicit_em, with the Picard nonlinear solver

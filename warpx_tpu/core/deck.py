@@ -364,10 +364,54 @@ def _gate_unimplemented(deck: Deck) -> None:
         raise NotImplementedError(f"em_solver_medium = {medium}")
     if (any(deck.get_reals("psatd.v_comoving", (0.0, 0.0, 0.0)))
             or deck.get_bool("psatd.use_default_v_comoving", False)):
-        # reference: PsatdAlgorithmComoving.cpp — a different spectral
-        # family from Galilean; running it as plain PSATD would silently
-        # drop the deck's central feature
-        raise NotImplementedError("comoving PSATD (psatd.v_comoving)")
+        _cd = (deck.get_string("algo.current_deposition", "esirkepov")
+               or "esirkepov").lower()
+        if _cd in ("esirkepov", "villasenor"):
+            raise NotImplementedError(
+                "charge-conserving current depositions cannot be used with "
+                "the comoving PSATD algorithm (WarpX.cpp:1575)"
+            )
+    _sol_type = (
+        deck.get_string("psatd.solution_type", "second-order")
+        or "second-order"
+    ).lower().replace("_", "-")
+    _rho_t = (
+        deck.get_string("psatd.rho_in_time", "linear") or "linear"
+    ).lower()
+    _mj = deck.get_bool("warpx.do_multi_J", False)
+    _ndep = deck.get_int("warpx.do_multi_J_n_depositions", 1)
+    if _rho_t == "constant" and not (_sol_type == "first-order" and _mj):
+        raise NotImplementedError(
+            "psatd.rho_in_time=constant not implemented except for "
+            "psatd.solution_type=first-order with warpx.do_multi_J=1 "
+            "(WarpX.cpp:1454)"
+        )
+    if _ndep > 1 and _sol_type != "first-order":
+        raise NotImplementedError(
+            "warpx.do_multi_J_n_depositions > 1 requires "
+            "psatd.solution_type = first-order"
+        )
+    if _sol_type == "first-order":
+        _bcs = [
+            b.lower() for b in (
+                deck.get_strings("boundary.field_lo", [])
+                + deck.get_strings("boundary.field_hi", [])
+            )
+        ]
+        if any(b not in ("periodic", "") for b in _bcs):
+            raise NotImplementedError(
+                "first-order PSATD with non-periodic boundaries"
+            )
+        if deck.get_bool("psatd.do_time_averaging", False):
+            raise NotImplementedError(
+                "first-order PSATD with time averaging"
+            )
+    if _mj and (
+        deck.get_string("algo.current_deposition", "") or ""
+    ).lower() == "vay":
+        raise NotImplementedError(
+            "Vay deposition not implemented with multi-J (WarpX.cpp:1162)"
+        )
     if deck.get_bool("warpx.use_hybrid_QED", False):
         solver_q = (deck.get_string("algo.maxwell_solver", "yee") or "yee").lower()
         gridt_q = (deck.get_string("warpx.grid_type", "staggered") or "staggered").lower()
@@ -591,10 +635,26 @@ def config_from_deck(deck: Deck) -> SimConfig:
         for v in deck.get_reals("psatd.v_galilean", (0.0, 0.0, 0.0))
     )
     is_galilean = any(v != 0.0 for v in v_gal)
+    # comoving velocity: explicit psatd.v_comoving, or the boost-frame
+    # default -sqrt(1-1/gamma^2) e_z (WarpX.cpp:1534-1551)
+    if deck.get_bool("psatd.use_default_v_comoving", False):
+        _gb = deck.get_real("warpx.gamma_boost", 1.0)
+        if _gb <= 1.0:
+            raise ValueError(
+                "psatd.use_default_v_comoving = 1 requires warpx.gamma_boost"
+            )
+        v_com = (0.0, 0.0,
+                 -math.sqrt(1.0 - 1.0 / (_gb * _gb)) * 299792458.0)
+    else:
+        v_com = tuple(
+            v * 299792458.0
+            for v in deck.get_reals("psatd.v_comoving", (0.0, 0.0, 0.0))
+        )
+    is_comoving = any(v != 0.0 for v in v_com)
     # update_with_rho defaults to true for Galilean/comoving PSATD
     # (WarpX.cpp:1591-1599), else to do_dive_cleaning
     psatd_update_rho = deck.get_bool(
-        "psatd.update_with_rho", dive_cleaning or is_galilean
+        "psatd.update_with_rho", dive_cleaning or is_galilean or is_comoving
     )
     pusher = (deck.get_string("algo.particle_pusher", "boris") or "boris").lower()
     species_names = deck.get_strings("particles.species_names", [])
@@ -888,6 +948,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
         psatd_periodic_single_box=psatd_single_box,
         psatd_time_averaging=deck.get_bool("psatd.do_time_averaging", False),
         psatd_v_galilean=v_gal,
+        psatd_v_comoving=v_com,
         psatd_j_in_time=(
             deck.get_string(
                 "psatd.J_in_time",
@@ -895,6 +956,15 @@ def config_from_deck(deck: Deck) -> SimConfig:
                 else "constant",
             )
             or "constant"
+        ).lower(),
+        multi_j_n_depositions=deck.get_int(
+            "warpx.do_multi_J_n_depositions", 1),
+        psatd_solution_type=(
+            deck.get_string("psatd.solution_type", "second-order")
+            or "second-order"
+        ).lower().replace("_", "-"),
+        psatd_rho_in_time=(
+            deck.get_string("psatd.rho_in_time", "linear") or "linear"
         ).lower(),
         do_dive_cleaning=dive_cleaning,
         do_divb_cleaning=deck.get_bool("warpx.do_divb_cleaning", False),

@@ -112,7 +112,32 @@ class Simulation:
         else:
             self._solve_es = None
             psatd = None
-            if cfg.em_solver == "psatd":
+            if (cfg.em_solver == "psatd"
+                    and cfg.psatd_solution_type == "first-order"):
+                from ..solvers.psatd import PsatdFirstOrder
+
+                if cfg.do_dive_cleaning != cfg.do_divb_cleaning:
+                    raise NotImplementedError(
+                        "first-order PSATD requires do_dive_cleaning =="
+                        " do_divb_cleaning"
+                    )
+                # the spectral solver advances by the multi-J SUB-step
+                # (WarpX.cpp:2750: solver_dt /= do_multi_J_n_depositions)
+                psatd = PsatdFirstOrder(
+                    cfg.geometry,
+                    self.staggering,
+                    cfg.dt / max(1, cfg.multi_j_n_depositions),
+                    n_order=cfg.psatd_order,
+                    collocated_grid=(cfg.grid_type == "collocated"),
+                    update_with_rho=cfg.psatd_update_with_rho,
+                    current_correction=False,
+                    single_box=cfg.psatd_periodic_single_box,
+                    j_in_time=cfg.psatd_j_in_time,
+                    rho_in_time=cfg.psatd_rho_in_time,
+                    div_cleaning=cfg.do_dive_cleaning,
+                    dtype=self.dtype,
+                )
+            elif cfg.em_solver == "psatd":
                 from ..solvers.psatd import PsatdSolver
 
                 psatd = PsatdSolver(
@@ -124,6 +149,7 @@ class Simulation:
                     update_with_rho=cfg.psatd_update_with_rho,
                     current_correction=cfg.psatd_current_correction,
                     v_galilean=cfg.psatd_v_galilean,
+                    v_comoving=cfg.psatd_v_comoving,
                     single_box=cfg.psatd_periodic_single_box,
                     vay_deposition=(cfg.current_deposition == "vay"),
                     time_averaging=cfg.psatd_time_averaging,

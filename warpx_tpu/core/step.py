@@ -435,13 +435,21 @@ def pic_step(
 
         state = schwinger_update(state, cfg, dt)
 
+    first_order = (
+        cfg.em_solver == "psatd"
+        and cfg.psatd_solution_type == "first-order"
+    )
     multi_j = (
         cfg.em_solver == "psatd" and cfg.psatd_j_in_time == "linear"
+        and not first_order
     )
-    need_rho = (
-        cfg.em_solver == "psatd"
-        and (cfg.psatd_current_correction or cfg.psatd_update_with_rho)
-    ) or cfg.do_dive_cleaning or multi_j or cfg.em_solver == "hybrid"
+    need_rho = not first_order and (
+        (
+            cfg.em_solver == "psatd"
+            and (cfg.psatd_current_correction or cfg.psatd_update_with_rho)
+        ) or cfg.do_dive_cleaning or multi_j or cfg.em_solver == "hybrid"
+    )
+    mj_parts = []
     rho_old = rho_new = None
     if need_rho:
         from ..ops.deposit import deposit_rho
@@ -536,7 +544,12 @@ def pic_step(
             )
             qed_extra = {"opticalDepthBW": tau_q}
 
-        if multi_j and not sp_cfg.do_not_deposit:
+        if first_order and not sp_cfg.do_not_deposit:
+            # multi-J first-order: deposits happen inside the sub-step loop
+            # (OneStep_multiJ) — collect the pushed state per species
+            w_eff = jnp.where(sp.alive, sp.w, 0.0)
+            mj_parts.append((new_pos, (ux, uy, uz), w_eff, sp_cfg))
+        elif multi_j and not sp_cfg.do_not_deposit:
             # multi-J (n_depositions=1): J and rho sampled at INTEGER times
             # (OneStep_multiJ, WarpXEvolve.cpp:660-780): J_old/rho_old at
             # relative time -dt (ballistic back from x^{n+1}), J_new/rho_new
@@ -654,6 +667,20 @@ def pic_step(
             for ax, arr in zip("xyz", NU3):
                 aux_updates[f"fluid_NU{ax}:{fl.name}"] = arr
 
+    if first_order:
+        if cfg.fluids:
+            raise NotImplementedError("fluid species with multi-J PSATD")
+        fields = _first_order_multi_j(
+            state.fields, cfg, staggering, psatd, mj_parts
+        )
+        return state.replace(
+            fields=fields,
+            species=new_species,
+            step=state.step + 1,
+            time=state.time + dt,
+            aux={**state.aux, **aux_updates} if aux_updates else state.aux,
+        )
+
     if j_total is None:
         shape = state.fields.Ex.shape
         dtype = state.fields.Ex.dtype
@@ -673,6 +700,112 @@ def pic_step(
         time=state.time + dt,
         aux={**state.aux, **aux_updates} if aux_updates else state.aux,
     )
+
+
+def _first_order_multi_j(fields, cfg, staggering, solver, parts):
+    """The multi-J sub-deposition loop with the first-order-form PSATD
+    push (OneStep_multiJ, WarpXEvolve.cpp:655-840): particles were already
+    pushed to x^{n+1}; each of the n_depositions sub-intervals deposits
+    J (and rho, when div cleaning) at ballistic relative times and
+    advances the fields by dt/n_depositions.  ``solver`` is a
+    PsatdFirstOrder built with the SUB-step dt (WarpX.cpp:2750
+    solver_dt /= do_multi_J_n_depositions)."""
+    from ..ops.deposit import (
+        deposit_current_direct, deposit_current_esirkepov, deposit_rho,
+    )
+    from ..ops.push import inv_gamma
+
+    geom = cfg.geometry
+    dt = cfg.dt
+    n_dep = max(1, cfg.multi_j_n_depositions)
+    sub_dt = dt / n_dep
+    j_lin = cfg.psatd_j_in_time == "linear"
+    rho_lin = cfg.psatd_rho_in_time == "linear"
+    div_clean = solver.div_cleaning
+    shape = fields.Ex.shape
+    dtype = fields.Ex.dtype
+
+    def _filter_j(j3):
+        if cfg.use_filter:
+            from ..solvers.filter import bilinear_filter
+
+            npass = cfg.filter_npass_each_dir or (1,) * geom.ndim
+            return tuple(bilinear_filter(a, npass) for a in j3)
+        return j3
+
+    def _active_vel(u3, ig):
+        return {
+            3: tuple(u * ig for u in u3),
+            2: (u3[0] * ig, u3[2] * ig),
+            1: (u3[2] * ig,),
+        }[geom.ndim]
+
+    def dep_j(t_rel):
+        tot = tuple(jnp.zeros(shape, dtype) for _ in range(3))
+        for pos, u3, w, sp_cfg in parts:
+            if cfg.current_deposition == "esirkepov":
+                ig = inv_gamma(*u3)
+                pos_s = [
+                    p + v * t_rel
+                    for p, v in zip(pos, _active_vel(u3, ig))
+                ]
+                j3 = deposit_current_esirkepov(
+                    pos_s, *u3, w, sp_cfg.charge, geom, dt,
+                    cfg.particle_shape, chunk_size=cfg.deposit_chunk_size,
+                )
+            else:
+                j3 = deposit_current_direct(
+                    pos, *u3, w, sp_cfg.charge, geom, staggering, dt,
+                    cfg.particle_shape, relative_time=t_rel,
+                )
+            tot = tuple(a + b for a, b in zip(tot, j3))
+        return _filter_j(tot)
+
+    def dep_rho(t_rel):
+        tot = jnp.zeros(shape, dtype)
+        for pos, u3, w, sp_cfg in parts:
+            ig = inv_gamma(*u3)
+            pos_s = [
+                p + v * t_rel for p, v in zip(pos, _active_vel(u3, ig))
+            ]
+            tot = deposit_rho(
+                pos_s, w, sp_cfg.charge, geom, cfg.particle_shape, out=tot,
+            )
+        if cfg.use_filter:
+            from ..solvers.filter import bilinear_filter
+
+            npass = cfg.filter_npass_each_dir or (1,) * geom.ndim
+            tot = bilinear_filter(tot, npass)
+        return tot
+
+    j_old = dep_j(-dt) if j_lin else None
+    rho_old = dep_rho(-dt) if (div_clean and rho_lin) else None
+    j_diag = None
+    for i in range(n_dep):
+        if j_lin:
+            j_new = dep_j((i - n_dep + 1) * sub_dt)
+            j_c0 = j_old
+            j_c1 = tuple(
+                (a - b) / sub_dt for a, b in zip(j_new, j_old)
+            )
+            j_diag = j_old = j_new
+        else:
+            j_c0 = dep_j((i - n_dep + 0.5) * sub_dt)
+            j_c1 = None
+            j_diag = j_c0
+        rho_c0 = rho_c1 = None
+        if div_clean:
+            if rho_lin:
+                rho_new = dep_rho((i - n_dep + 1) * sub_dt)
+                rho_c0 = rho_old
+                rho_c1 = (rho_new - rho_old) / sub_dt
+                rho_old = rho_new
+            else:
+                rho_c0 = dep_rho((i - n_dep + 0.5) * sub_dt)
+        fields = solver.push_first_order(
+            fields, j_c0, j_c1, rho_c0, rho_c1
+        )
+    return fields.replace(jx=j_diag[0], jy=j_diag[1], jz=j_diag[2])
 
 
 def advance_fields(

@@ -93,6 +93,7 @@ class PsatdSolver:
         update_with_rho: bool = False,
         current_correction: bool = False,
         v_galilean=(0.0, 0.0, 0.0),
+        v_comoving=(0.0, 0.0, 0.0),
         single_box: bool = False,
         vay_deposition: bool = False,
         time_averaging: bool = False,
@@ -105,6 +106,17 @@ class PsatdSolver:
         self.current_correction = current_correction
         self.v_galilean = tuple(v_galilean)
         self.is_galilean = any(v != 0.0 for v in self.v_galilean)
+        self.v_comoving = tuple(v_comoving)
+        self.is_comoving = any(v != 0.0 for v in self.v_comoving)
+        if self.is_comoving and self.is_galilean:
+            raise NotImplementedError(
+                "Galilean and comoving PSATD cannot be combined"
+            )
+        if self.is_comoving and not update_with_rho:
+            raise NotImplementedError(
+                "psatd.update_with_rho must be 1 for comoving PSATD "
+                "(WarpX.cpp:1610)"
+            )
         self.vay_deposition = vay_deposition
         ndim = geom.ndim
         # guard cells: nox_fft/2 staggered, nox_fft collocated
@@ -221,6 +233,89 @@ class PsatdSolver:
                 _c2 * (dt * C - S_ck) / (_ep0 * dt * np.where(om2 == 0, 1, om2)),
                 -_c2 * dt * dt / (3.0 * _ep0),
             )
+        if self.is_comoving:
+            # Comoving PSATD (PsatdAlgorithmComoving.cpp:164-414): the
+            # update keeps the standard form (no Theta^2 shifts — the grid
+            # does not move) but X1..X4 carry the comoving phase
+            # theta = exp(-i k.v dt/2) built on the INFINITE-order k
+            # (kx_vec with n_order=-1), while C, S_ck use the finite-order
+            # modified k.  nu = -k.v/omega, so i*nu*om = -i*k.v.
+            active_axes = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[ndim]
+            kv = np.zeros(self.n_fft)
+            k2_inf = np.zeros(self.n_fft)
+            for d in range(ndim):
+                kb = self._np_bcast(ks[d], d, ndim)
+                kv = kv + kb * self.v_comoving[active_axes[d]]
+                k2_inf = k2_inf + kb * kb
+            om_i = _c * np.sqrt(k2_inf)
+            om2_i = om_i * om_i
+            om2_m = om2  # finite-order omega^2 (om_mod in the reference)
+            om_m = om
+            theta = np.exp(-0.5j * kv * dt)
+            theta_star = np.conj(theta)
+            T2 = theta * theta
+
+            g = lambda x: np.where(x == 0, 1, x)  # noqa: E731
+            # --- main branch: om_mod,om != 0, nu not 0 or +-om_mod/om
+            den = g(om2_m - kv * kv)
+            x1 = om2_i / den * (theta_star - theta * C - 1j * kv * theta * S_ck)
+            X1_a = x1 / (_ep0 * g(om2_i))
+            dth = g(theta_star - theta)
+            X2_a = _c2 * (x1 * om2_m - theta * (1.0 - C) * om2_i) / (
+                dth * _ep0 * g(om2_i) * g(om2_m))
+            X3_a = _c2 * (x1 * om2_m - theta_star * (1.0 - C) * om2_i) / (
+                dth * _ep0 * g(om2_i) * g(om2_m))
+            X4_a = -1j * kv * X1_a - theta * S_ck / _ep0
+            # --- resonant branches nu = +-om_mod/om, i.e. k.v = -+om_mod
+            tmp1 = np.exp(1j * om_m * dt)
+            tmp2 = np.exp(-1j * om_m * dt)
+            tmp1s = np.exp(0.5j * om_m * dt)
+            tmp2s = np.exp(-0.5j * om_m * dt)
+            t1m1 = g(tmp1 - 1.0)
+            X1_p = tmp1s * (1.0 - tmp2 * tmp2 - 2j * om_m * dt) / (
+                4.0 * _ep0 * g(om2_m))
+            X2_p = _c2 * (-4.0 + 3.0 * tmp1 + tmp2 - 2j * om_m * dt * tmp1) / (
+                4.0 * _ep0 * g(om2_m) * t1m1)
+            X3_p = _c2 * (2.0 - tmp2 - 3.0 * tmp1 + 2.0 * tmp1 * tmp1
+                          - 2j * om_m * dt * tmp1) / (
+                4.0 * _ep0 * g(om2_m) * t1m1)
+            X4_p = tmp1s * (1j - 1j * tmp2 * tmp2 - 2.0 * om_m * dt) / (
+                4.0 * _ep0 * g(om_m))
+            X1_m = tmp2s * (1.0 - tmp1 * tmp1 + 2j * om_m * dt) / (
+                4.0 * _ep0 * g(om2_m))
+            X2_m = _c2 * (-3.0 + 4.0 * tmp1 - tmp1 * tmp1 - 2j * om_m * dt) / (
+                4.0 * _ep0 * g(om2_m) * t1m1)
+            X3_m = _c2 * (3.0 - 2.0 * tmp2 - 2.0 * tmp1 + tmp1 * tmp1
+                          - 2j * om_m * dt) / (
+                4.0 * _ep0 * g(om2_m) * t1m1)
+            X4_m = tmp2s * (-1j + 1j * tmp1 * tmp1 - 2.0 * om_m * dt) / (
+                4.0 * _ep0 * g(om_m))
+            # --- om_mod = 0, om != 0, nu != 0 (collocated Nyquist)
+            kv2 = g(kv * kv)
+            T2m1 = g(T2 - 1.0)
+            X1_c = (-theta_star + theta + 1j * kv * dt * theta) / (_ep0 * kv2)
+            X2_c = _c2 * (1.0 - T2 - 1j * kv * dt * T2
+                          + 0.5 * kv * kv * dt * dt * T2) / (_ep0 * kv2 * T2m1)
+            X3_c = _c2 * (1.0 - T2 - 1j * kv * dt * T2
+                          + 0.5 * kv * kv * dt * dt) / (_ep0 * kv2 * T2m1)
+            X4_c = -1j * (theta - theta_star) / (_ep0 * g(kv))
+            # --- branch masks (float equalities, as in the reference)
+            kvnz = kv != 0.0
+            res_p = kvnz & (om_m != 0.0) & (om_i != 0.0) & (kv == -om_m)
+            res_m = kvnz & (om_m != 0.0) & (om_i != 0.0) & (kv == om_m)
+            main = (kvnz & (om_m != 0.0) & (om_i != 0.0)
+                    & ~res_p & ~res_m)
+            regc = kvnz & (om_m == 0.0) & (om_i != 0.0)
+            conds = [main, res_p, res_m, regc]
+            X1 = np.select(conds, [X1_a, X1_p, X1_m, X1_c], default=X1)
+            X2 = np.select(conds, [X2_a, X2_p, X2_m, X2_c], default=X2)
+            X3 = np.select(conds, [X3_a, X3_p, X3_m, X3_c], default=X3)
+            X4 = np.select(
+                conds, [X4_a, X4_p, X4_m, X4_c], default=-S_ck / _ep0
+            ).astype(complex)
+            self._T2 = jnp.asarray(np.ones(self.n_fft, complex))
+            self._X4 = jnp.asarray(X4)
+            self._kv_inf = jnp.asarray(kv)
         self._C = jnp.asarray(C)
         self._S_ck = jnp.asarray(S_ck)
         self._X1 = jnp.asarray(X1)
@@ -326,6 +421,8 @@ class PsatdSolver:
         # 1/k^2 with zero at k=0 (current correction)
         inv_k2 = np.where(kmod_full != 0.0, 1.0 / np.where(kmod_full == 0, 1, kmod_full), 0.0)
         self._inv_k2 = jnp.asarray(inv_k2)
+        self._om = jnp.asarray(om)
+        self._knorm = jnp.asarray(knorm)
 
     @staticmethod
     def _bcast(v, d, ndim):
@@ -438,7 +535,20 @@ class PsatdSolver:
             # also transformed back to real space (PSATDBackwardTransformJ)
             # and becomes the diagnostic current
             k_dot_J = kx * J[0] + ky * J[1] + kz * J[2]
-            if self.is_galilean:
+            if self.is_comoving:
+                # comoving correction: theta-weighted continuity with the
+                # infinite-order k.v (PsatdAlgorithmComoving.cpp:478-499)
+                kv = self._kv_inf
+                th = jnp.exp(-0.5j * kv * dt)
+                den = jnp.where(th * th == 1.0, 1.0, 1.0 - th * th)
+                F_com = (
+                    k_dot_J + kv * th * (rho_new_k - rho_old_k) / den
+                ) * self._inv_k2
+                F_std = (
+                    k_dot_J - I * (rho_new_k - rho_old_k) / dt
+                ) * self._inv_k2
+                F = jnp.where(kv != 0.0, F_com, F_std)
+            elif self.is_galilean:
                 w_c = self._w_c
                 t2 = jnp.exp(I * w_c * dt)
                 den = jnp.where(t2 == 1.0, 1.0, 1.0 - t2)
@@ -477,7 +587,7 @@ class PsatdSolver:
                 rho_new = rho_old - I * k_dot_J * dt
 
         C, S_ck, X1, X2, X3 = self._C, self._S_ck, self._X1, self._X2, self._X3
-        if self.is_galilean:
+        if self.is_galilean or self.is_comoving:
             T2, X4 = self._T2, self._X4
         else:
             T2, X4 = 1.0, -S_ck / _ep0
@@ -588,4 +698,158 @@ class PsatdSolver:
             out = out.replace(**corrected_j)
         if corrected_vay is not None:
             out = out.replace(**corrected_vay)
+        return out
+
+
+class PsatdFirstOrder(PsatdSolver):
+    """First-order-form PSATD (PsatdAlgorithmFirstOrder.cpp:60-355): the
+    integrated first-order Maxwell system with J constant/linear and rho
+    constant/linear in time, optionally with the F/G divergence-cleaning
+    potentials evolved spectrally.  Used by the multi-J scheme
+    (psatd.solution_type = first-order, OneStep_multiJ).
+
+    The reference's per-component C01..C16 coefficient table reduces to the
+    closed form (k = modified k, khat = k/|k|, S = sin(w dt), C = cos(w dt)):
+
+      no div cleaning:
+        E+ = C E + (1-C) khat (khat.E) + i c S/|k| (k x B)
+             - mu0 c S/|k| Jc0 + A k (k.Jc0) - mu0 (1-C)/k^2 Jc1 + Bc k (k.Jc1)
+        B+ = C B + (1-C) khat (khat.B) - i S/(c|k|) (k x E)
+             + i mu0 (1-C)/k^2 (k x Jc0) - i D (k x Jc1)
+      with div cleaning (projector terms replaced by F/G coupling):
+        E+ = C E + i c S/|k| (k x B) + i c S/|k| k F - mu0 c S/|k| Jc0
+             - mu0 (1-C)/k^2 Jc1 + i mu0 c^2 (C-1)/k^2 k rho_c0 - i c D k rho_c1
+        B+ = C B - i S/(c|k|) (k x E) + i S/(c|k|) k G
+             + i mu0 (1-C)/k^2 (k x Jc0) - i D (k x Jc1)
+        F+ = C F + i S/(c|k|) (k.E) + i mu0 (C-1)/k^2 (k.Jc0) + i D (k.Jc1)
+             - mu0 c S/|k| rho_c0 + mu0 (C-1)/k^2 rho_c1
+        G+ = C G + i c S/|k| (k.B)
+      A  = mu0 c (|k| S - dt c k^2)/k^4,  Bc = mu0 (2(1-C) - dt^2 c^2 k^2)/(2 k^4),
+      D  = mu0 (|k| S - dt c k^2)/(c k^4)
+      k=0: E+ = E - mu0 c^2 (dt Jc0 + dt^2/2 Jc1); F+ = F - mu0 c^2 (dt rho_c0
+           + dt^2/2 rho_c1); B,G unchanged.
+
+    Jc0 = J_mid (constant) or J_old (linear); Jc1 = (J_new-J_old)/dt; same
+    for rho.  Current correction / Vay / Galilean are not defined for this
+    algorithm (reference aborts).
+    """
+
+    def __init__(self, *args, j_in_time="linear", rho_in_time="linear",
+                 div_cleaning=False, **kw):
+        super().__init__(*args, **kw)
+        if self.is_galilean or self.is_comoving:
+            raise NotImplementedError(
+                "first-order PSATD with Galilean/comoving velocities"
+            )
+        if self.current_correction or self.vay_deposition:
+            raise NotImplementedError(
+                "current correction / Vay deposition not implemented for "
+                "first-order PSATD equations"
+            )
+        self.j_in_time = j_in_time
+        self.rho_in_time = rho_in_time
+        self.div_cleaning = div_cleaning
+
+    def push_first_order(self, fields, j_c0, j_c1=None, rho_c0=None,
+                         rho_c1=None):
+        """One sub-step advance of (E, B[, F, G]).  j_c0/j_c1 are real-space
+        (jx,jy,jz) tuples; rho_* real-space scalars; returns a new
+        FieldState (F/G updated only when div_cleaning)."""
+        names_e = ("Ex", "Ey", "Ez")
+        names_b = ("Bx", "By", "Bz")
+        names_j = ("jx", "jy", "jz")
+        E = [self.forward(getattr(fields, nm), nm) for nm in names_e]
+        B = [self.forward(getattr(fields, nm), nm) for nm in names_b]
+        J0 = [self.forward(a, nm) for a, nm in zip(j_c0, names_j)]
+        J1 = ([self.forward(a, nm) for a, nm in zip(j_c1, names_j)]
+              if j_c1 is not None else None)
+        R0 = self.forward(rho_c0, "rho") if rho_c0 is not None else None
+        R1 = self.forward(rho_c1, "rho") if rho_c1 is not None else None
+        Fk = self.forward(fields.F, "F") if self.div_cleaning else None
+        Gk = self.forward(fields.G, "G") if self.div_cleaning else None
+
+        kx, ky, kz = self._k3()
+        k3 = (kx, ky, kz)
+        dt = self.dt
+        I = 1j
+        mu0 = 1.0 / (_ep0 * _c2)
+        C = self._C
+        om = self._om
+        knorm = self._knorm
+        S = jnp.sin(om * dt)
+        k2 = knorm * knorm
+        nz = k2 != 0.0
+        g = lambda x: jnp.where(nz, x, 1.0)  # noqa: E731
+        inv_k = jnp.where(nz, 1.0 / g(knorm), 0.0)
+        inv_k2 = jnp.where(nz, 1.0 / g(k2), 0.0)
+        inv_k4 = inv_k2 * inv_k2
+        S_k = S * inv_k
+        one_m_C_k2 = (1.0 - C) * inv_k2
+        D = mu0 * (knorm * S - dt * _c * k2) * inv_k4 / _c
+        A = _c2 * D  # mu0 c (|k| S - dt c k^2) / k^4
+        Bc = mu0 * (2.0 * (1.0 - C) - dt * dt * _c2 * k2) * 0.5 * inv_k4
+
+        def dot(k_t, V):
+            return k_t[0] * V[0] + k_t[1] * V[1] + k_t[2] * V[2]
+
+        def cross(k_t, V, i):
+            j, l = ((1, 2), (2, 0), (0, 1))[i]
+            return k_t[j] * V[l] - k_t[l] * V[j]
+
+        kdE = dot(k3, E)
+        kdB = dot(k3, B)
+        kdJ0 = dot(k3, J0)
+        kdJ1 = dot(k3, J1) if J1 is not None else None
+
+        E_new, B_new = [], []
+        for i in range(3):
+            k_i = k3[i]
+            e = C * E[i] + I * _c * S_k * cross(k3, B, i) \
+                - mu0 * _c * S_k * J0[i]
+            b = C * B[i] - I * S_k / _c * cross(k3, E, i) \
+                + I * mu0 * one_m_C_k2 * cross(k3, J0, i)
+            if self.div_cleaning:
+                e = e + I * _c * S_k * k_i * Fk \
+                    + I * mu0 * _c2 * (C - 1.0) * inv_k2 * k_i * R0
+                b = b + I * S_k / _c * k_i * Gk
+                if R1 is not None:
+                    e = e - I * _c * D * k_i * R1
+            else:
+                e = e + one_m_C_k2 * k_i * kdE + A * k_i * kdJ0
+            if J1 is not None:
+                e = e - mu0 * one_m_C_k2 * J1[i]
+                b = b - I * D * cross(k3, J1, i)
+                if not self.div_cleaning:
+                    e = e + Bc * k_i * kdJ1
+            # k = 0 limits (PsatdAlgorithmFirstOrder.cpp:160-171)
+            e0 = E[i] - mu0 * _c2 * dt * J0[i]
+            if J1 is not None:
+                e0 = e0 - 0.5 * mu0 * _c2 * dt * dt * J1[i]
+            E_new.append(jnp.where(nz, e, e0))
+            B_new.append(jnp.where(nz, b, B[i]))
+
+        out = fields.replace(
+            Ex=self.backward(E_new[0], "Ex"),
+            Ey=self.backward(E_new[1], "Ey"),
+            Ez=self.backward(E_new[2], "Ez"),
+            Bx=self.backward(B_new[0], "Bx"),
+            By=self.backward(B_new[1], "By"),
+            Bz=self.backward(B_new[2], "Bz"),
+        )
+        if self.div_cleaning:
+            f_new = C * Fk + I * S_k / _c * kdE \
+                + I * mu0 * (C - 1.0) * inv_k2 * kdJ0 \
+                - mu0 * _c * S_k * R0
+            if kdJ1 is not None:
+                f_new = f_new + I * D * kdJ1
+            if R1 is not None:
+                f_new = f_new + mu0 * (C - 1.0) * inv_k2 * R1
+            f0 = Fk - mu0 * _c2 * dt * R0
+            if R1 is not None:
+                f0 = f0 - 0.5 * mu0 * _c2 * dt * dt * R1
+            g_new = C * Gk + I * _c * S_k * kdB
+            out = out.replace(
+                F=self.backward(jnp.where(nz, f_new, f0), "F"),
+                G=self.backward(jnp.where(nz, g_new, Gk), "G"),
+            )
         return out
