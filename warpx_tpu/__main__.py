@@ -34,10 +34,20 @@ def main(argv=None) -> int:
     ap.add_argument("--restart", default=None, metavar="CHECKPOINT",
                     help="resume from a checkpoint directory written by a "
                     "format=checkpoint diagnostic")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (cpu|tpu|axon); NOTE the "
+                    "JAX_PLATFORMS env var is ignored when an experimental "
+                    "TPU plugin is installed, this flag (or "
+                    "WARPX_TPU_PLATFORM) is authoritative")
     args = ap.parse_args(argv)
+
+    import os
 
     import jax
 
+    platform = args.platform or os.environ.get("WARPX_TPU_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
 

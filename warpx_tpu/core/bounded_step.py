@@ -115,20 +115,16 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
 
     is_psatd = cfg.em_solver == "psatd"
     if is_psatd:
-        # bounded PSATD: periodic and damped field boundaries only
-        # (FieldBoundaryType::Damped + DampFieldsInGuards,
-        # WarpXPushFieldsEM.cpp:1276; PML-PSATD is a separate gap)
+        # bounded PSATD: periodic, damped (DampFieldsInGuards,
+        # WarpXPushFieldsEM.cpp:1276) and pml (PsatdAlgorithmPml split-field
+        # spectral push) field boundaries
         for d in range(ndim):
             for bc in (bc_lo[d], bc_hi[d]):
-                if bc not in ("periodic", "damped"):
+                if bc not in ("periodic", "damped", "pml"):
                     raise NotImplementedError(
                         f"PSATD with field boundary '{bc}' "
-                        "(only periodic|damped implemented)"
+                        "(only periodic|damped|pml implemented)"
                     )
-        if cfg.do_dive_cleaning or cfg.do_divb_cleaning:
-            raise NotImplementedError(
-                "PSATD divergence cleaning on bounded domains"
-            )
     layout = DomainLayout.from_config(cfg)
     shapes = layout.field_shapes(staggering)
     ext_lo = [layout.ext_lo(d) for d in range(ndim)]
@@ -180,6 +176,8 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             single_box=True,
             vay_deposition=(cfg.current_deposition == "vay"),
             time_averaging=cfg.psatd_time_averaging,
+            dive_cleaning=cfg.do_dive_cleaning,
+            divb_cleaning=cfg.do_divb_cleaning,
             dtype=dtype,
         )
         psatd_need_rho = (
@@ -225,6 +223,62 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                         [arr, jnp.zeros(zshape, arr.dtype)], axis=d
                     )
             return arr
+
+        # --- spectral PML (PsatdAlgorithmPml): split fields over the same
+        # extended box, re-fed from the regular fields in the interior every
+        # step (the single-box analog of PML::Exchange), pushed spectrally,
+        # damped in real space (DampPML), and summed back into the strips.
+        psatd_pml = None
+        if layout.has_pml:
+            from ..solvers.psatd import PsatdPmlSolver
+
+            psatd_pml = PsatdPmlSolver(
+                ext_geom, staggering, dt,
+                n_order=cfg.psatd_order,
+                collocated_grid=(cfg.grid_type == "collocated"),
+                v_galilean=cfg.psatd_v_galilean,
+                dive_cleaning=cfg.do_pml_dive_cleaning,
+                divb_cleaning=cfg.do_pml_divb_cleaning,
+                dtype=dtype,
+            )
+            pml_comps = ["Ex", "Ey", "Ez", "Bx", "By", "Bz"]
+            if psatd_pml.cleaning:
+                pml_comps += ["F", "G"]
+
+            def _strip_mask_ext(flags):
+                """1.0 where the split solver owns the site (PML strips)."""
+                m = np.zeros(tuple(n_ext))
+                for d in range(ndim):
+                    nodal = flags[d] == 1
+                    idx = np.arange(n_ext[d]) - ext_lo[d]
+                    top = n_cell[d] if nodal else n_cell[d] - 1
+                    outside = np.zeros(n_ext[d], bool)
+                    if bc_lo[d] == "pml":
+                        outside |= idx < 0
+                    if bc_hi[d] == "pml":
+                        outside |= idx > top
+                    sh = [1] * ndim
+                    sh[d] = n_ext[d]
+                    m = np.maximum(m, outside.reshape(sh).astype(float))
+                return m
+
+            pml_mask_ext = {
+                nm: jnp.asarray(_strip_mask_ext(staggering[nm]), dtype)
+                for nm in pml_comps
+            }
+            _sig_pairs = {d: layout.sigma_factors(d, dt) for d in range(ndim)}
+            pml_damp = {}
+            for nm in pml_comps:
+                for ax in psatd_pml.split_dirs(nm):
+                    if ax not in axes:
+                        continue  # e.g. the y split in 2D: no damping
+                    dd = axes.index(ax)
+                    arr = _sig_pairs[dd][0 if staggering[nm][dd] == 1 else 1]
+                    sh = [1] * ndim
+                    sh[dd] = n_ext[dd]
+                    pml_damp[(nm, ax)] = jnp.asarray(
+                        arr[: n_ext[dd]].reshape(sh), dtype
+                    )
 
     # --- PML machinery: split-field ownership masks and damping factors
     has_pml = layout.has_pml
@@ -836,32 +890,74 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 rho_new = fold_and_crop(rho_new_pad, "rho")
 
         if is_psatd:
-            # --- spectral field advance on the extended (damp-zone) box:
+            # --- spectral field advance on the extended (damp/PML-zone) box:
             # periodic FFT over the stored arrays (finite-order stencils keep
             # the update local so the damped zones isolate the wrap-around),
             # then sin^2 damping of the outer half of each damped zone
             # (PushPSATD + DampFieldsInGuards)
             f = fields
+            crop_names = ["Ex", "Ey", "Ez", "Bx", "By", "Bz",
+                          "jx", "jy", "jz"]
+            if cfg.do_dive_cleaning:
+                crop_names.append("F")
+            if cfg.do_divb_cleaning:
+                crop_names.append("G")
             fs_ext = f.replace(
-                **{nm: crop_to_ext(getattr(f, nm)) for nm in
-                   ("Ex", "Ey", "Ez", "Bx", "By", "Bz", "jx", "jy", "jz")}
+                **{nm: crop_to_ext(getattr(f, nm)) for nm in crop_names}
             )
             rho_pair = None
             if psatd_need_rho:
                 rho_pair = (crop_to_ext(rho_old), crop_to_ext(rho_new))
+            aux = dict(state.aux)
+            aux.update(aux_updates)
+            new_splits = None
+            if psatd_pml is not None:
+                # feed the interior splits from the t^n fields: first split
+                # component := regular field, others := 0 (PML::Exchange,
+                # PML.cpp:1180-1196); strip values keep their history
+                splits = {}
+                for nm in pml_comps:
+                    reg = getattr(fs_ext, nm) if nm in crop_names else None
+                    m = pml_mask_ext[nm]
+                    for i, ax in enumerate(psatd_pml.split_dirs(nm)):
+                        cur = aux[f"pml:{nm}:{ax}"]
+                        if i == 0 and reg is not None:
+                            splits[(nm, ax)] = jnp.where(m > 0, cur, reg)
+                        else:
+                            splits[(nm, ax)] = cur * m
+                new_splits = psatd_pml.push(splits)
             out = psatd_b.push(fs_ext, rho_pair)
+            if new_splits is not None:
+                # DampPML (per-split damping along its own direction) and
+                # Exchange back: the strips take the split totals
+                tot = {}
+                for (nm, ax), arr in new_splits.items():
+                    dmp = pml_damp.get((nm, ax))
+                    if dmp is not None:
+                        arr = arr * dmp
+                    aux[f"pml:{nm}:{ax}"] = arr
+                    tot[nm] = arr if nm not in tot else tot[nm] + arr
+                merged = {}
+                for nm in pml_comps:
+                    if nm in ("F", "G") and getattr(out, nm) is None:
+                        continue
+                    merged[nm] = jnp.where(
+                        pml_mask_ext[nm] > 0, tot[nm], getattr(out, nm)
+                    )
+                out = out.replace(**merged)
             upd_psatd = {}
             for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
                 arr = getattr(out, nm) * damp_profile
                 upd_psatd[nm] = restore_shape(arr, nm)
+            for nm in ("F", "G"):
+                if nm in crop_names:
+                    upd_psatd[nm] = restore_shape(getattr(out, nm), nm)
             for nm in ("Ex_avg", "Ey_avg", "Ez_avg",
                        "Bx_avg", "By_avg", "Bz_avg"):
                 arr = getattr(out, nm)
                 if arr is not None:
                     upd_psatd[nm] = restore_shape(arr, nm[:2])
             fields = fields.replace(**upd_psatd)
-            aux = dict(state.aux)
-            aux.update(aux_updates)
             return state.replace(
                 fields=fields,
                 species=new_species,

@@ -69,6 +69,21 @@ SPECIES_TYPES = {
     "gold": (79 * _QE, 196.966569 * _MU),
 }
 
+# Alias names accepted by the reference's species_type parser
+# (SpeciesPhysicalProperties.cpp:36-40): protium/deuterium/tritium map onto
+# the hydrogen isotopes.  Normalize with normalize_species_type() before
+# lookups so fusion-kind resolution sees canonical names.
+SPECIES_TYPE_ALIASES = {
+    "protium": "hydrogen1",
+    "deuterium": "hydrogen2",
+    "tritium": "hydrogen3",
+}
+
+
+def normalize_species_type(name):
+    name = (name or "").lower()
+    return SPECIES_TYPE_ALIASES.get(name, name)
+
 
 @dataclasses.dataclass(frozen=True)
 class LaserConfig:
@@ -140,6 +155,9 @@ class SpeciesConfig:
     # (boost-frame) injection plane
     zinject_plane: Optional[float] = None
     rigid_advance: bool = True
+    # flip u_z after the boost transform (backward-propagating driver in
+    # boosted-frame runs; PhysicalParticleContainer.cpp:487-489)
+    do_backward_propagation: bool = False
     # QED processes (reference: <species>.do_qed_quantum_sync /
     # do_qed_breit_wheeler and product-species keys)
     do_qed_quantum_sync: bool = False
@@ -323,6 +341,10 @@ class SimConfig:
     # do_divb_cleaning; EvolveF.cpp / EvolveG.cpp)
     do_dive_cleaning: bool = False
     do_divb_cleaning: bool = False
+    # split-field cleaning inside the PML (warpx.do_pml_dive_cleaning /
+    # do_pml_divb_cleaning; defaults true for PSATD, WarpX.cpp:848-870)
+    do_pml_dive_cleaning: bool = False
+    do_pml_divb_cleaning: bool = False
     # initialization projection div(B) cleaner for loaded external fields
     # (reference: warpx.do_divb_cleaning_external, ProjectionDivCleaner)
     do_divb_cleaning_external: bool = False

@@ -13,6 +13,7 @@ import math
 from ..utils.parser import Deck
 from .config import (
     SPECIES_TYPES, CollisionConfig, LaserConfig, SimConfig, SpeciesConfig,
+    normalize_species_type,
 )
 from .grid import Geometry
 
@@ -26,7 +27,7 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
     gs = lambda k, default=None: deck.get_string(f"{name}.{k}", default)  # noqa: E731
 
     style = (gs("injection_style", "none") or "none").lower().replace('"', "")
-    species_type = (gs("species_type", "") or "").lower()
+    species_type = normalize_species_type(gs("species_type", ""))
     type_q, type_m = SPECIES_TYPES.get(species_type, (None, None))
     ppc_each = tuple(deck.get_ints(f"{name}.num_particles_per_cell_each_dim", ()))
     ppc = deck.get_int(f"{name}.num_particles_per_cell", 0)
@@ -146,6 +147,8 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
             ) else None
         ),
         rigid_advance=deck.get_bool(f"{name}.rigid_advance", True),
+        do_backward_propagation=deck.get_bool(
+            f"{name}.do_backward_propagation", False),
         do_qed_quantum_sync=deck.get_bool(f"{name}.do_qed_quantum_sync",
                                           False),
         qed_product=gs("qed_quantum_sync_phot_product_species", "") or "",
@@ -622,18 +625,37 @@ def config_from_deck(deck: Deck) -> SimConfig:
         deck.get_string("algo.current_deposition", dep_default) or dep_default
     ).lower()
     psatd_single_box = deck.get_bool("psatd.periodic_single_box_fft", False)
+    # single isotropic stencil order; per-axis orders (nox/noy/noz) are
+    # accepted but must agree (the solver builds one modified-k family)
     psatd_order = deck.get_int("psatd.nox", 16)
+    for _k in ("psatd.noy", "psatd.noz"):
+        _o = deck.get_int(_k, psatd_order)
+        if _o != psatd_order:
+            raise NotImplementedError(
+                f"anisotropic PSATD stencil orders ({_k}={_o} != "
+                f"nox={psatd_order})"
+            )
     dive_cleaning = deck.get_bool("warpx.do_dive_cleaning", False)
     divb_cleaning_ext = deck.get_bool("warpx.do_divb_cleaning_external", False)
     cc_default = not (
         current_dep in ("esirkepov", "villasenor", "vay") or dive_cleaning
     )
     psatd_cc = deck.get_bool("psatd.current_correction", cc_default)
-    # Galilean velocity given in units of c (WarpX.cpp:1530,1553)
-    v_gal = tuple(
-        v * 299792458.0
-        for v in deck.get_reals("psatd.v_galilean", (0.0, 0.0, 0.0))
-    )
+    # Galilean velocity given in units of c (WarpX.cpp:1530,1553); the
+    # boost-frame default is -sqrt(1-1/gamma^2) e_z (WarpX.cpp:1515-1527)
+    if deck.get_bool("psatd.use_default_v_galilean", False):
+        _gb = deck.get_real("warpx.gamma_boost", 1.0)
+        if _gb <= 1.0:
+            raise ValueError(
+                "psatd.use_default_v_galilean = 1 requires warpx.gamma_boost"
+            )
+        v_gal = (0.0, 0.0,
+                 -math.sqrt(1.0 - 1.0 / (_gb * _gb)) * 299792458.0)
+    else:
+        v_gal = tuple(
+            v * 299792458.0
+            for v in deck.get_reals("psatd.v_galilean", (0.0, 0.0, 0.0))
+        )
     is_galilean = any(v != 0.0 for v in v_gal)
     # comoving velocity: explicit psatd.v_comoving, or the boost-frame
     # default -sqrt(1-1/gamma^2) e_z (WarpX.cpp:1534-1551)
@@ -723,12 +745,13 @@ def config_from_deck(deck: Deck) -> SimConfig:
             # (BinaryCollisionUtils::get_nuclear_fusion_type)
             types = []
             for sp_nm in pair[:2]:
-                types.append((deck.get_string(
-                    f"{sp_nm}.species_type", "") or "").lower())
+                types.append(normalize_species_type(deck.get_string(
+                    f"{sp_nm}.species_type", "")))
             tset = set(types)
             prods = tuple(deck.get_strings(f"{nm}.product_species", []))
             ptypes = set(
-                (deck.get_string(f"{p}.species_type", "") or "").lower()
+                normalize_species_type(deck.get_string(
+                    f"{p}.species_type", ""))
                 for p in prods
             )
             if tset == {"hydrogen1", "boron11"}:
@@ -968,6 +991,15 @@ def config_from_deck(deck: Deck) -> SimConfig:
         ).lower(),
         do_dive_cleaning=dive_cleaning,
         do_divb_cleaning=deck.get_bool("warpx.do_divb_cleaning", False),
+        # PML split cleaning defaults: true for PSATD, or inherited from the
+        # domain cleaning flags (WarpX.cpp:848-870)
+        do_pml_dive_cleaning=deck.get_bool(
+            "warpx.do_pml_dive_cleaning",
+            solver == "psatd" or dive_cleaning,
+        ),
+        do_pml_divb_cleaning=deck.get_bool(
+            "warpx.do_pml_divb_cleaning", solver == "psatd",
+        ),
         e_ext_grid=ext_grid("E"),
         b_ext_grid=ext_grid("B"),
         user_constants=tuple(sorted(deck.my_constants.items())),

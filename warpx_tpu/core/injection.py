@@ -336,6 +336,10 @@ def inject_gaussian_beam(
         uz = gamma_boost * uz - gamma_boost * beta_boost * gamma_lab
         gammapr = np.sqrt(1.0 + ux * ux + uy * uy + uz * uz)
         vzpr = uz / gammapr * constants.c  # [m/s]
+        if sp.do_backward_propagation:
+            # flip AFTER vzpr: the position map uses the unflipped velocity
+            # (PhysicalParticleContainer.cpp:487-498)
+            uz = -uz
         z = zpr - tpr * vzpr
     weight = sp.q_tot / (sp.charge * n)
     if ndim == 2:

@@ -752,7 +752,26 @@ class Simulation:
             from .domain import DomainLayout
 
             layout = DomainLayout.from_config(cfg)
-            if layout.has_pml:
+            if layout.has_pml and cfg.em_solver == "psatd":
+                # spectral PML split components on the extended box
+                # (PsatdAlgorithmPml; see bounded_step's psatd_pml)
+                from ..solvers.psatd import pml_split_dirs
+
+                n_ext_shape = tuple(
+                    cfg.geometry.n_cell[d]
+                    + layout.ext_lo(d) + layout.ext_hi(d)
+                    for d in range(geom.ndim)
+                )
+                pml_comps = ["Ex", "Ey", "Ez", "Bx", "By", "Bz"]
+                cleaning = cfg.do_pml_dive_cleaning
+                if cleaning:
+                    pml_comps += ["F", "G"]
+                for nm in pml_comps:
+                    for ax in pml_split_dirs(nm, cleaning):
+                        aux[f"pml:{nm}:{ax}"] = jnp.zeros(
+                            n_ext_shape, self.dtype
+                        )
+            elif layout.has_pml:
                 # Berenger split fields, one part per curl term (plus the
                 # grad F / grad G and F/G splits when div cleaning is on)
                 from .bounded_step import (

@@ -97,6 +97,8 @@ class PsatdSolver:
         single_box: bool = False,
         vay_deposition: bool = False,
         time_averaging: bool = False,
+        dive_cleaning: bool = False,
+        divb_cleaning: bool = False,
         dtype=jnp.float64,
     ):
         self.geom = geom
@@ -118,6 +120,22 @@ class PsatdSolver:
                 "(WarpX.cpp:1610)"
             )
         self.vay_deposition = vay_deposition
+        # F/G spectral divergence cleaning
+        # (PsatdAlgorithmJConstantInTime.cpp:294-316)
+        self.dive_cleaning = dive_cleaning
+        self.divb_cleaning = divb_cleaning
+        if (dive_cleaning or divb_cleaning) and (
+            self.is_galilean or self.is_comoving
+        ):
+            raise NotImplementedError(
+                "divergence cleaning not implemented for Galilean/comoving "
+                "PSATD (PsatdAlgorithmJConstantInTime.cpp:98-105)"
+            )
+        if dive_cleaning and not update_with_rho:
+            raise NotImplementedError(
+                "warpx.do_dive_cleaning = 1 requires psatd.update_with_rho "
+                "(WarpX.cpp:1605)"
+            )
         ndim = geom.ndim
         # guard cells: nox_fft/2 staggered, nox_fft collocated
         # (GuardCellManager.cpp:205-208).  With periodic_single_box the FFT
@@ -660,7 +678,31 @@ class PsatdSolver:
             kx * J[1] - ky * J[0]
         )
 
+        # F/G spectral divergence cleaning
+        # (PsatdAlgorithmJConstantInTime.cpp:294-316)
+        fg_upd = {}
+        if self.dive_cleaning:
+            F_old = self.forward(fields.F, "F")
+            Ex = Ex + I * _c2 * S_ck * F_old * kx
+            Ey = Ey + I * _c2 * S_ck * F_old * ky
+            Ez = Ez + I * _c2 * S_ck * F_old * kz
+            F_new = (
+                C * F_old + S_ck * (I * k_dot_E - rho_old / _ep0)
+                - X1 * ((rho_new - rho_old) / dt + I * k_dot_J)
+            )
+            fg_upd["F"] = self.backward(F_new, "F")
+        if self.divb_cleaning:
+            G_old = self.forward(fields.G, "G")
+            k_dot_B = kx * B[0] + ky * B[1] + kz * B[2]
+            Bx = Bx + I * S_ck * G_old * kx
+            By = By + I * S_ck * G_old * ky
+            Bz = Bz + I * S_ck * G_old * kz
+            fg_upd["G"] = self.backward(
+                C * G_old + I * _c2 * S_ck * k_dot_B, "G"
+            )
+
         out = fields.replace(
+            **fg_upd,
             Ex=self.backward(Ex, "Ex"),
             Ey=self.backward(Ey, "Ey"),
             Ez=self.backward(Ez, "Ez"),
@@ -853,3 +895,287 @@ class PsatdFirstOrder(PsatdSolver):
                 G=self.backward(jnp.where(nz, g_new, Gk), "G"),
             )
         return out
+
+
+def pml_split_dirs(comp: str, cleaning: bool) -> tuple:
+    """Split directions for a PML component, first = the reference's comp 0
+    (PMLComponent.H: xy=0/xz=1/xx=2 etc.; F/G splits are x/y/z)."""
+    if comp in ("F", "G"):
+        return ("x", "y", "z")
+    own = comp[1]  # 'x'|'y'|'z'
+    others = [a for a in "xyz" if a != own]
+    return tuple(others) + ((own,) if cleaning else ())
+
+
+class PsatdPmlSolver:
+    """Spectral split-field PML push (PsatdAlgorithmPml.cpp:79-455).
+
+    Evolves the Berenger split components of E/B (and, with divergence
+    cleaning, the F/G splits) analytically in k-space over a single
+    extended box that covers the domain plus its PML strips.  The reference
+    runs this per-PML-patch; here the strips are regions of one array and
+    the interior split values are re-fed from the regular fields every step
+    (the analog of PML::Exchange feeding the PML guard cells), so only the
+    strip values carry split dynamics before they are damped in real space.
+
+    Split keys are (comp, dir) tuples, e.g. ("Ex", "y") for the reference's
+    Exy (PMLComponent.H ordering: xy/xz[/xx], yz/yx[/yy], zx/zy[/zz]).
+    """
+
+    def __init__(
+        self,
+        geom,
+        staggering: Dict,
+        dt: float,
+        n_order: int = 16,
+        collocated_grid: bool = False,
+        v_galilean=(0.0, 0.0, 0.0),
+        dive_cleaning: bool = False,
+        divb_cleaning: bool = False,
+        dtype=jnp.float64,
+    ):
+        if dive_cleaning != divb_cleaning:
+            raise NotImplementedError(
+                "PML-PSATD requires do_pml_dive_cleaning == "
+                "do_pml_divb_cleaning (PsatdAlgorithmPml.cpp only implements "
+                "the neither/both branches)"
+            )
+        ndim = geom.ndim
+        if ndim == 1:
+            raise NotImplementedError("PML in Cartesian 1D geometry")
+        self.geom = geom
+        self.staggering = staggering
+        self.dt = dt
+        self.cleaning = dive_cleaning
+        self.is_galilean = any(v != 0.0 for v in v_galilean)
+        self.n_fft = tuple(geom.n_cell)
+
+        ks, kmods, shifts = [], [], []
+        for d in range(ndim):
+            k = 2.0 * np.pi * np.fft.fftfreq(self.n_fft[d], d=geom.dx[d])
+            if d == 0 and self.n_fft[d] % 2 == 0:
+                k = k.copy()
+                k[self.n_fft[d] // 2] = abs(k[self.n_fft[d] // 2])
+            ks.append(k)
+            kmods.append(modified_k(k, geom.dx[d], n_order, collocated_grid))
+            shifts.append(np.exp(-1j * k * 0.5 * geom.dx[d]))
+        bc = PsatdSolver._np_bcast
+        self._shift_fwd = [
+            jnp.asarray(bc(shifts[d], d, ndim)) for d in range(ndim)
+        ]
+        self._shift_bwd = [
+            jnp.asarray(bc(np.conj(shifts[d]), d, ndim)) for d in range(ndim)
+        ]
+
+        # full xyz modified-k triple over the box (ky = 0 in 2D)
+        zeros = np.zeros(self.n_fft)
+        if ndim == 3:
+            kx = bc(kmods[0], 0, ndim) + zeros
+            ky = bc(kmods[1], 1, ndim) + zeros
+            kz = bc(kmods[2], 2, ndim) + zeros
+        else:
+            kx = bc(kmods[0], 0, ndim) + zeros
+            ky = zeros
+            kz = bc(kmods[1], 1, ndim) + zeros
+        kx2, ky2, kz2 = kx * kx, ky * ky, kz * kz
+        k2 = kx2 + ky2 + kz2
+        knorm = np.sqrt(k2)
+        C = np.cos(_c * knorm * dt)
+        S_ck = np.where(
+            knorm != 0.0,
+            np.sin(_c * knorm * dt) / np.where(knorm == 0, 1, _c * knorm),
+            dt,
+        )
+        inv_k2 = np.where(k2 != 0.0, 1.0 / np.where(k2 == 0, 1, k2), 0.0)
+        knz = knorm != 0.0
+        self._knz = jnp.asarray(knz)
+
+        # C1..C9 (PsatdAlgorithmPml.cpp:208-216); identity at k = 0
+        self._C1 = jnp.asarray(np.where(knz, (kx2 * C + ky2 + kz2) * inv_k2, 1.0))
+        self._C2 = jnp.asarray(np.where(knz, (kx2 + ky2 * C + kz2) * inv_k2, 1.0))
+        self._C3 = jnp.asarray(np.where(knz, (kx2 + ky2 + kz2 * C) * inv_k2, 1.0))
+        self._C4 = jnp.asarray(kx2 * (C - 1.0) * inv_k2)
+        self._C5 = jnp.asarray(ky2 * (C - 1.0) * inv_k2)
+        self._C6 = jnp.asarray(kz2 * (C - 1.0) * inv_k2)
+        self._C7 = jnp.asarray(ky * kz * (1.0 - C) * inv_k2)
+        self._C8 = jnp.asarray(kx * kz * (1.0 - C) * inv_k2)
+        self._C9 = jnp.asarray(kx * ky * (1.0 - C) * inv_k2)
+
+        I = 1j
+        if not self.cleaning:
+            # C10..C22 (:221-233)
+            dS = dt - S_ck
+            self._C10 = jnp.asarray(I * _c2 * kx * ky * kz * dS * inv_k2)
+            self._C11 = jnp.asarray(I * _c2 * ky2 * kz * dS * inv_k2)
+            self._C12 = jnp.asarray(I * _c2 * kz2 * ky * dS * inv_k2)
+            self._C13 = jnp.asarray(I * _c2 * kz2 * kx * dS * inv_k2)
+            self._C14 = jnp.asarray(I * _c2 * kx2 * kz * dS * inv_k2)
+            self._C15 = jnp.asarray(I * _c2 * kx2 * ky * dS * inv_k2)
+            self._C16 = jnp.asarray(I * _c2 * ky2 * kx * dS * inv_k2)
+            self._C17 = jnp.asarray(
+                I * _c2 * kx * (ky2 * dt + (kz2 + kx2) * S_ck) * inv_k2)
+            self._C18 = jnp.asarray(
+                I * _c2 * kx * (kz2 * dt + (ky2 + kx2) * S_ck) * inv_k2)
+            self._C19 = jnp.asarray(
+                I * _c2 * ky * (kz2 * dt + (kx2 + ky2) * S_ck) * inv_k2)
+            self._C20 = jnp.asarray(
+                I * _c2 * ky * (kx2 * dt + (kz2 + ky2) * S_ck) * inv_k2)
+            self._C21 = jnp.asarray(
+                I * _c2 * kz * (kx2 * dt + (ky2 + kz2) * S_ck) * inv_k2)
+            self._C22 = jnp.asarray(
+                I * _c2 * kz * (ky2 * dt + (kx2 + kz2) * S_ck) * inv_k2)
+        else:
+            # C23..C25 (:292-294)
+            self._C23 = jnp.asarray(I * _c2 * kx * S_ck)
+            self._C24 = jnp.asarray(I * _c2 * ky * S_ck)
+            self._C25 = jnp.asarray(I * _c2 * kz * S_ck)
+
+        if self.is_galilean:
+            # T2 = exp(i w_c dt), w_c on CENTERED modified k (:428-441)
+            active = {2: (0, 2), 3: (0, 1, 2)}[ndim]
+            w_c = np.zeros(self.n_fft)
+            for d in range(ndim):
+                vg = v_galilean[active[d]]
+                if vg == 0.0:
+                    continue
+                kc = modified_k(ks[d], geom.dx[d], n_order, True)
+                w_c = w_c + bc(kc, d, ndim) * vg
+            self._T2 = jnp.asarray(np.exp(I * w_c * dt))
+        else:
+            self._T2 = 1.0
+
+    def split_dirs(self, comp: str) -> tuple:
+        return pml_split_dirs(comp, self.cleaning)
+
+    def _fwd(self, arr, comp):
+        F = jnp.fft.fftn(arr)
+        for d in range(self.geom.ndim):
+            if self.staggering[comp][d] == 0:
+                F = F * self._shift_fwd[d]
+        return F
+
+    def _bwd(self, F, comp):
+        for d in range(self.geom.ndim):
+            if self.staggering[comp][d] == 0:
+                F = F * self._shift_bwd[d]
+        return jnp.fft.ifftn(F).real
+
+    def push(self, splits: Dict):
+        """One PML-PSATD step on {(comp, dir): real array} splits."""
+        K = {key: self._fwd(arr, key[0]) for key, arr in splits.items()}
+
+        def tot(nm):
+            s = None
+            for key, v in K.items():
+                if key[0] == nm:
+                    s = v if s is None else s + v
+            return s
+
+        Ex, Ey, Ez = tot("Ex"), tot("Ey"), tot("Ez")
+        Bx, By, Bz = tot("Bx"), tot("By"), tot("Bz")
+        T2 = self._T2
+        C1, C2, C3 = self._C1, self._C2, self._C3
+        C4, C5, C6 = self._C4, self._C5, self._C6
+        C7, C8, C9 = self._C7, self._C8, self._C9
+        out = {}
+        if not self.cleaning:
+            Exy, Exz = K[("Ex", "y")], K[("Ex", "z")]
+            Eyx, Eyz = K[("Ey", "x")], K[("Ey", "z")]
+            Ezx, Ezy = K[("Ez", "x")], K[("Ez", "y")]
+            Bxy, Bxz = K[("Bx", "y")], K[("Bx", "z")]
+            Byx, Byz = K[("By", "x")], K[("By", "z")]
+            Bzx, Bzy = K[("Bz", "x")], K[("Bz", "y")]
+            C10, C11, C12, C13 = self._C10, self._C11, self._C12, self._C13
+            C14, C15, C16 = self._C14, self._C15, self._C16
+            C17, C18, C19 = self._C17, self._C18, self._C19
+            C20, C21, C22 = self._C20, self._C21, self._C22
+            # (PsatdAlgorithmPml.cpp:252-287)
+            out[("Ex", "y")] = T2 * (C2 * Exy + C5 * Exz + C9 * Ey
+                                     + C10 * Bx + C11 * By + C19 * Bz)
+            out[("Ex", "z")] = T2 * (C6 * Exy + C3 * Exz + C8 * Ez
+                                     - C10 * Bx - C22 * By - C12 * Bz)
+            out[("Ey", "z")] = T2 * (C3 * Eyz + C6 * Eyx + C7 * Ez
+                                     + C21 * Bx + C10 * By + C13 * Bz)
+            out[("Ey", "x")] = T2 * (C9 * Ex + C4 * Eyz + C1 * Eyx
+                                     - C14 * Bx - C10 * By - C18 * Bz)
+            out[("Ez", "x")] = T2 * (C8 * Ex + C1 * Ezx + C4 * Ezy
+                                     + C15 * Bx + C17 * By + C10 * Bz)
+            out[("Ez", "y")] = T2 * (C7 * Ey + C5 * Ezx + C2 * Ezy
+                                     - C20 * Bx - C16 * By - C10 * Bz)
+            out[("Bx", "y")] = T2 * (C2 * Bxy + C5 * Bxz + C9 * By
+                                     - (C10 * Ex + C11 * Ey + C19 * Ez) / _c2)
+            out[("Bx", "z")] = T2 * (C6 * Bxy + C3 * Bxz + C8 * Bz
+                                     + (C10 * Ex + C22 * Ey + C12 * Ez) / _c2)
+            out[("By", "z")] = T2 * (C3 * Byz + C6 * Byx + C7 * Bz
+                                     - (C21 * Ex + C10 * Ey + C13 * Ez) / _c2)
+            out[("By", "x")] = T2 * (C9 * Bx + C4 * Byz + C1 * Byx
+                                     + (C14 * Ex + C10 * Ey + C18 * Ez) / _c2)
+            out[("Bz", "x")] = T2 * (C8 * Bx + C1 * Bzx + C4 * Bzy
+                                     - (C15 * Ex + C17 * Ey + C10 * Ez) / _c2)
+            out[("Bz", "y")] = T2 * (C7 * By + C5 * Bzx + C2 * Bzy
+                                     + (C20 * Ex + C16 * Ey + C10 * Ez) / _c2)
+        else:
+            F, G = tot("F"), tot("G")
+            Exx, Exy, Exz = K[("Ex", "x")], K[("Ex", "y")], K[("Ex", "z")]
+            Eyx, Eyy, Eyz = K[("Ey", "x")], K[("Ey", "y")], K[("Ey", "z")]
+            Ezx, Ezy, Ezz = K[("Ez", "x")], K[("Ez", "y")], K[("Ez", "z")]
+            Bxx, Bxy, Bxz = K[("Bx", "x")], K[("Bx", "y")], K[("Bx", "z")]
+            Byx, Byy, Byz = K[("By", "x")], K[("By", "y")], K[("By", "z")]
+            Bzx, Bzy, Bzz = K[("Bz", "x")], K[("Bz", "y")], K[("Bz", "z")]
+            Fx, Fy, Fz = K[("F", "x")], K[("F", "y")], K[("F", "z")]
+            Gx, Gy, Gz = K[("G", "x")], K[("G", "y")], K[("G", "z")]
+            C23, C24, C25 = self._C23, self._C24, self._C25
+            # (PsatdAlgorithmPml.cpp:296-371)
+            out[("Ex", "x")] = T2 * (C1 * Exx + C4 * Exy + C4 * Exz
+                                     - C9 * Ey - C8 * Ez + C23 * F)
+            out[("Ex", "y")] = T2 * (C5 * Exx + C2 * Exy + C5 * Exz
+                                     + C9 * Ey + C24 * Bz - C7 * G)
+            out[("Ex", "z")] = T2 * (C6 * Exx + C6 * Exy + C3 * Exz
+                                     + C8 * Ez - C25 * By + C7 * G)
+            out[("Ey", "x")] = T2 * (C9 * Ex + C1 * Eyx + C4 * Eyy
+                                     + C4 * Eyz - C23 * Bz + C8 * G)
+            out[("Ey", "y")] = T2 * (-C9 * Ex + C5 * Eyx + C2 * Eyy
+                                     + C5 * Eyz - C7 * Ez + C24 * F)
+            out[("Ey", "z")] = T2 * (C6 * Eyx + C6 * Eyy + C3 * Eyz
+                                     + C7 * Ez + C25 * Bx - C8 * G)
+            out[("Ez", "x")] = T2 * (C8 * Ex + C1 * Ezx + C4 * Ezy
+                                     + C4 * Ezz + C23 * By - C9 * G)
+            out[("Ez", "y")] = T2 * (C7 * Ey + C5 * Ezx + C2 * Ezy
+                                     + C5 * Ezz - C24 * Bx + C9 * G)
+            out[("Ez", "z")] = T2 * (-C8 * Ex - C7 * Ey + C6 * Ezx
+                                     + C6 * Ezy + C3 * Ezz + C25 * F)
+            out[("Bx", "x")] = T2 * (C1 * Bxx + C4 * Bxy + C4 * Bxz
+                                     - C9 * By - C8 * Bz + C23 / _c2 * G)
+            out[("Bx", "y")] = T2 * (-C24 / _c2 * Ez + C5 * Bxx + C2 * Bxy
+                                     + C5 * Bxz + C9 * By + C7 * F)
+            out[("Bx", "z")] = T2 * (C25 / _c2 * Ey + C6 * Bxx + C6 * Bxy
+                                     + C3 * Bxz + C8 * Bz - C7 * F)
+            out[("By", "x")] = T2 * (C23 / _c2 * Ez + C9 * Bx + C1 * Byx
+                                     + C4 * Byy + C4 * Byz - C8 * F)
+            out[("By", "y")] = T2 * (-C9 * Bx + C5 * Byx + C2 * Byy
+                                     + C5 * Byz - C7 * Bz + C24 / _c2 * G)
+            out[("By", "z")] = T2 * (-C25 / _c2 * Ex + C6 * Byx + C6 * Byy
+                                     + C3 * Byz + C7 * Bz + C8 * F)
+            out[("Bz", "x")] = T2 * (-C23 / _c2 * Ey + C8 * Bx + C1 * Bzx
+                                     + C4 * Bzy + C4 * Bzz + C9 * F)
+            out[("Bz", "y")] = T2 * (C24 / _c2 * Ex + C7 * By + C5 * Bzx
+                                     + C2 * Bzy + C5 * Bzz - C9 * F)
+            out[("Bz", "z")] = T2 * (-C8 * Bx - C7 * By + C6 * Bzx
+                                     + C6 * Bzy + C3 * Bzz + C25 / _c2 * G)
+            out[("F", "x")] = T2 * (C23 / _c2 * Ex + C8 * By - C9 * Bz
+                                    + C1 * Fx + C4 * Fy + C4 * Fz)
+            out[("F", "y")] = T2 * (C24 / _c2 * Ey - C7 * Bx + C9 * Bz
+                                    + C5 * Fx + C2 * Fy + C5 * Fz)
+            out[("F", "z")] = T2 * (C25 / _c2 * Ez + C7 * Bx - C8 * By
+                                    + C6 * Fx + C6 * Fy + C3 * Fz)
+            out[("G", "x")] = T2 * (-C8 * Ey + C9 * Ez + C23 * Bx
+                                    + C1 * Gx + C4 * Gy + C4 * Gz)
+            out[("G", "y")] = T2 * (C7 * Ex - C9 * Ez + C24 * By
+                                    + C5 * Gx + C2 * Gy + C5 * Gz)
+            out[("G", "z")] = T2 * (-C7 * Ex + C8 * Ey + C25 * Bz
+                                    + C6 * Gx + C6 * Gy + C3 * Gz)
+
+        return {
+            key: self._bwd(jnp.where(self._knz, v, K[key]), key[0])
+            for key, v in out.items()
+        }
