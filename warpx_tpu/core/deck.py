@@ -1043,8 +1043,10 @@ def _rz_config_from_deck(deck: Deck) -> SimConfig:
     periodic = (False, field_lo[1] == "periodic" and field_hi[1] == "periodic")
     if not periodic[1]:
         raise NotImplementedError("RZ supports periodic z only for now")
+    if field_hi[0] == "pml":
+        raise NotImplementedError("RZ radial PML (PML_RZ)")
     solver = (deck.get_string("algo.maxwell_solver", "yee") or "yee").lower()
-    if solver not in ("yee",):
+    if solver not in ("yee", "psatd"):
         raise NotImplementedError(f"RZ maxwell solver {solver}")
     geom = Geometry(
         ndim=2, n_cell=n_cell, prob_lo=prob_lo, prob_hi=prob_hi,
@@ -1055,6 +1057,9 @@ def _rz_config_from_deck(deck: Deck) -> SimConfig:
     const_dt = deck.get_real("warpx.const_dt", None)
     if const_dt is not None:
         dt = const_dt
+    elif solver == "psatd":
+        # spectral dt: cfl * min cell size / c (WarpXComputeDt.cpp:69-72)
+        dt = cfl * min(geom.dx) / 299_792_458.0
     else:
         from ..rz.core import compute_dt_rz
 
@@ -1065,29 +1070,71 @@ def _rz_config_from_deck(deck: Deck) -> SimConfig:
         dataclasses.replace(_species_from_deck(deck, nm, 2), pusher=pusher)
         for nm in deck.get_strings("particles.species_names", [])
     )
+    current_dep = (
+        deck.get_string("algo.current_deposition", "esirkepov")
+        or "esirkepov"
+    ).lower()
+    dive_cleaning = deck.get_bool("warpx.do_dive_cleaning", False)
+    psatd_kw = {}
+    if solver == "psatd":
+        # RZ spectral gates (honest): Hankel PSATD implements the standard
+        # J-constant and Galilean algorithms with update_with_rho/current
+        # correction; multi-J (J linear) and time averaging are separate
+        # reference algorithms not yet built
+        if (deck.get_string("psatd.J_in_time", "constant")
+                or "constant").lower() != "constant":
+            raise NotImplementedError("RZ PSATD with psatd.J_in_time=linear")
+        if deck.get_bool("psatd.do_time_averaging", False):
+            raise NotImplementedError("RZ PSATD time averaging")
+        if deck.get_int("warpx.do_multi_J", 0):
+            raise NotImplementedError("RZ multi-J PSATD")
+        if dive_cleaning:
+            raise NotImplementedError(
+                "RZ PSATD divergence cleaning (requires J_in_time=linear)"
+            )
+        if current_dep not in ("direct",):
+            raise NotImplementedError(
+                f"RZ PSATD with {current_dep} deposition (cell-centered "
+                "direct only)"
+            )
+        psatd_kw = dict(
+            psatd_order=deck.get_int(
+                "psatd.noz", deck.get_int("psatd.nox", 16)),
+            # RZ always updates with rho (WarpX.cpp:1589-1590)
+            psatd_update_with_rho=deck.get_bool(
+                "psatd.update_with_rho", True),
+            psatd_current_correction=deck.get_bool(
+                "psatd.current_correction", True),
+            psatd_v_galilean=tuple(
+                v * 299_792_458.0
+                for v in deck.get_reals(
+                    "psatd.v_galilean", (0.0, 0.0, 0.0))
+            ),
+        )
     return SimConfig(
         geometry=geom,
         max_step=deck.get_int("max_step", deck.get_int("warpx.max_step", 0)),
         dt=dt,
         particle_shape=deck.get_int("algo.particle_shape", 1),
-        em_solver="yee",
-        current_deposition=(
-            deck.get_string("algo.current_deposition", "esirkepov")
-            or "esirkepov"
-        ).lower(),
+        em_solver=solver,
+        current_deposition=current_dep,
         field_gathering=(
             deck.get_string("algo.field_gathering", "energy-conserving")
             or "energy-conserving"
         ).lower(),
-        use_filter=deck.get_bool("warpx.use_filter", False),
+        use_filter=deck.get_bool("warpx.use_filter", True),
+        grid_type=(
+            deck.get_string("warpx.grid_type", "staggered") or "staggered"
+        ).lower(),
         species=species,
         cfl=cfl,
         n_rz_modes=n_modes,
-        do_dive_cleaning=deck.get_bool("warpx.do_dive_cleaning", False),
+        do_dive_cleaning=dive_cleaning,
         field_bc_lo=tuple(field_lo),
         field_bc_hi=tuple(field_hi),
         user_constants=tuple(sorted(deck.my_constants.items())),
         tiled_particles="off",
+        **psatd_kw,
     )
 
 

@@ -46,10 +46,15 @@ class Simulation:
         self.tile_spec = None
         self._want_binned = False
         if cfg.geometry.rz:
-            from ..rz.core import make_rz_step_fns
-
             self.is_bounded = False
-            step, half = make_rz_step_fns(cfg, self.dtype)
+            if cfg.em_solver == "psatd":
+                from ..rz.spectral import make_rz_spectral_step
+
+                step, half = make_rz_spectral_step(cfg, self.dtype)
+            else:
+                from ..rz.core import make_rz_step_fns
+
+                step, half = make_rz_step_fns(cfg, self.dtype)
             self._step = step
             self._step_main = step
             self._step_window = None

@@ -54,6 +54,17 @@ RZ_STAGGER = {
     "jr": (0, 1), "jt": (1, 1), "jz": (1, 0),
     "rho": (1, 1), "F": (1, 1),
 }
+
+
+def rz_stagger(cfg, name):
+    """Component nodal flags: the spectral (PSATD) solver stores every
+    component fully CELL-CENTERED (WarpX.cpp:2153-2160 RZ+PSATD forces
+    TheCellVector); the FDTD path uses the cylindrical Yee staggering."""
+    if cfg.em_solver == "psatd":
+        return (0, 0)
+    return RZ_STAGGER[name]
+
+
 _GALERKIN_R = {"Er": ("r",), "Et": (), "Ez": ("z",),
                "Br": ("z",), "Bt": ("r", "z"), "Bz": ("r",)}
 # below-axis guard parity for mode 0 (r/theta components odd, z/scalars even)
@@ -76,7 +87,7 @@ def _shape(cfg):
 
 def field_shape(cfg, name):
     nr, nz, ncomp = _shape(cfg)
-    fr = RZ_STAGGER[name][0]
+    fr = rz_stagger(cfg, name)[0]
     return (ncomp, nr + 1 if fr else nr, nz)
 
 
@@ -184,11 +195,12 @@ def _momentum_at(sp_cfg, x, y, z, np_dtype, rng):
 
 
 # ------------------------------------------------------------------ gather
-def _extend_axis(arr, name, ng, nr_valid):
+def _extend_axis(arr, name, ng, nr_valid, nodal_r=None):
     """Pad ``ng`` mirrored rows below the axis (mode parity) and ``ng``
     zero rows beyond rmax; z stays periodic (handled by index wrap)."""
     ncomp = arr.shape[0]
-    nodal_r = RZ_STAGGER[name][0] == 1
+    if nodal_r is None:
+        nodal_r = RZ_STAGGER[name][0] == 1
     # mirror index: guard row g (= -1-k or -k) reflects valid row
     rows = []
     for g in range(ng, 0, -1):
@@ -212,16 +224,20 @@ def _extend_axis(arr, name, ng, nr_valid):
     return jnp.concatenate([below, arr, above], axis=1)
 
 
-def gather_rz(pos3, farr: Dict[str, jnp.ndarray], cfg, order, ng):
+def gather_rz(pos3, farr: Dict[str, jnp.ndarray], cfg, order, ng,
+              z_origin=None):
     """Gather (Ex..Bz) in Cartesian at particle positions.
 
     farr: name -> (C, NR, NZ) field arrays (RZ names).  Fields are gathered
     per-mode at (r, z) with cos/sin(m theta) phases and rotated from
     (r, t) to (x, y) (FieldGather.H:1522-1560 RZ mode sum + rotation).
+    z_origin overrides the z grid origin (Galilean drifted grid).
     """
     geom = cfg.geometry
     dr, dz = geom.dx
     rmin, zmin = geom.prob_lo
+    if z_origin is not None:
+        zmin = z_origin
     nz = geom.n_cell[1]
     x, y, z = pos3
     r = jnp.sqrt(x * x + y * y)
@@ -239,8 +255,9 @@ def gather_rz(pos3, farr: Dict[str, jnp.ndarray], cfg, order, ng):
 
     out = {}
     for name in ("Er", "Et", "Ez", "Br", "Bt", "Bz"):
-        fr, fz = RZ_STAGGER[name]
-        arr = _extend_axis(farr[name], name, ng, farr[name].shape[1])
+        fr, fz = rz_stagger(cfg, name)
+        arr = _extend_axis(farr[name], name, ng, farr[name].shape[1],
+                           nodal_r=(fr == 1))
         o_r = order - 1 if (cfg.galerkin and "r" in _GALERKIN_R[name]) \
             else order
         o_z = order - 1 if (cfg.galerkin and "z" in _GALERKIN_R[name]) \
@@ -295,7 +312,7 @@ def _fold_and_scale(ext, name, cfg, ng, kind, mode_sign=1.0):
     geom = cfg.geometry
     dr = geom.dx[0]
     rmin = geom.prob_lo[0]
-    nodal_r = RZ_STAGGER[name][0] == 1
+    nodal_r = rz_stagger(cfg, name)[0] == 1
     nr_valid = ext.shape[0] - 2 * ng
     arr = ext[ng:-ng]
     if rmin == 0.0:
@@ -783,6 +800,17 @@ def make_rz_step_fns(cfg, dtype):
                 jnp.zeros(field_shape(cfg, "jt"), dtype),
                 jnp.zeros(field_shape(cfg, "jz"), dtype),
             )
+        if cfg.use_filter:
+            from .spectral import bilinear_filter_rz
+
+            npass = max(cfg.filter_npass_each_dir or (1,))
+            j3 = tuple(
+                bilinear_filter_rz(a, nm, cfg, npass)
+                for a, nm in zip(j3, ("jr", "jt", "jz"))
+            )
+            if need_rho:
+                rho_old = bilinear_filter_rz(rho_old, "rho", cfg, npass)
+                rho_new = bilinear_filter_rz(rho_new, "rho", cfg, npass)
         fields = state.fields.replace(jx=j3[0], jy=j3[1], jz=j3[2])
         F = fields.F
         if need_rho:
@@ -826,13 +854,20 @@ def rz_cell_centered_output(state: SimState, cfg) -> Dict[str, jnp.ndarray]:
         ("jr", state.fields.jx), ("jt", state.fields.jy),
         ("jz", state.fields.jz),
     ):
-        fr, fz = RZ_STAGGER[name]
+        fr, fz = rz_stagger(cfg, name)
         a = arr[0] + sum(arr[2 * m - 1] for m in range(1, cfg.n_rz_modes))
         if fr == 1:  # nodal in r -> average to cc
             a = 0.5 * (a[1:, :] + a[:-1, :])
         if fz == 1:  # nodal in periodic z
             a = 0.5 * (a + jnp.roll(a, -1, axis=1))
         out[name] = a
+    if cfg.em_solver == "psatd":
+        from .spectral import rz_spectral_aux_fields
+
+        for name, arr in rz_spectral_aux_fields(state, cfg).items():
+            out[name] = arr[0] + sum(
+                arr[2 * m - 1] for m in range(1, cfg.n_rz_modes)
+            )
     return out
 
 
