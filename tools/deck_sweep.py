@@ -9,7 +9,8 @@ import subprocess
 import sys
 
 REF = "/root/reference/Examples"
-SKIP_PAT = ("rz", "picmi", ".py", "eb", "restart")
+# RZ and EB decks are included since round 3 (rz spectral + staircase EB)
+SKIP_PAT = ("picmi", ".py", "restart")
 
 RUNNER = r"""
 import sys

@@ -143,36 +143,49 @@ def binned_pic_step(
         for a in (farr.Ex, farr.Ey, farr.Ez, farr.Bx, farr.By, farr.Bz)
     )
 
-    # --- fused gather+push+deposit per species ----------------------------
+    # --- fused gather+push+deposit: all species of one pusher share a
+    # single launch (species-innermost grid; J accumulates in VMEM) --------
     jw_tot = None
     violations = state.aux.get("tile_violations", jnp.zeros((), jnp.int32))
     new_species = {}
+    groups: Dict[str, list] = {}
     for sp_cfg in cfg.species:
-        sp = species[sp_cfg.name]
-        w_eff = jnp.where(sp.alive, sp.w, jnp.zeros((), f))
+        groups.setdefault(sp_cfg.pusher, []).append(sp_cfg)
+    for pusher_name, sps in groups.items():
+        cols = [[] for _ in range(7)]
+        for sp_cfg in sps:
+            sp = species[sp_cfg.name]
+            w_eff = jnp.where(sp.alive, sp.w, jnp.zeros((), f))
+            for ci, a in enumerate(
+                (sp.x, sp.y, sp.z, sp.ux, sp.uy, sp.uz, w_eff)
+            ):
+                cols[ci].append(a.reshape(nt, pmax))
         parts7 = tuple(
-            a.reshape(nt, pmax)
-            for a in (sp.x, sp.y, sp.z, sp.ux, sp.uy, sp.uz, w_eff)
+            c[0] if len(c) == 1 else jnp.concatenate(c, axis=0)
+            for c in cols
         )
         params = jnp.array(
             [[sp_cfg.charge, sp_cfg.mass, *cfg.e_ext_particle,
-              *cfg.b_ext_particle]], f,
+              *cfg.b_ext_particle] for sp_cfg in sps], f,
         )
         newp, jw, viol = binned_push_deposit(
             params, windows6, parts7,
             spec=spec, geom=geom, order=cfg.particle_shape,
-            galerkin=cfg.galerkin, pusher_name=sp_cfg.pusher, dt=dt,
+            galerkin=cfg.galerkin, pusher_name=pusher_name, dt=dt,
             stag_items=stag_items, interpret=interpret,
         )
         jw_tot = jw if jw_tot is None else tuple(
             a + b for a, b in zip(jw_tot, jw)
         )
         violations = violations + jnp.sum(viol)
-        flat = [a.reshape(-1) for a in newp]
-        new_species[sp_cfg.name] = sp.replace(
-            x=flat[0], y=flat[1], z=flat[2],
-            ux=flat[3], uy=flat[4], uz=flat[5],
-        )
+        for k, sp_cfg in enumerate(sps):
+            sp = species[sp_cfg.name]
+            sl = slice(k * nt, (k + 1) * nt)
+            flat = [a[sl].reshape(-1) for a in newp]
+            new_species[sp_cfg.name] = sp.replace(
+                x=flat[0], y=flat[1], z=flat[2],
+                ux=flat[3], uy=flat[4], uz=flat[5],
+            )
 
     # --- fold J windows (SumBoundary analog) ------------------------------
     if jw_tot is None:

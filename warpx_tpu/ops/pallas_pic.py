@@ -22,9 +22,18 @@ MXU shapes are chosen for systolic-array utilization (K or N = W*W = 256+):
     replacing atomicAdd scatter (the design analog of the reference's
     shared-memory binned deposition, WarpXParticleContainer.cpp:490-548).
 
-The Esirkepov transverse mix uses the 3-outer-product identity
-  1/3 (AB + CD) + 1/6 (AD + CB) = 1/6 [(A+C)(B+D) + AB + CD]
-(cf. CurrentDeposition.H:820 one_third/one_sixth combination).
+The Esirkepov transverse mix uses the 2-outer-product identity
+  1/3 (AB + CD) + 1/6 (AD + CB) = 1/4 (A+C)(B+D) + 1/12 (A-C)(B-D)
+(cf. CurrentDeposition.H:820 one_third/one_sixth combination; with
+s = Sn + So and d = Sn - So the sum Sn Sn + So So = (s s + d d)/2, so the
+three-outer form 1/6 [s s + Sn Sn + So So] collapses to two outers —
+the d factors are the per-axis difference rows the cumulative sums already
+need, so the mix costs two VPU outer products per current component).
+
+Multiple species ride ONE pallas launch: the grid is (n_tiles, n_species)
+with the species index innermost, so Mosaic fetches each field window once
+and accumulates the J windows of all species in VMEM before a single
+writeback (the per-species q/m/external-field rows live in SMEM).
 """
 
 from __future__ import annotations
@@ -75,8 +84,9 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
                xr, yr, zr, uxr, uyr, uzr, wr,
                xo, yo, zo, uxo, uyo, uzo,
                jxw, jyw, jzw, violr):
-        q = params[0, 0]
-        m = params[0, 1]
+        sid = pl.program_id(1)
+        q = params[sid, 0]
+        m = params[sid, 1]
         tid = pl.program_id(0)
         t0 = tid // (nty * ntz)
         rem = tid - t0 * (nty * ntz)
@@ -150,12 +160,12 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
             ax_m = axis_mat(0, *keys[0])
             e6.append(jnp.sum(ax_m * h, axis=0))
         ex, ey, ez, bx, by, bz = e6
-        ex = ex + params[0, 2]
-        ey = ey + params[0, 3]
-        ez = ez + params[0, 4]
-        bx = bx + params[0, 5]
-        by = by + params[0, 6]
-        bz = bz + params[0, 7]
+        ex = ex + params[sid, 2]
+        ey = ey + params[sid, 3]
+        ez = ez + params[sid, 4]
+        bx = bx + params[sid, 5]
+        by = by + params[sid, 6]
+        bz = bz + params[sid, 7]
 
         # ---- push ----------------------------------------------------------
         ux, uy, uz = pusher(
@@ -175,15 +185,20 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
         # ---- Esirkepov deposit ---------------------------------------------
         # new position in window units; old = new - v*dt/dx (== X exactly)
         wq = q * wr[0].reshape(P)
-        nn, no, cs, bad = [], [], [], None
+        sm, df, cs, bad = [], [], [], None
         for d in range(3):
             xn = X[d] + vel[d] * (dt * inv_dx[d])
-            nn.append(band(xn, order))
-            no.append(band(X[d], order))
+            nn = band(xn, order)
+            # the old-position order-``order`` unstaggered band is usually
+            # already in the gather cache
+            no = axis_mat(d, order, False)
+            sm.append(nn + no)
+            diff = no - nn
+            df.append(diff)
             # cumulative Esirkepov difference sums: prefix over window rows
             # (rows outside the support accumulate to exactly 0); log-step
             # shifted adds — Mosaic has no cumsum primitive
-            acc = no[d] - nn[d]
+            acc = diff
             s = 1
             while s < W:
                 acc = acc + jnp.pad(acc[:-s], ((s, 0), (0, 0)))
@@ -193,28 +208,30 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
             bd = (i0 < 0) | (i0 > W - T)
             bad = bd if bad is None else (bad | bd)
 
-        sixth = 1.0 / 6.0
-
-        def mix(a, b):
-            """Esirkepov transverse mix as a (W^2, P) matrix over dims (a, b):
-            1/6 [(nn_a+no_a)(nn_b+no_b) + nn_a nn_b + no_a no_b]."""
-            sa, sb = nn[a] + no[a], nn[b] + no[b]
-            m_ = (
-                sa[:, None, :] * sb[None, :, :]
-                + nn[a][:, None, :] * nn[b][None, :, :]
-                + no[a][:, None, :] * no[b][None, :, :]
-            )
-            return m_.reshape(W * W, P)
+        def outer(a, b):
+            return (a[:, None, :] * b[None, :, :]).reshape(W * W, P)
 
         for d, (a, b, out_ref) in enumerate(
             ((1, 2, jxw), (0, 2, jyw), (0, 1, jzw))
         ):
-            lhs = cs[d] * ((sixth * wq) * invdtd[d])[None, :]
-            # (W, W^2) = Wd (i, p) x Tab ((jk), p) contracted over p: N = W^2
-            out_ref[0] = jax.lax.dot_general(
-                lhs, mix(a, b), (((1,), (1,)), ((), ())),
+            # two-outer mix: 1/4 s_a s_b + 1/12 d_a d_b (module docstring)
+            lhs = cs[d] * (wq * invdtd[d])[None, :]
+            jd = jax.lax.dot_general(
+                0.25 * lhs, outer(sm[a], sm[b]), (((1,), (1,)), ((), ())),
+                preferred_element_type=f,
+            ) + jax.lax.dot_general(
+                (1.0 / 12.0) * lhs, outer(df[a], df[b]),
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=f,
             )
+            # species accumulate into the same VMEM window (grid dim 1)
+            @pl.when(sid == 0)
+            def _init(jd=jd, out_ref=out_ref):
+                out_ref[0] = jd
+
+            @pl.when(sid > 0)
+            def _acc(jd=jd, out_ref=out_ref):
+                out_ref[0] = out_ref[0] + jd
 
         alive = wr[0].reshape(P) > 0
         cnt = jnp.sum((bad & alive).astype(jnp.int32))
@@ -244,37 +261,45 @@ def binned_push_deposit(
     stag_items,
     interpret=False,
 ):
-    """Run the fused kernel over all tiles.
+    """Run the fused kernel over all tiles for ALL species at once.
 
-    params: (1, 8) [q, m, Eext(3), Bext(3)]; windows6: 6 x (n_tiles, W, W*W)
-    field windows (extract_windows layout (x, (y,z))); parts7: (x, y, z, ux,
-    uy, uz, w) each (n_tiles, p_max).
+    params: (n_sp, 8) [q, m, Eext(3), Bext(3)] per species; windows6:
+    6 x (n_tiles, W, W*W) field windows (extract_windows layout (x, (y,z)));
+    parts7: (x, y, z, ux, uy, uz, w) each (n_sp * n_tiles, p_max) — the
+    per-species tile arrays stacked along the tile axis.
 
-    Returns (new_parts6 (x,y,z,ux,uy,uz), (jx_w, jy_w, jz_w), violations):
+    Returns (new_parts6 (x,y,z,ux,uy,uz) each (n_sp*n_tiles, p_max),
+    (jx_w, jy_w, jz_w) summed over species, violations (n_sp*n_tiles,)):
     J windows are (n_tiles, W, W*W) with per-component layouts
     (x,(y,z)), (y,(x,z)), (z,(x,y)) — pass fold_windows axes=(0,1,2)/(1,0,2)/
-    (2,0,1) respectively.  ``violations`` is (n_tiles,) int32 counting alive
-    particles that drifted beyond the rebin margin (must be all zero).
+    (2,0,1) respectively.  ``violations`` counts alive particles that
+    drifted beyond the rebin margin (must be all zero).
     """
     staggering = dict(stag_items)
     dtype = parts7[0].dtype
     W, P, nt = spec.w, spec.p_max, spec.n_tiles
+    ns = parts7[0].shape[0] // nt
     kernel = _build_kernel(
         spec, geom, staggering, order, galerkin, pusher_name, dt, dtype
     )
     if P % 128:
         raise ValueError("p_max must be a multiple of 128")
     win_spec = pl.BlockSpec(
-        (1, W, W * W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, W, W * W), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
     )
     part_spec = pl.BlockSpec(
-        (1, P // 128, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, P // 128, 128), lambda i, s: (s * nt + i, 0, 0),
+        memory_space=pltpu.VMEM,
     )
-    parts7 = tuple(a.reshape(nt, P // 128, 128) for a in parts7)
+    parts7 = tuple(a.reshape(ns * nt, P // 128, 128) for a in parts7)
     grid_spec = pl.GridSpec(
-        grid=(nt,),
+        # species innermost: each field window is fetched once per tile and
+        # the J windows accumulate in VMEM across species before writeback
+        grid=(nt, ns),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (ns, 8), lambda i, s: (0, 0), memory_space=pltpu.SMEM
+            ),
         ]
         + [win_spec] * 6
         + [part_spec] * 7,
@@ -282,14 +307,15 @@ def binned_push_deposit(
         + [win_spec] * 3
         + [
             pl.BlockSpec(
-                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, 8, 128), lambda i, s: (s * nt + i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
     )
     out_shape = (
-        [jax.ShapeDtypeStruct((nt, P // 128, 128), dtype)] * 6
+        [jax.ShapeDtypeStruct((ns * nt, P // 128, 128), dtype)] * 6
         + [jax.ShapeDtypeStruct((nt, W, W * W), dtype)] * 3
-        + [jax.ShapeDtypeStruct((nt, 8, 128), jnp.int32)]
+        + [jax.ShapeDtypeStruct((ns * nt, 8, 128), jnp.int32)]
     )
     outs = pl.pallas_call(
         kernel,
@@ -298,7 +324,7 @@ def binned_push_deposit(
         interpret=interpret,
     )(params, *windows6, *parts7)
     return (
-        tuple(o.reshape(nt, P) for o in outs[:6]),
+        tuple(o.reshape(ns * nt, P) for o in outs[:6]),
         tuple(outs[6:9]),
         outs[9][:, 0, 0],
     )
