@@ -50,7 +50,10 @@ def test_openpmd_output(tmp_path):
     sim = Simulation.from_deck(DECK_1D, output_dir=str(tmp_path / "diags"))
     sim.init()
     sim.evolve()
-    path = tmp_path / "diags" / "diag1.h5"
+    # the deck's diag1 has no <diag>.format key, so it defaults to plotfile
+    # (matching the reference's default); the openpmd diag carries the HDF5
+    assert (tmp_path / "diags" / "diag1000080" / "Header").exists()
+    path = tmp_path / "diags" / "openpmd.h5"
     assert path.exists()
     with h5py.File(path) as fh:
         assert fh.attrs["openPMD"] == b"1.1.0"

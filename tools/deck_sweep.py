@@ -73,7 +73,7 @@ def main():
     with open("/root/repo/DECK_SWEEP.md", "w") as fh:
         fh.write("# Reference deck compatibility sweep\n\n")
         fh.write(
-            "Every Cartesian (non-RZ, non-EB, non-PICMI) reference test deck"
+            "Every non-PICMI reference test deck (incl. RZ and EB)"
             " run for 2 steps via `python -m warpx_tpu <deck> max_step=2`"
             f" in f32.\n\n**{npass}/{len(results)} pass.**\n\n"
         )

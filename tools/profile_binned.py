@@ -22,11 +22,21 @@ def pull(arr):
     return float(arr[idx])
 
 
-def timeit(fn, *args, reps=10, rtt=0.0):
+def timeit(fn, *args, reps=None, rtt=0.0):
     out = fn(*args)
     leaves = [x for x in jax.tree_util.tree_leaves(out)
               if hasattr(x, "ndim") and x.dtype != bool]
     pull(leaves[0])
+    # calibrate reps so the span is >> rtt noise
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = fn(*args)
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "ndim") and x.dtype != bool]
+    pull(leaves[0])
+    rough = max((time.perf_counter() - t0) / 3, 1e-5)
+    if reps is None:
+        reps = max(5, min(400, int((10 * max(rtt, 0.02)) / rough)))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -47,8 +57,10 @@ def main():
     state = sim.init()
     state = sim._step(state)
     pull(state.fields.Ex)
-    t0 = time.perf_counter(); pull(state.fields.Ex)
-    rtt = time.perf_counter() - t0
+    rtt = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter(); pull(state.fields.Ex)
+        rtt = min(rtt, time.perf_counter() - t0)
     print(f"device={jax.devices()[0]} n={n} ppc={ppc} particles={n_particles} rtt={rtt*1e3:.2f}ms")
 
     spec = sim.tile_spec

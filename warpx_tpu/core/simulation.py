@@ -395,7 +395,6 @@ class Simulation:
                 from ..diagnostics.fields import (
                     cell_centered_output, current_origin,
                 )
-                from ..io.openpmd import write_openpmd_iteration
 
                 if self.cfg.geometry.rz:
                     from ..rz.core import rz_cell_centered_output
@@ -415,14 +414,88 @@ class Simulation:
                 else:
                     fields = {}
                 select = self._particle_select(dg.get("pfilters") or {})
-                write_openpmd_iteration(
-                    f"{self.output_dir}/{dg['name']}.h5", step,
-                    self.state, self.cfg, fields,
-                    float(self.state.time), self.cfg.dt,
-                    current_origin(self.state, self.cfg),
-                    species_names=dg.get("species"),
-                    select=select,
+                if dg["format"] == "plotfile":
+                    self._flush_plotfile(dg, step, fields, select)
+                else:
+                    from ..io.openpmd import write_openpmd_iteration
+
+                    write_openpmd_iteration(
+                        f"{self.output_dir}/{dg['name']}.h5", step,
+                        self.state, self.cfg, fields,
+                        float(self.state.time), self.cfg.dt,
+                        current_origin(self.state, self.cfg),
+                        species_names=dg.get("species"),
+                        select=select,
+                    )
+
+    def _flush_plotfile(self, dg, step, fields, select):
+        """AMReX-plotfile-format flush (FlushFormatPlotfile analog):
+        ``<output_dir>/<diag><step:06d>/`` with per-level Cell FABs and
+        per-species particle data (io/plotfile.py)."""
+        import numpy as np
+
+        from ..diagnostics.fields import current_origin
+        from ..io.plotfile import write_plotfile
+
+        cfg = self.cfg
+        geom = cfg.geometry
+        origin = [float(o) for o in current_origin(self.state, cfg)]
+        extent = [
+            hi - lo for lo, hi in zip(geom.prob_lo, geom.prob_hi)
+        ]
+        prob_hi = [o + e for o, e in zip(origin, extent)]
+        levels = [
+            {k: np.asarray(v) for k, v in fields.items()}
+        ]
+        ref_ratio = []
+        if self.mr_layout is not None:
+            from .mr import mr_output_fields
+
+            lev1 = mr_output_fields(
+                self.state, cfg, self.staggering, self.mr_layout
+            )
+            if fields:
+                lev1 = {k: np.asarray(v) for k, v in lev1.items()
+                        if k in fields}
+                levels.append(lev1)
+                ref_ratio.append(tuple(self.mr_layout.ref_ratio))
+        if not fields:
+            # plotfiles need >= 1 component; mirror the reference which
+            # always writes the requested fields_to_plot set
+            levels = [{
+                "Ex": np.asarray(self.state.fields.Ex)
+            }] if dg["fields"] != ["none"] else [{}]
+        particles = {}
+        ndim = geom.ndim
+        for sp_cfg in cfg.species:
+            if dg.get("species") is not None and \
+                    sp_cfg.name not in dg["species"]:
+                continue
+            sp = self.state.species[sp_cfg.name]
+            if sp.capacity == 0:
+                continue
+            mask = np.asarray(sp.alive)
+            if select and sp_cfg.name in select:
+                mask = mask & select[sp_cfg.name]
+            attrs = {}
+            for nm, arr in zip(
+                ["x", "y", "z"][:ndim], sp.positions(ndim)
+            ):
+                attrs[nm] = np.asarray(arr)[mask]
+            m = sp_cfg.mass
+            for c in "xyz":
+                attrs[f"momentum_{c}"] = (
+                    m * np.asarray(getattr(sp, "u" + c))[mask]
                 )
+            attrs["weight"] = np.asarray(sp.w)[mask]
+            particles[sp_cfg.name] = attrs
+        write_plotfile(
+            f"{self.output_dir}/{dg['name']}{step:06d}",
+            levels,
+            prob_lo=origin, prob_hi=prob_hi,
+            time=float(self.state.time), step=step,
+            ref_ratio=ref_ratio, particles=particles,
+        )
 
     def _particle_select(self, pfilters):
         """Per-species output masks from the diag's particle filters

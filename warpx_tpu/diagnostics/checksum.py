@@ -147,3 +147,40 @@ def checksums_from_openpmd(filename: str, iteration: int):
                 )
                 out[sp] = d
     return out
+
+
+def checksums_from_plotfile(path: str):
+    """Reference-style checksums computed from a written AMReX plotfile
+    (the analog of Regression/Checksum/checksum.py reading plotfiles
+    through yt: sum(abs(Q)) per level component and particle quantity)."""
+    import os
+
+    import numpy as np
+
+    from ..io.plotfile import read_particles, read_plotfile
+
+    levels, meta = read_plotfile(path)
+    out = {}
+    for lev, comps in enumerate(levels):
+        out[f"lev={lev}"] = {
+            name: float(np.abs(arr).sum()) for name, arr in comps.items()
+        }
+    for entry in sorted(os.listdir(path)):
+        if not os.path.isdir(os.path.join(path, entry)) or \
+                entry.startswith("Level_"):
+            continue
+        attrs = read_particles(path, entry)
+        d = {}
+        for nm in ("x", "y", "z"):
+            if nm in attrs:
+                d[f"particle_position_{nm}"] = float(
+                    np.abs(attrs[nm]).sum()
+                )
+            if f"momentum_{nm}" in attrs:
+                d[f"particle_momentum_{nm}"] = float(
+                    np.abs(attrs[f"momentum_{nm}"]).sum()
+                )
+        if "weight" in attrs:
+            d["particle_weight"] = float(np.abs(attrs["weight"]).sum())
+        out[entry] = d
+    return out
