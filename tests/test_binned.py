@@ -134,6 +134,33 @@ def test_binned_step_matches_reference(order, solver):
             assert abs(a - b) <= 1e-9 * abs(a) + 1e-300, (k, q_, a, b)
 
 
+def test_binned_mxu_precision_modes():
+    """'mixed' (bf16 gather) stays within bf16 interpolation rounding of the
+    f32 path; 'bf16' (bf16 deposit too) within ~1e-2.  Both must conserve
+    total weight exactly (precision only touches gather/deposit operands)."""
+    geom = _geom()
+    results = {}
+    for mxu in ("f32", "mixed", "bf16"):
+        cfg = SimConfig(
+            geometry=geom, max_step=4, dt=compute_dt_yee(geom, 0.999),
+            particle_shape=1, species=_species(),
+            tiled_particles="on", sort_interval=3, tile_mxu=mxu,
+        )
+        sim = Simulation(cfg)
+        sim.init()
+        sim.evolve()
+        results[mxu] = sim.state
+    ref = results["f32"].fields.Ex
+    scale = float(jnp.abs(ref).max())
+    for mxu, tol in (("mixed", 3e-2), ("bf16", 3e-2)):
+        err = float(jnp.abs(results[mxu].fields.Ex - ref).max()) / scale
+        assert err < tol, (mxu, err)
+        assert err > 0.0  # the mode really changed the arithmetic
+        w_ref = float(jnp.sum(results["f32"].species["electrons"].w))
+        w_got = float(jnp.sum(results[mxu].species["electrons"].w))
+        assert w_ref == w_got
+
+
 def test_binned_relativistic_drift_margin():
     """Relativistic thermal plasma: particles move ~0.5 cells/step; the
     auto-margin must keep the layout valid (zero violations) across rebins."""

@@ -70,8 +70,8 @@ def main():
     t_step = timeit(sim._step, state, rtt=rtt)
     print(f"full step: {t_step*1e3:.3f} ms  -> {t_step/n_particles*1e9:.2f} ns/particle  ({n_particles/t_step/1e6:.1f} M pushes/s)")
 
-    from warpx_tpu.ops.tiling import extract_windows, fold_windows, rebin
-    from warpx_tpu.ops.pallas_pic import binned_push_deposit
+    from warpx_tpu.ops.tiling import fold_windows, rebin
+    from warpx_tpu.ops.pallas_pic import binned_push_deposit, pad_fields
     from warpx_tpu.core.binned_step import _FOLD_AXES
     from warpx_tpu.core.step import advance_fields
 
@@ -80,11 +80,12 @@ def main():
     f = farr.Ex.dtype
     stag_items = tuple(sorted((k, tuple(v)) for k, v in sim.staggering.items()))
 
-    ex6 = jax.jit(lambda fs: tuple(
-        extract_windows(a, spec) for a in (fs.Ex, fs.Ey, fs.Ez, fs.Bx, fs.By, fs.Bz)))
-    t_ex = timeit(ex6, farr, rtt=rtt)
-    print(f"extract_windows x6: {t_ex*1e3:.3f} ms ({t_ex/n_particles*1e9:.2f} ns/p)")
-    windows6 = ex6(farr)
+    def pad6(fs, mxu="f32"):
+        return pad_fields((fs.Ex, fs.Ey, fs.Ez, fs.Bx, fs.By, fs.Bz),
+                          spec, mxu)
+
+    t_ex = timeit(jax.jit(pad6), farr, rtt=rtt)
+    print(f"pad_fields x6: {t_ex*1e3:.3f} ms ({t_ex/n_particles*1e9:.2f} ns/p)")
 
     sp_cfg = cfg.species[0]
     sp = state.species[sp_cfg.name]
@@ -93,17 +94,29 @@ def main():
     parts7 = tuple(a.reshape(nt, pmax) for a in (sp.x, sp.y, sp.z, sp.ux, sp.uy, sp.uz, w_eff))
     params = jnp.array([[sp_cfg.charge, sp_cfg.mass, 0., 0., 0., 0., 0., 0.]], f)
 
-    def run_kernel(windows6, parts7):
+    nsp = n_particles // 2  # one species
+    for mxu in ("f32", "mixed", "bf16"):
+        fields6 = jax.jit(pad6, static_argnums=1)(farr, mxu)
+
+        def run_kernel(fields6, parts7, mxu=mxu):
+            return binned_push_deposit(
+                params, fields6, parts7, spec=spec, geom=geom,
+                order=cfg.particle_shape, galerkin=cfg.galerkin,
+                pusher_name=sp_cfg.pusher, dt=cfg.dt, stag_items=stag_items,
+                mxu=mxu)
+
+        t_k = timeit(run_kernel, fields6, parts7, rtt=rtt)
+        print(f"fused kernel[{mxu}] (1 species, {nsp} parts): {t_k*1e3:.3f} ms ({t_k/nsp*1e9:.2f} ns/p)  x2 species = {2*t_k/n_particles*1e9:.2f} ns/p-total")
+
+    fields6 = jax.jit(pad6)(farr)
+
+    def run_kernel(fields6, parts7):
         return binned_push_deposit(
-            params, windows6, parts7, spec=spec, geom=geom,
+            params, fields6, parts7, spec=spec, geom=geom,
             order=cfg.particle_shape, galerkin=cfg.galerkin,
             pusher_name=sp_cfg.pusher, dt=cfg.dt, stag_items=stag_items)
 
-    nsp = n_particles // 2  # one species
-    t_k = timeit(run_kernel, windows6, parts7, rtt=rtt)
-    print(f"fused kernel (1 species, {nsp} parts): {t_k*1e3:.3f} ms ({t_k/nsp*1e9:.2f} ns/p)  x2 species = {2*t_k/n_particles*1e9:.2f} ns/p-total")
-
-    _, jw, _ = run_kernel(windows6, parts7)
+    _, jw, _ = run_kernel(fields6, parts7)
     fold3 = jax.jit(lambda jw: tuple(
         fold_windows(jw[i], spec, geom.n_cell, axes=_FOLD_AXES[i]) for i in range(3)))
     t_f = timeit(fold3, jw, rtt=rtt)

@@ -27,8 +27,8 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas_pic import binned_push_deposit
-from ..ops.tiling import TileSpec, extract_windows, fold_windows, rebin
+from ..ops.pallas_pic import binned_push_deposit, pad_fields
+from ..ops.tiling import TileSpec, fold_windows, rebin
 from .config import SimConfig
 from .state import SimState
 from .step import advance_fields
@@ -136,11 +136,12 @@ def binned_pic_step(
         overflow = overflow + ovf
         species[sp_cfg.name] = sp
 
-    # --- field windows (FillBoundary analog) ------------------------------
+    # --- guard-padded fields (FillBoundary analog; windows are DMA'd from
+    # these inside the fused kernel) ---------------------------------------
     farr = state.fields
-    windows6 = tuple(
-        extract_windows(a, spec)
-        for a in (farr.Ex, farr.Ey, farr.Ez, farr.Bx, farr.By, farr.Bz)
+    fields6 = pad_fields(
+        (farr.Ex, farr.Ey, farr.Ez, farr.Bx, farr.By, farr.Bz),
+        spec, cfg.tile_mxu,
     )
 
     # --- fused gather+push+deposit: all species of one pusher share a
@@ -169,10 +170,10 @@ def binned_pic_step(
               *cfg.b_ext_particle] for sp_cfg in sps], f,
         )
         newp, jw, viol = binned_push_deposit(
-            params, windows6, parts7,
+            params, fields6, parts7,
             spec=spec, geom=geom, order=cfg.particle_shape,
             galerkin=cfg.galerkin, pusher_name=pusher_name, dt=dt,
-            stag_items=stag_items, interpret=interpret,
+            stag_items=stag_items, mxu=cfg.tile_mxu, interpret=interpret,
         )
         jw_tot = jw if jw_tot is None else tuple(
             a + b for a, b in zip(jw_tot, jw)

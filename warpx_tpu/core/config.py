@@ -452,6 +452,11 @@ class SimConfig:
     sort_interval: int = 4
     sort_margin: int = 0  # 0 = auto: ceil(interval * c*dt/min(dx))
     tile_headroom: float = 2.0
+    # MXU operand precision in the fused kernel: 'f32' full precision;
+    # 'mixed' rounds the gather operands to bf16 (interpolation rounding
+    # ~0.4%, far below macro-particle noise; deposit stays f32 so charge
+    # conservation holds to roundoff); 'bf16' rounds the deposit too.
+    tile_mxu: str = "f32"  # f32 | mixed | bf16
 
     @property
     def galerkin(self) -> bool:

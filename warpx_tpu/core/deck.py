@@ -1335,4 +1335,8 @@ def _tiling_from_deck(deck: Deck, ndim: int) -> dict:
     hr = deck.get_real("tpu.tile_headroom", 0.0)
     if hr:
         out["tile_headroom"] = hr
+    mxu = (deck.get_string("tpu.tile_mxu", "f32") or "f32").lower()
+    if mxu not in ("f32", "mixed", "bf16"):
+        raise ValueError(f"tpu.tile_mxu must be f32|mixed|bf16, got {mxu}")
+    out["tile_mxu"] = mxu
     return out

@@ -34,6 +34,19 @@ Multiple species ride ONE pallas launch: the grid is (n_tiles, n_species)
 with the species index innermost, so Mosaic fetches each field window once
 and accumulates the J windows of all species in VMEM before a single
 writeback (the per-species q/m/external-field rows live in SMEM).
+
+Field windows are fetched INSIDE the kernel by double-buffered async DMA from
+the guard-padded field arrays in HBM (the window for tile t+1 is in flight
+while tile t computes), eliminating the host-side extract_windows pass and
+its 8x-inflated HBM window intermediate entirely: the only field traffic per
+step is the overlapping (W, W, W) boxes themselves.
+
+MXU precision (``mxu``): 'f32' keeps every contraction in the state dtype;
+'mixed' rounds the GATHER operands (field windows + spline products) to
+bfloat16 with f32 accumulation — the ~0.4% field-interpolation rounding is
+far below macro-particle sampling noise — while the Esirkepov deposit stays
+f32 so discrete charge conservation holds to f32 roundoff; 'bf16' rounds the
+deposit operands too (max speed, relaxes charge conservation to ~1e-3).
 """
 
 from __future__ import annotations
@@ -49,7 +62,7 @@ from .push import PUSHERS
 from .shapes import spline, start_index
 from ..constants import c as _c
 
-__all__ = ["binned_push_deposit"]
+__all__ = ["binned_push_deposit", "pad_fields"]
 
 _GALERKIN_AXES = {
     "Ex": ("x",),
@@ -64,7 +77,7 @@ _AXES = ("x", "y", "z")
 
 
 def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
-                  dtype):
+                  dtype, mxu, nzp):
     W, P, T = spec.w, spec.p_max, order + 3
     ntx, nty, ntz = spec.tiles_per_dim
     tdims = spec.tile
@@ -79,22 +92,78 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
     pusher = PUSHERS[pusher_name]
     inv_c2 = 1.0 / (_c * _c)
     f = dtype
+    gmx = jnp.bfloat16 if mxu in ("mixed", "bf16") else f  # gather operands
+    dmx = jnp.bfloat16 if mxu == "bf16" else f             # deposit operands
 
-    def kernel(params, exw, eyw, ezw, bxw, byw, bzw,
+    def kernel(params, fex, fey, fez, fbx, fby, fbz,
                xr, yr, zr, uxr, uyr, uzr, wr,
                xo, yo, zo, uxo, uyo, uzo,
-               jxw, jyw, jzw, violr):
-        sid = pl.program_id(1)
+               jxw, jyw, jzw, violr,
+               slab, win2, sems):
+        sid = pl.program_id(2)
         q = params[sid, 0]
         m = params[sid, 1]
-        tid = pl.program_id(0)
-        t0 = tid // (nty * ntz)
-        rem = tid - t0 * (nty * ntz)
-        t1 = rem // ntz
-        t2 = rem - t1 * ntz
+        txy = pl.program_id(0)
+        t2 = pl.program_id(1)
+        n_txy = pl.num_programs(0)
+        t0 = txy // nty
+        t1 = txy - t0 * nty
         worig = (t0 * tdims[0] - spec.off,
                  t1 * tdims[1] - spec.off,
                  t2 * tdims[2] - spec.off)
+
+        # ---- double-buffered in-kernel slab DMA ---------------------------
+        # The padded fields live in HBM; the (x,y)-tile-column txy needs the
+        # (W, W, nzp) slab starting at (t0*tx, t1*ty, 0) in padded coords
+        # (Mosaic DMA cannot slice the lane dim at unaligned offsets, so the
+        # z axis rides whole; each z-tile then selects its W-lane window from
+        # VMEM).  Slot txy%2 holds column txy; column txy+1's DMA is issued
+        # before column txy computes, hiding its latency behind ntz*ns steps.
+        frefs = (fex, fey, fez, fbx, fby, fbz)
+
+        def _dmas(slot, col):
+            tt0 = col // nty
+            tt1 = col - tt0 * nty
+            x0 = pl.multiple_of(tt0 * tdims[0], tdims[0])
+            y0 = pl.multiple_of(tt1 * tdims[1], tdims[1])
+            return [
+                pltpu.make_async_copy(
+                    fr.at[pl.ds(x0, W), pl.ds(y0, W), :],
+                    slab.at[slot, ci],
+                    sems.at[slot, ci],
+                )
+                for ci, fr in enumerate(frefs)
+            ]
+
+        @pl.when((sid == 0) & (t2 == 0))
+        def _fetch():
+            @pl.when(txy == 0)
+            def _():
+                for dma in _dmas(0, 0):
+                    dma.start()
+
+            @pl.when(txy + 1 < n_txy)
+            def _():
+                for dma in _dmas((txy + 1) % 2, txy + 1):
+                    dma.start()
+
+            for dma in _dmas(txy % 2, txy):
+                dma.wait()
+
+        @pl.when(sid == 0)
+        def _window():
+            # (W, W, nzp) slab -> (W, W*W) fused-lane window for this z-tile
+            # (reused by every species step of this tile).  Mosaic can't
+            # vector-load at dynamic lane offsets, so rotate the lane axis by
+            # the tile's z origin and take the leading W lanes statically.
+            slot_ = txy % 2
+            z0 = t2 * tdims[2]
+            for ci in range(6):
+                # Mosaic's dynamic rotate is 32-bit only; roll the f32 slab
+                # and round to the gather dtype while slicing into win2
+                rot = pltpu.roll(slab[slot_, ci], -z0, 2)
+                for b in range(W):
+                    win2[ci, :, b * W:(b + 1) * W] = rot[:, b, :W].astype(gmx)
         # particle blocks arrive as (1, P//128, 128); flatten to (P,)
         # (physically the same sublane x lane layout — free in Mosaic)
         pos = (xr[0].reshape(P), yr[0].reshape(P), zr[0].reshape(P))
@@ -137,14 +206,11 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
                 az = axis_mat(2, *zkey)
                 bcache[key_] = (ay[:, None, :] * az[None, :, :]).reshape(
                     W * W, P
-                )
+                ).astype(gmx)
             return bcache[key_]
 
         e6 = []
-        for comp, win in zip(
-            ("Ex", "Ey", "Ez", "Bx", "By", "Bz"),
-            (exw, eyw, ezw, bxw, byw, bzw),
-        ):
+        for ci, comp in enumerate(("Ex", "Ey", "Ez", "Bx", "By", "Bz")):
             flags = staggering[comp]
             keys = []
             for d in range(3):
@@ -154,7 +220,7 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
             byz = yz_mat(keys[1], keys[2])
             # (W, P) = Ewin (i, (jk)) contracted with Byz ((jk), p): K = W^2
             h = jax.lax.dot_general(
-                win[0], byz, (((1,), (0,)), ((), ())),
+                win2[ci], byz, (((1,), (0,)), ((), ())),
                 preferred_element_type=f,
             )
             ax_m = axis_mat(0, *keys[0])
@@ -209,7 +275,8 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
             bad = bd if bad is None else (bad | bd)
 
         def outer(a, b):
-            return (a[:, None, :] * b[None, :, :]).reshape(W * W, P)
+            return (a[:, None, :] * b[None, :, :]).reshape(W * W, P
+                                                           ).astype(dmx)
 
         for d, (a, b, out_ref) in enumerate(
             ((1, 2, jxw), (0, 2, jyw), (0, 1, jzw))
@@ -217,10 +284,11 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
             # two-outer mix: 1/4 s_a s_b + 1/12 d_a d_b (module docstring)
             lhs = cs[d] * (wq * invdtd[d])[None, :]
             jd = jax.lax.dot_general(
-                0.25 * lhs, outer(sm[a], sm[b]), (((1,), (1,)), ((), ())),
+                (0.25 * lhs).astype(dmx), outer(sm[a], sm[b]),
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=f,
             ) + jax.lax.dot_general(
-                (1.0 / 12.0) * lhs, outer(df[a], df[b]),
+                ((1.0 / 12.0) * lhs).astype(dmx), outer(df[a], df[b]),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=f,
             )
@@ -240,16 +308,44 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
     return kernel
 
 
+def pad_fields(fields6, spec, mxu="f32"):
+    """Guard-pad the six field arrays for the in-kernel window DMA.
+
+    Periodic wrap by ``off`` below / ``W - tile - off`` above per axis so the
+    window for tile t starts at t*tile in padded coordinates (the FillBoundary
+    analog, now just a wrap-pad).  In 'mixed'/'bf16' MXU mode the padded
+    copies are rounded to bfloat16 (halving the gather's HBM traffic too).
+    """
+    pw = tuple(
+        (spec.off, spec.w - spec.tile[d] - spec.off) for d in range(3)
+    )
+    del mxu  # slab stays f32: Mosaic's dynamic lane rotate is 32-bit only;
+    # the kernel rounds to bf16 while building the (W, W*W) window
+    # the z (lane) axis is zero-padded up to a multiple of 128 so the
+    # kernel's dynamic lane rotation has an aligned shape; the zero lanes
+    # are never read back (rotations only expose [z0, z0+W))
+    lanes = 128
+    nzp = fields6[0].shape[2] + pw[2][0] + pw[2][1]
+    zextra = (-nzp) % lanes
+    out = []
+    for a in fields6:
+        a = jnp.pad(a, pw, mode="wrap")
+        if zextra:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, zextra)))
+        out.append(a)
+    return tuple(out)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "spec", "geom", "order", "galerkin", "pusher_name", "dt",
-        "stag_items", "interpret",
+        "stag_items", "mxu", "interpret",
     ),
 )
 def binned_push_deposit(
     params,
-    windows6,
+    fields6,
     parts7,
     *,
     spec,
@@ -259,12 +355,14 @@ def binned_push_deposit(
     pusher_name,
     dt,
     stag_items,
+    mxu="f32",
     interpret=False,
 ):
     """Run the fused kernel over all tiles for ALL species at once.
 
-    params: (n_sp, 8) [q, m, Eext(3), Bext(3)] per species; windows6:
-    6 x (n_tiles, W, W*W) field windows (extract_windows layout (x, (y,z)));
+    params: (n_sp, 8) [q, m, Eext(3), Bext(3)] per species; fields6:
+    6 guard-padded (nx+W-tx, ny+W-ty, nz+W-tz) field arrays from
+    ``pad_fields`` (windows are DMA'd from them inside the kernel);
     parts7: (x, y, z, ux, uy, uz, w) each (n_sp * n_tiles, p_max) — the
     per-species tile arrays stacked along the tile axis.
 
@@ -279,37 +377,51 @@ def binned_push_deposit(
     dtype = parts7[0].dtype
     W, P, nt = spec.w, spec.p_max, spec.n_tiles
     ns = parts7[0].shape[0] // nt
+    nzp = fields6[0].shape[2]
     kernel = _build_kernel(
-        spec, geom, staggering, order, galerkin, pusher_name, dt, dtype
+        spec, geom, staggering, order, galerkin, pusher_name, dt, dtype,
+        mxu, nzp,
     )
     if P % 128:
         raise ValueError("p_max must be a multiple of 128")
+    gmx = jnp.bfloat16 if mxu in ("mixed", "bf16") else fields6[0].dtype
+    ntx, nty, ntz = spec.tiles_per_dim
     win_spec = pl.BlockSpec(
-        (1, W, W * W), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, W, W * W), lambda i, k, s: (i * ntz + k, 0, 0),
+        memory_space=pltpu.VMEM,
     )
+    # fields must stay in HBM: the in-kernel slab DMA slices them at
+    # tile-aligned (not lane-aligned) offsets, which VMEM tiling forbids
+    field_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     part_spec = pl.BlockSpec(
-        (1, P // 128, 128), lambda i, s: (s * nt + i, 0, 0),
+        (1, P // 128, 128), lambda i, k, s: (s * nt + i * ntz + k, 0, 0),
         memory_space=pltpu.VMEM,
     )
     parts7 = tuple(a.reshape(ns * nt, P // 128, 128) for a in parts7)
     grid_spec = pl.GridSpec(
-        # species innermost: each field window is fetched once per tile and
-        # the J windows accumulate in VMEM across species before writeback
-        grid=(nt, ns),
+        # (x,y)-column outer, z-tile middle, species innermost: each field
+        # slab is DMA'd once per column and the J windows accumulate in VMEM
+        # across species before writeback
+        grid=(ntx * nty, ntz, ns),
         in_specs=[
             pl.BlockSpec(
-                (ns, 8), lambda i, s: (0, 0), memory_space=pltpu.SMEM
+                (ns, 8), lambda i, k, s: (0, 0), memory_space=pltpu.SMEM
             ),
         ]
-        + [win_spec] * 6
+        + [field_spec] * 6
         + [part_spec] * 7,
         out_specs=[part_spec] * 6
         + [win_spec] * 3
         + [
             pl.BlockSpec(
-                (1, 8, 128), lambda i, s: (s * nt + i, 0, 0),
+                (1, 8, 128), lambda i, k, s: (s * nt + i * ntz + k, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 6, W, W, nzp), fields6[0].dtype),
+            pltpu.VMEM((6, W, W * W), gmx),
+            pltpu.SemaphoreType.DMA((2, 6)),
         ],
     )
     out_shape = (
@@ -322,7 +434,7 @@ def binned_push_deposit(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(params, *windows6, *parts7)
+    )(params, *fields6, *parts7)
     return (
         tuple(o.reshape(ns * nt, P) for o in outs[:6]),
         tuple(outs[6:9]),
