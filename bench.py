@@ -100,6 +100,17 @@ def _build_sim(n, ppc):
         particle_shape=1, species=species,
         tiled_particles=os.environ.get("BENCH_TILED", "auto"),
         sort_interval=int(os.environ.get("BENCH_SORT_INTERVAL", 40)), sort_margin=1,
+        # quiet-start thermal plasma: per-tile counts stay within a few
+        # sqrt(N) of the mean, so a slim slot buffer suffices; the
+        # tile_overflow counter hard-fails the bench if it ever overflows
+        tile_headroom=float(os.environ.get("BENCH_HEADROOM", 1.25)),
+        # 'mixed' is the TPU-native operating point: gather operands ride the
+        # MXU's native bf16 pass (interpolation rounding ~0.4%, far below
+        # macro-particle sampling noise) while the Esirkepov deposit runs at
+        # true f32 (3-pass) so discrete charge conservation holds to f32
+        # roundoff.  'f32' (everything 3-pass) and 'bf16' (deposit single-pass
+        # too) are measured alongside in detail.mxu_modes.
+        tile_mxu=os.environ.get("BENCH_MXU", "mixed"),
     )
     sim = Simulation(cfg, dtype=jnp.float32)
     n_particles = 2 * ppc * n**3
@@ -163,6 +174,17 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"bench: {spec} failed: {e}", file=sys.stderr, flush=True)
             last_err = e
+    if results and "BENCH_MXU" not in os.environ:
+        modes = {}
+        for m in ("f32", "bf16"):
+            try:
+                os.environ["BENCH_MXU"] = m
+                r = run_uniform(n, ppc, steps)
+                modes[m] = r["pushes_per_sec"]
+            except Exception as e:  # noqa: BLE001
+                modes[m] = str(e)[:120]
+        del os.environ["BENCH_MXU"]
+        detail["mxu_modes"] = modes
     if not results:
         print(json.dumps({
             "metric": "particle_pushes_per_sec_per_chip", "value": 0.0,

@@ -423,6 +423,8 @@ def collider_relevant(state, cfg, staggering, params) -> Dict[str, float]:
     from .. import constants as _k
 
     beams = params.get("species", [])
+    if isinstance(beams, str):
+        beams = beams.split()
     if len(beams) != 2:
         raise ValueError("ColliderRelevant needs exactly 2 species")
     geom = cfg.geometry
@@ -507,6 +509,8 @@ def differential_luminosity(state, cfg, staggering, params) -> Dict[str, float]:
     from ..ops.collisions import _cell_of
 
     beams = params.get("species", [])
+    if isinstance(beams, str):
+        beams = beams.split()
     nbin = int(params.get("bin_number", 100))
     bmin = float(params.get("bin_min", 0.0))
     bmax = float(params.get("bin_max", 1.0))

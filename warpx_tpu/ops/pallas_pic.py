@@ -7,18 +7,25 @@ into a single kernel over the tile-binned layout of ops/tiling.py.
 
 TPU-native formulation: per-particle B-spline weights become dense band
 matrices over the tile window (W grid points per dim).  Because the centered
-B-spline S_n has compact support, the (W, P) matrix A[i, p] = S_n(x_p - i)
+B-spline S_n has compact support, the band matrix A[i, p] = S_n(x_p - i)
 is exactly the scatter-free placement of each particle's weights — no one-hot
 comparisons, no scatter/gather primitives, out-of-window particles simply see
 their support clipped (and are counted in the per-tile violation output).
 
+Particles are laid out as (S, 128) lane planes with S = p_max // 128, so the
+slot capacity granularity is 128 (NOT the 1024 a flat (P,) layout would force
+through Mosaic's sublane tiling): slot occupancy — the fraction of the padded
+tile capacity actually holding particles — directly multiplies every VPU op
+in the kernel, so fine-grained p_max is a first-order performance knob.
+
 MXU shapes are chosen for systolic-array utilization (K or N = W*W = 256+):
 
-  * gather contracts the window over the fused (y,z) axis:
-      h[i_x, p] = sum_{jk} Ewin[i_x, jk] * (Ay ⊙ Az)[jk, p]       (K = W^2)
-    followed by a cheap VPU reduction  e[p] = sum_i Ax[i, p] h[i, p];
-  * deposition contracts over the particle axis with the wide output last:
-      J[i_d, jk] = sum_p (Wd ⊙ wq)[i_d, p] * Tab[jk, p]           (N = W^2)
+  * gather contracts the window over the fused (y,z) axis, batched over the
+    particle planes:
+      h[s, i_x, l] = sum_{jk} Ewin[i_x, jk] * (Ay ⊙ Az)[s, jk, l]  (K = W^2)
+    followed by a cheap VPU reduction  e[s,l] = sum_i Ax[s,i,l] h[s,i,l];
+  * deposition contracts over the particle lanes with the wide output last:
+      J[i_d, jk] = sum_{s,l} (Wd ⊙ wq)[s, i_d, l] * Tab[s, jk, l]  (N = W^2)
     replacing atomicAdd scatter (the design analog of the reference's
     shared-memory binned deposition, WarpXParticleContainer.cpp:490-548).
 
@@ -30,10 +37,10 @@ three-outer form 1/6 [s s + Sn Sn + So So] collapses to two outers —
 the d factors are the per-axis difference rows the cumulative sums already
 need, so the mix costs two VPU outer products per current component).
 
-Multiple species ride ONE pallas launch: the grid is (n_tiles, n_species)
-with the species index innermost, so Mosaic fetches each field window once
-and accumulates the J windows of all species in VMEM before a single
-writeback (the per-species q/m/external-field rows live in SMEM).
+Multiple species ride ONE pallas launch: the grid is (xy-column, z-tile,
+n_species) with the species index innermost, so Mosaic fetches each field
+window once and accumulates the J windows of all species in VMEM before a
+single writeback (the per-species q/m/external-field rows live in SMEM).
 
 Field windows are fetched INSIDE the kernel by double-buffered async DMA from
 the guard-padded field arrays in HBM (the window for tile t+1 is in flight
@@ -41,12 +48,17 @@ while tile t computes), eliminating the host-side extract_windows pass and
 its 8x-inflated HBM window intermediate entirely: the only field traffic per
 step is the overlapping (W, W, W) boxes themselves.
 
-MXU precision (``mxu``): 'f32' keeps every contraction in the state dtype;
-'mixed' rounds the GATHER operands (field windows + spline products) to
-bfloat16 with f32 accumulation — the ~0.4% field-interpolation rounding is
-far below macro-particle sampling noise — while the Esirkepov deposit stays
-f32 so discrete charge conservation holds to f32 roundoff; 'bf16' rounds the
-deposit operands too (max speed, relaxes charge conservation to ~1e-3).
+MXU precision (``mxu``): the TPU MXU natively multiplies bf16 operands;
+"f32" matmuls are emulated by 3 bf16 passes (precision=HIGHEST), and the
+DEFAULT precision is a single bf16 pass — i.e. silently ~3e-3 operand
+rounding.  The modes are therefore:
+  * 'f32'   — all contractions at HIGHEST (true f32; 3 MXU passes each);
+  * 'mixed' — gather operands rounded to bfloat16 (one pass: the ~0.4% field
+    interpolation rounding is far below macro-particle sampling noise) while
+    the Esirkepov deposit stays at HIGHEST so discrete charge conservation
+    holds to f32 roundoff;
+  * 'bf16'  — deposit operands rounded too (max speed, relaxes charge
+    conservation to ~1e-3 per step).
 """
 
 from __future__ import annotations
@@ -75,10 +87,13 @@ _GALERKIN_AXES = {
 
 _AXES = ("x", "y", "z")
 
+_HI = jax.lax.Precision.HIGHEST
+
 
 def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
                   dtype, mxu, nzp):
     W, P, T = spec.w, spec.p_max, order + 3
+    S = P // 128
     ntx, nty, ntz = spec.tiles_per_dim
     tdims = spec.tile
     dx = geom.dx
@@ -92,8 +107,11 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
     pusher = PUSHERS[pusher_name]
     inv_c2 = 1.0 / (_c * _c)
     f = dtype
-    gmx = jnp.bfloat16 if mxu in ("mixed", "bf16") else f  # gather operands
-    dmx = jnp.bfloat16 if mxu == "bf16" else f             # deposit operands
+    # gather / deposit MXU operand dtype and pass count (module docstring)
+    gmx = jnp.bfloat16 if mxu in ("mixed", "bf16") else f
+    dmx = jnp.bfloat16 if mxu == "bf16" else f
+    gprec = None if mxu in ("mixed", "bf16") else _HI
+    dprec = None if mxu == "bf16" else _HI
 
     def kernel(params, fex, fey, fez, fbx, fby, fbz,
                xr, yr, zr, uxr, uyr, uzr, wr,
@@ -164,23 +182,25 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
                 rot = pltpu.roll(slab[slot_, ci], -z0, 2)
                 for b in range(W):
                     win2[ci, :, b * W:(b + 1) * W] = rot[:, b, :W].astype(gmx)
-        # particle blocks arrive as (1, P//128, 128); flatten to (P,)
-        # (physically the same sublane x lane layout — free in Mosaic)
-        pos = (xr[0].reshape(P), yr[0].reshape(P), zr[0].reshape(P))
+        # particle blocks are (1, S, 128) lane planes; all per-particle math
+        # below is on (S, 128) arrays (bands (S, W, 128), outers
+        # (S, W*W, 128)) so S can be any positive integer
+        pos = (xr[0], yr[0], zr[0])
         X = [
             (pos[d] - lo[d]) * inv_dx[d] - worig[d].astype(f)
             for d in range(3)
         ]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (W, P), 0).astype(f)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (S, W, 128), 1).astype(f)
 
         def band(xc, o_eff):
-            """(W, P) band matrix A[i, p] = S_o(xc_p - i): each particle's
-            shape weights land on its o+1 support rows, zero elsewhere.
+            """(S, W, 128) band matrix A[s, i, l] = S_o(xc_sl - i): each
+            particle's shape weights land on its o+1 support rows, zero
+            elsewhere.
 
             Order 0 uses the half-open box [-1/2, 1/2) so a particle exactly
             at a half-integer position lands on one row, matching the
             reference's floor(x + 0.5) index selection (ShapeFactors.H:40)."""
-            xi = xc[None, :] - rows
+            xi = xc[:, None, :] - rows
             if o_eff == 0:
                 return jnp.where(
                     (xi >= -0.5) & (xi < 0.5),
@@ -204,9 +224,9 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
             if key_ not in bcache:
                 ay = axis_mat(1, *ykey)
                 az = axis_mat(2, *zkey)
-                bcache[key_] = (ay[:, None, :] * az[None, :, :]).reshape(
-                    W * W, P
-                ).astype(gmx)
+                bcache[key_] = (
+                    ay[:, :, None, :] * az[:, None, :, :]
+                ).reshape(S, W * W, 128).astype(gmx)
             return bcache[key_]
 
         e6 = []
@@ -218,13 +238,14 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
                 o_eff = order - 1 if reduced else order
                 keys.append((o_eff, flags[d] == 0))
             byz = yz_mat(keys[1], keys[2])
-            # (W, P) = Ewin (i, (jk)) contracted with Byz ((jk), p): K = W^2
+            # h[s,i,l] = Ewin (i,(jk)) contracted with Byz (s,(jk),l): K=W^2
+            winb = jnp.broadcast_to(win2[ci], (S, W, W * W))
             h = jax.lax.dot_general(
-                win2[ci], byz, (((1,), (0,)), ((), ())),
-                preferred_element_type=f,
+                winb, byz, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f, precision=gprec,
             )
             ax_m = axis_mat(0, *keys[0])
-            e6.append(jnp.sum(ax_m * h, axis=0))
+            e6.append(jnp.sum(ax_m * h, axis=1))
         ex, ey, ez, bx, by, bz = e6
         ex = ex + params[sid, 2]
         ey = ey + params[sid, 3]
@@ -235,22 +256,21 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
 
         # ---- push ----------------------------------------------------------
         ux, uy, uz = pusher(
-            uxr[0].reshape(P), uyr[0].reshape(P), uzr[0].reshape(P),
+            uxr[0], uyr[0], uzr[0],
             ex, ey, ez, bx, by, bz, q, m, dt,
         )
         gaminv = 1.0 / jnp.sqrt(1.0 + (ux * ux + uy * uy + uz * uz) * inv_c2)
         vel = (ux * gaminv, uy * gaminv, uz * gaminv)
-        sl = (P // 128, 128)
-        xo[0] = (pos[0] + vel[0] * dt).reshape(sl)
-        yo[0] = (pos[1] + vel[1] * dt).reshape(sl)
-        zo[0] = (pos[2] + vel[2] * dt).reshape(sl)
-        uxo[0] = ux.reshape(sl)
-        uyo[0] = uy.reshape(sl)
-        uzo[0] = uz.reshape(sl)
+        xo[0] = pos[0] + vel[0] * dt
+        yo[0] = pos[1] + vel[1] * dt
+        zo[0] = pos[2] + vel[2] * dt
+        uxo[0] = ux
+        uyo[0] = uy
+        uzo[0] = uz
 
         # ---- Esirkepov deposit ---------------------------------------------
         # new position in window units; old = new - v*dt/dx (== X exactly)
-        wq = q * wr[0].reshape(P)
+        wq = q * wr[0]
         sm, df, cs, bad = [], [], [], None
         for d in range(3):
             xn = X[d] + vel[d] * (dt * inv_dx[d])
@@ -267,7 +287,7 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
             acc = diff
             s = 1
             while s < W:
-                acc = acc + jnp.pad(acc[:-s], ((s, 0), (0, 0)))
+                acc = acc + jnp.pad(acc[:, :-s], ((0, 0), (s, 0), (0, 0)))
                 s *= 2
             cs.append(acc)
             i0 = start_index(xn, order) - 1
@@ -275,24 +295,28 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
             bad = bd if bad is None else (bad | bd)
 
         def outer(a, b):
-            return (a[:, None, :] * b[None, :, :]).reshape(W * W, P
-                                                           ).astype(dmx)
+            return (a[:, :, None, :] * b[:, None, :, :]).reshape(
+                S, W * W, 128
+            ).astype(dmx)
 
         for d, (a, b, out_ref) in enumerate(
             ((1, 2, jxw), (0, 2, jyw), (0, 1, jzw))
         ):
             # two-outer mix: 1/4 s_a s_b + 1/12 d_a d_b (module docstring)
-            lhs = cs[d] * (wq * invdtd[d])[None, :]
-            jd = jax.lax.dot_general(
+            lhs = cs[d] * (wq * invdtd[d])[:, None, :]
+            # batched over the S planes, contracting the 128 lanes; the
+            # (S, W, W*W) partials reduce to the tile's J window on the VPU
+            jds = jax.lax.dot_general(
                 (0.25 * lhs).astype(dmx), outer(sm[a], sm[b]),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=f,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f, precision=dprec,
             ) + jax.lax.dot_general(
                 ((1.0 / 12.0) * lhs).astype(dmx), outer(df[a], df[b]),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=f,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f, precision=dprec,
             )
-            # species accumulate into the same VMEM window (grid dim 1)
+            jd = jnp.sum(jds, axis=0) if S > 1 else jds[0]
+            # species accumulate into the same VMEM window (grid dim 2)
             @pl.when(sid == 0)
             def _init(jd=jd, out_ref=out_ref):
                 out_ref[0] = jd
@@ -301,7 +325,7 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
             def _acc(jd=jd, out_ref=out_ref):
                 out_ref[0] = out_ref[0] + jd
 
-        alive = wr[0].reshape(P) > 0
+        alive = wr[0] > 0
         cnt = jnp.sum((bad & alive).astype(jnp.int32))
         violr[0] = jnp.broadcast_to(cnt, (8, 128))
 
@@ -313,8 +337,7 @@ def pad_fields(fields6, spec, mxu="f32"):
 
     Periodic wrap by ``off`` below / ``W - tile - off`` above per axis so the
     window for tile t starts at t*tile in padded coordinates (the FillBoundary
-    analog, now just a wrap-pad).  In 'mixed'/'bf16' MXU mode the padded
-    copies are rounded to bfloat16 (halving the gather's HBM traffic too).
+    analog, now just a wrap-pad).
     """
     pw = tuple(
         (spec.off, spec.w - spec.tile[d] - spec.off) for d in range(3)
@@ -384,6 +407,7 @@ def binned_push_deposit(
     )
     if P % 128:
         raise ValueError("p_max must be a multiple of 128")
+    S = P // 128
     gmx = jnp.bfloat16 if mxu in ("mixed", "bf16") else fields6[0].dtype
     ntx, nty, ntz = spec.tiles_per_dim
     win_spec = pl.BlockSpec(
@@ -394,10 +418,10 @@ def binned_push_deposit(
     # tile-aligned (not lane-aligned) offsets, which VMEM tiling forbids
     field_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     part_spec = pl.BlockSpec(
-        (1, P // 128, 128), lambda i, k, s: (s * nt + i * ntz + k, 0, 0),
+        (1, S, 128), lambda i, k, s: (s * nt + i * ntz + k, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    parts7 = tuple(a.reshape(ns * nt, P // 128, 128) for a in parts7)
+    parts7 = tuple(a.reshape(ns * nt, S, 128) for a in parts7)
     grid_spec = pl.GridSpec(
         # (x,y)-column outer, z-tile middle, species innermost: each field
         # slab is DMA'd once per column and the J windows accumulate in VMEM
@@ -425,7 +449,7 @@ def binned_push_deposit(
         ],
     )
     out_shape = (
-        [jax.ShapeDtypeStruct((ns * nt, P // 128, 128), dtype)] * 6
+        [jax.ShapeDtypeStruct((ns * nt, S, 128), dtype)] * 6
         + [jax.ShapeDtypeStruct((nt, W, W * W), dtype)] * 3
         + [jax.ShapeDtypeStruct((ns * nt, 8, 128), jnp.int32)]
     )

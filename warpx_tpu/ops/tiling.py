@@ -83,8 +83,10 @@ class TileSpec:
             tiles_per_dim.append(n // t)
         n_tiles = int(np.prod(tiles_per_dim))
         if p_max is None:
+            # 128-granular: the kernel's (S, 128) particle planes make slot
+            # occupancy (mean/p_max) a direct multiplier on every VPU op
             mean = max(1, n_particles // n_tiles)
-            p_max = _round_up(int(math.ceil(mean * headroom)), 256)
+            p_max = _round_up(int(math.ceil(mean * headroom)), 128)
         taps = order + 3
         s_lo = (order + 1) // 2 + 1  # window reaches floor(x) - s_lo + 1
         # lo side: start index >= t*tile - margin - s_lo
