@@ -229,7 +229,10 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
                 ).reshape(S, W * W, 128).astype(gmx)
             return bcache[key_]
 
-        e6 = []
+        # components sharing a transverse band product ride ONE contraction
+        # with their windows stacked on the M axis (Yee+galerkin: 6
+        # components -> 4 dots of M in {W, 2W})
+        comp_groups: dict = {}
         for ci, comp in enumerate(("Ex", "Ey", "Ez", "Bx", "By", "Bz")):
             flags = staggering[comp]
             keys = []
@@ -237,15 +240,27 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
                 reduced = galerkin and (_AXES[d] in _GALERKIN_AXES[comp])
                 o_eff = order - 1 if reduced else order
                 keys.append((o_eff, flags[d] == 0))
-            byz = yz_mat(keys[1], keys[2])
-            # h[s,i,l] = Ewin (i,(jk)) contracted with Byz (s,(jk),l): K=W^2
-            winb = jnp.broadcast_to(win2[ci], (S, W, W * W))
+            comp_groups.setdefault((keys[1], keys[2]), []).append(
+                (ci, keys[0])
+            )
+        e6 = [None] * 6
+        for (ykey, zkey), members in comp_groups.items():
+            byz = yz_mat(ykey, zkey)
+            wstk = (
+                win2[members[0][0]] if len(members) == 1
+                else jnp.concatenate([win2[ci] for ci, _ in members], axis=0)
+            )
+            # h[s,(c,i),l] = Ewin ((c,i),(jk)) . Byz (s,(jk),l): K = W^2
+            winb = jnp.broadcast_to(wstk, (S, len(members) * W, W * W))
             h = jax.lax.dot_general(
                 winb, byz, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=f, precision=gprec,
             )
-            ax_m = axis_mat(0, *keys[0])
-            e6.append(jnp.sum(ax_m * h, axis=1))
+            for g, (ci, xkey) in enumerate(members):
+                ax_m = axis_mat(0, *xkey)
+                e6[ci] = jnp.sum(
+                    ax_m * h[:, g * W:(g + 1) * W], axis=1
+                )
         ex, ey, ez, bx, by, bz = e6
         ex = ex + params[sid, 2]
         ey = ey + params[sid, 3]
@@ -297,24 +312,39 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
         def outer(a, b):
             return (a[:, :, None, :] * b[:, None, :, :]).reshape(
                 S, W * W, 128
-            ).astype(dmx)
+            )
 
         for d, (a, b, out_ref) in enumerate(
             ((1, 2, jxw), (0, 2, jyw), (0, 1, jzw))
         ):
-            # two-outer mix: 1/4 s_a s_b + 1/12 d_a d_b (module docstring)
+            # two-outer mix: 1/4 s_a s_b + 1/12 d_a d_b (module docstring).
+            # Batched over the S planes, contracting the 128 lanes; the
+            # (S, W, W*W) partials reduce to the tile's J window on the VPU.
             lhs = cs[d] * (wq * invdtd[d])[:, None, :]
-            # batched over the S planes, contracting the 128 lanes; the
-            # (S, W, W*W) partials reduce to the tile's J window on the VPU
-            jds = jax.lax.dot_general(
-                (0.25 * lhs).astype(dmx), outer(sm[a], sm[b]),
-                (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=f, precision=dprec,
-            ) + jax.lax.dot_general(
-                ((1.0 / 12.0) * lhs).astype(dmx), outer(df[a], df[b]),
-                (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=f, precision=dprec,
-            )
+            dims = (((2,), (2,)), ((0,), (0,)))
+            if dprec is not None:
+                # multi-pass modes: the scalars commute into the rhs, so the
+                # two outer-product contractions collapse to ONE dot against
+                # their scaled sum — a (W*W, 128) VPU add replaces a whole
+                # MXU pass group
+                rhs = (0.25 * outer(sm[a], sm[b])
+                       + (1.0 / 12.0) * outer(df[a], df[b]))
+                jds = jax.lax.dot_general(
+                    lhs, rhs, dims,
+                    preferred_element_type=f, precision=dprec,
+                )
+            else:
+                # bf16: single MXU passes are cheaper than an f32 combine —
+                # keep two dots on pre-cast operands
+                jds = jax.lax.dot_general(
+                    (0.25 * lhs).astype(dmx),
+                    outer(sm[a], sm[b]).astype(dmx), dims,
+                    preferred_element_type=f,
+                ) + jax.lax.dot_general(
+                    ((1.0 / 12.0) * lhs).astype(dmx),
+                    outer(df[a], df[b]).astype(dmx), dims,
+                    preferred_element_type=f,
+                )
             jd = jnp.sum(jds, axis=0) if S > 1 else jds[0]
             # species accumulate into the same VMEM window (grid dim 2)
             @pl.when(sid == 0)
