@@ -22,10 +22,10 @@ from warpx_tpu.ops.tiling import (
 from warpx_tpu.solvers.yee import compute_dt_yee
 
 
-def _geom(n=16, lx=40e-6):
+def _geom(n=16, lx=40e-6, ndim=3):
     return Geometry(
-        ndim=3, n_cell=(n, n, n), prob_lo=(-lx / 2,) * 3,
-        prob_hi=(lx / 2,) * 3, periodic=(True,) * 3,
+        ndim=ndim, n_cell=(n,) * ndim, prob_lo=(-lx / 2,) * ndim,
+        prob_hi=(lx / 2,) * ndim, periodic=(True,) * ndim,
     )
 
 
@@ -96,18 +96,20 @@ def _species(ppc=2, uth=0.1):
 
 
 @pytest.mark.parametrize(
-    "order,solver",
+    "order,solver,ndim",
     [
-        (1, "yee"),
-        pytest.param(2, "ckc", marks=pytest.mark.slow),
-        pytest.param(3, "psatd", marks=pytest.mark.slow),
+        (1, "yee", 3),
+        (1, "yee", 2),
+        pytest.param(2, "ckc", 3, marks=pytest.mark.slow),
+        pytest.param(2, "yee", 2, marks=pytest.mark.slow),
+        pytest.param(3, "psatd", 3, marks=pytest.mark.slow),
     ],
 )
-def test_binned_step_matches_reference(order, solver):
+def test_binned_step_matches_reference(order, solver, ndim):
     """8 steps of the fused binned path == reference path to 1e-9 on every
     checksum quantity (divB/divE excluded: they are machine-roundoff noise
     whose value depends on summation order)."""
-    geom = _geom()
+    geom = _geom(n=32 if ndim == 2 else 16, ndim=ndim)
     kw = {}
     if solver == "psatd":
         kw = dict(psatd_order=-1, psatd_periodic_single_box=True)

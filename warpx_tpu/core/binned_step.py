@@ -35,7 +35,9 @@ from .step import advance_fields
 
 __all__ = ["binned_supported", "make_binned_step", "binned_capacity"]
 
-_FOLD_AXES = ((0, 1, 2), (1, 0, 2), (2, 0, 1))
+# per-component window-axis order emitted by the fused kernel
+_FOLD_AXES = {3: ((0, 1, 2), (1, 0, 2), (2, 0, 1)),
+              2: ((0, 1), (0, 1), (0, 1))}
 
 
 def binned_supported(cfg: SimConfig) -> bool:
@@ -43,7 +45,7 @@ def binned_supported(cfg: SimConfig) -> bool:
     geom = cfg.geometry
     if cfg.tiled_particles == "off":
         return False
-    if geom.ndim != 3 or not geom.all_periodic:
+    if geom.ndim not in (2, 3) or not geom.all_periodic:
         return False
     if cfg.em_solver not in ("yee", "ckc", "psatd", "none"):
         return False
@@ -66,7 +68,8 @@ def binned_supported(cfg: SimConfig) -> bool:
         return False
     if cfg.use_nci_corr or cfg.collisions:
         return False
-    if any(t[0] % t[1] for t in zip(geom.n_cell, cfg.tile_size)):
+    tile = cfg.tile_size[-geom.ndim:]
+    if any(n % t for n, t in zip(geom.n_cell, tile)):
         return False
     for sp in cfg.species:
         if (sp.do_not_push or sp.do_not_deposit or sp.do_not_gather
@@ -152,14 +155,19 @@ def binned_pic_step(
     groups: Dict[str, list] = {}
     for sp_cfg in cfg.species:
         groups.setdefault(sp_cfg.pusher, []).append(sp_cfg)
+    ndim = geom.ndim
     for pusher_name, sps in groups.items():
-        cols = [[] for _ in range(7)]
+        n_pin = 7 if ndim == 3 else 6
+        cols = [[] for _ in range(n_pin)]
         for sp_cfg in sps:
             sp = species[sp_cfg.name]
             w_eff = jnp.where(sp.alive, sp.w, jnp.zeros((), f))
-            for ci, a in enumerate(
+            arrs = (
                 (sp.x, sp.y, sp.z, sp.ux, sp.uy, sp.uz, w_eff)
-            ):
+                if ndim == 3
+                else (sp.x, sp.z, sp.ux, sp.uy, sp.uz, w_eff)
+            )
+            for ci, a in enumerate(arrs):
                 cols[ci].append(a.reshape(nt, pmax))
         parts7 = tuple(
             c[0] if len(c) == 1 else jnp.concatenate(c, axis=0)
@@ -183,17 +191,24 @@ def binned_pic_step(
             sp = species[sp_cfg.name]
             sl = slice(k * nt, (k + 1) * nt)
             flat = [a[sl].reshape(-1) for a in newp]
-            new_species[sp_cfg.name] = sp.replace(
-                x=flat[0], y=flat[1], z=flat[2],
-                ux=flat[3], uy=flat[4], uz=flat[5],
-            )
+            if ndim == 3:
+                new_species[sp_cfg.name] = sp.replace(
+                    x=flat[0], y=flat[1], z=flat[2],
+                    ux=flat[3], uy=flat[4], uz=flat[5],
+                )
+            else:
+                new_species[sp_cfg.name] = sp.replace(
+                    x=flat[0], z=flat[1],
+                    ux=flat[2], uy=flat[3], uz=flat[4],
+                )
 
     # --- fold J windows (SumBoundary analog) ------------------------------
     if jw_tot is None:
         j_total = tuple(jnp.zeros(geom.n_cell, f) for _ in range(3))
     else:
         j_total = tuple(
-            fold_windows(jw_tot[i], spec, geom.n_cell, axes=_FOLD_AXES[i])
+            fold_windows(jw_tot[i], spec, geom.n_cell,
+                         axes=_FOLD_AXES[geom.ndim][i])
             for i in range(3)
         )
 

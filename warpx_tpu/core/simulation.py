@@ -903,10 +903,13 @@ class Simulation:
                 def ext(a, fill=0.0):
                     return jnp.pad(a, (0, pad), constant_values=fill)
 
-                pos = ps.positions(3)
+                pos = ps.positions(geom.ndim)
+                pos_kw = dict(
+                    zip(("x", "z") if geom.ndim == 2 else ("x", "y", "z"),
+                        (ext(p, c) for p, c in zip(pos, center)))
+                )
                 return ps.replace(
-                    x=ext(pos[0], center[0]), y=ext(pos[1], center[1]),
-                    z=ext(pos[2], center[2]),
+                    **pos_kw,
                     ux=ext(ps.ux), uy=ext(ps.uy), uz=ext(ps.uz),
                     w=ext(ps.w), alive=ext(ps.alive, False),
                     extra={k: ext(v) for k, v in ps.extra.items()},

@@ -362,6 +362,226 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
     return kernel
 
 
+def _build_kernel_2d(spec, geom, staggering, order, galerkin, pusher_name,
+                     dt, dtype, mxu, nzp):
+    """2D XZ variant of the fused kernel.
+
+    Same structure as the 3D kernel with the transverse product collapsed to
+    the z band alone; the Esirkepov forms are the reference's 2D branch
+    (CurrentDeposition.H doEsirkepovDepositionShapeN, 2D: J_x/J_z cumulative
+    with the half-sum transverse weight, out-of-plane J_y direct with the
+    1/3-1/6 mix — validated jnp version: ops/deposit.py _esirkepov_body
+    ndim==2).  All three J components plus the J_y mix ride ONE batched MXU
+    contraction with segments stacked on the batch axis (the post-dot
+    segment sum realizes both the S-plane reduction and the J_y two-term
+    mix).
+    """
+    W, P, T = spec.w, spec.p_max, order + 3
+    S = P // 128
+    ntx, ntz = spec.tiles_per_dim
+    tdims = spec.tile
+    dx = geom.dx  # (dx, dz)
+    lo = geom.prob_lo
+    inv_dx = (1.0 / dx[0], 1.0 / dx[1])
+    invvol = 1.0 / (dx[0] * dx[1])
+    invdtd = (1.0 / (dt * dx[1]), 1.0 / (dt * dx[0]))  # (J_x, J_z)
+    pusher = PUSHERS[pusher_name]
+    inv_c2 = 1.0 / (_c * _c)
+    f = dtype
+    gmx = jnp.bfloat16 if mxu in ("mixed", "bf16") else f
+    dmx = jnp.bfloat16 if mxu == "bf16" else f
+    gprec = None if mxu in ("mixed", "bf16") else _HI
+    dprec = None if mxu == "bf16" else _HI
+    axnames = ("x", "z")
+
+    def kernel(params, fex, fey, fez, fbx, fby, fbz,
+               xr, zr, uxr, uyr, uzr, wr,
+               xo, zo, uxo, uyo, uzo,
+               jxw, jyw, jzw, violr,
+               slab, win2, sems):
+        sid = pl.program_id(2)
+        q = params[sid, 0]
+        m = params[sid, 1]
+        tx = pl.program_id(0)
+        t2 = pl.program_id(1)
+        n_tx = pl.num_programs(0)
+        worig = (tx * tdims[0] - spec.off, t2 * tdims[1] - spec.off)
+        frefs = (fex, fey, fez, fbx, fby, fbz)
+
+        def _dmas(slot, col):
+            x0 = pl.multiple_of(col * tdims[0], tdims[0])
+            return [
+                pltpu.make_async_copy(
+                    fr.at[pl.ds(x0, W), :],
+                    slab.at[slot, ci],
+                    sems.at[slot, ci],
+                )
+                for ci, fr in enumerate(frefs)
+            ]
+
+        @pl.when((sid == 0) & (t2 == 0))
+        def _fetch():
+            @pl.when(tx == 0)
+            def _():
+                for dma in _dmas(0, 0):
+                    dma.start()
+
+            @pl.when(tx + 1 < n_tx)
+            def _():
+                for dma in _dmas((tx + 1) % 2, tx + 1):
+                    dma.start()
+
+            for dma in _dmas(tx % 2, tx):
+                dma.wait()
+
+        @pl.when(sid == 0)
+        def _window():
+            slot_ = tx % 2
+            z0 = t2 * tdims[1]
+            for ci in range(6):
+                rot = pltpu.roll(slab[slot_, ci], -z0, 1)
+                win2[ci] = rot[:, :W].astype(gmx)
+
+        pos_act = (xr[0], zr[0])
+        X = [
+            (pos_act[d] - lo[d]) * inv_dx[d] - worig[d].astype(f)
+            for d in range(2)
+        ]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (S, W, 128), 1).astype(f)
+
+        def band(xc, o_eff):
+            xi = xc[:, None, :] - rows
+            if o_eff == 0:
+                return jnp.where(
+                    (xi >= -0.5) & (xi < 0.5),
+                    jnp.ones((), f), jnp.zeros((), f),
+                )
+            return spline(xi, o_eff)
+
+        # ---- gather ------------------------------------------------------
+        acache = {}
+
+        def axis_mat(d, o_eff, stag):
+            key_ = (d, o_eff, stag)
+            if key_ not in acache:
+                acache[key_] = band(X[d] - (0.5 if stag else 0.0), o_eff)
+            return acache[key_]
+
+        zcache = {}
+
+        def z_mat(zkey):
+            if zkey not in zcache:
+                zcache[zkey] = axis_mat(1, *zkey).astype(gmx)
+            return zcache[zkey]
+
+        comp_groups: dict = {}
+        for ci, comp in enumerate(("Ex", "Ey", "Ez", "Bx", "By", "Bz")):
+            flags = staggering[comp]
+            keys = []
+            for d in range(2):
+                reduced = galerkin and (
+                    axnames[d] in _GALERKIN_AXES[comp]
+                )
+                o_eff = order - 1 if reduced else order
+                keys.append((o_eff, flags[d] == 0))
+            comp_groups.setdefault(keys[1], []).append((ci, keys[0]))
+        e6 = [None] * 6
+        for zkey, members in comp_groups.items():
+            az = z_mat(zkey)
+            wstk = (
+                win2[members[0][0]] if len(members) == 1
+                else jnp.concatenate([win2[ci] for ci, _ in members], axis=0)
+            )
+            # h[s,(c,i),l] = Win ((c,i),j) . Az (s,j,l): K = W
+            winb = jnp.broadcast_to(wstk, (S, len(members) * W, W))
+            h = jax.lax.dot_general(
+                winb, az, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f, precision=gprec,
+            )
+            for g, (ci, xkey) in enumerate(members):
+                ax_m = axis_mat(0, *xkey)
+                e6[ci] = jnp.sum(
+                    ax_m * h[:, g * W:(g + 1) * W], axis=1
+                )
+        ex, ey, ez, bx, by, bz = e6
+        ex = ex + params[sid, 2]
+        ey = ey + params[sid, 3]
+        ez = ez + params[sid, 4]
+        bx = bx + params[sid, 5]
+        by = by + params[sid, 6]
+        bz = bz + params[sid, 7]
+
+        # ---- push ----------------------------------------------------------
+        ux, uy, uz = pusher(
+            uxr[0], uyr[0], uzr[0],
+            ex, ey, ez, bx, by, bz, q, m, dt,
+        )
+        gaminv = 1.0 / jnp.sqrt(1.0 + (ux * ux + uy * uy + uz * uz) * inv_c2)
+        vel = (ux * gaminv, uy * gaminv, uz * gaminv)
+        xo[0] = pos_act[0] + vel[0] * dt
+        zo[0] = pos_act[1] + vel[2] * dt
+        uxo[0] = ux
+        uyo[0] = uy
+        uzo[0] = uz
+
+        # ---- Esirkepov deposit ---------------------------------------------
+        wq = q * wr[0]
+        vel_act = (vel[0], vel[2])
+        sm, df, cs, bad = [], [], [], None
+        for d in range(2):
+            xn = X[d] + vel_act[d] * (dt * inv_dx[d])
+            nn = band(xn, order)
+            no = axis_mat(d, order, False)
+            sm.append(nn + no)
+            diff = no - nn
+            df.append(diff)
+            acc = diff
+            s = 1
+            while s < W:
+                acc = acc + jnp.pad(acc[:, :-s], ((0, 0), (s, 0), (0, 0)))
+                s *= 2
+            cs.append(acc)
+            i0 = start_index(xn, order) - 1
+            bd = (i0 < 0) | (i0 > W - T)
+            bad = bd if bad is None else (bad | bd)
+
+        # segment stack: (J_x, J_z, J_y-sum-term, J_y-diff-term); each is an
+        # (lhs_x-side, rhs_z-side) pair contracted over the particle lanes
+        wqvy = wq * (vel[1] * invvol)
+        lhs4 = jnp.concatenate([
+            cs[0] * (wq * invdtd[0])[:, None, :],
+            0.5 * sm[0],
+            (0.25 * wqvy)[:, None, :] * sm[0],
+            ((1.0 / 12.0) * wqvy)[:, None, :] * df[0],
+        ], axis=0).astype(dmx)
+        rhs4 = jnp.concatenate([
+            0.5 * sm[1],
+            cs[1] * (wq * invdtd[1])[:, None, :],
+            sm[1],
+            df[1],
+        ], axis=0).astype(dmx)
+        jd4 = jax.lax.dot_general(
+            lhs4, rhs4, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=f, precision=dprec,
+        ).reshape(4, S, W, W).sum(axis=1)
+        for jd, out_ref in (
+            (jd4[0], jxw), (jd4[2] + jd4[3], jyw), (jd4[1], jzw)
+        ):
+            @pl.when(sid == 0)
+            def _init(jd=jd, out_ref=out_ref):
+                out_ref[0] = jd
+
+            @pl.when(sid > 0)
+            def _acc(jd=jd, out_ref=out_ref):
+                out_ref[0] = out_ref[0] + jd
+
+        alive = wr[0] > 0
+        cnt = jnp.sum((bad & alive).astype(jnp.int32))
+        violr[0] = jnp.broadcast_to(cnt, (8, 128))
+
+    return kernel
+
+
 def pad_fields(fields6, spec, mxu="f32"):
     """Guard-pad the six field arrays for the in-kernel window DMA.
 
@@ -369,8 +589,9 @@ def pad_fields(fields6, spec, mxu="f32"):
     window for tile t starts at t*tile in padded coordinates (the FillBoundary
     analog, now just a wrap-pad).
     """
+    ndim = spec.ndim
     pw = tuple(
-        (spec.off, spec.w - spec.tile[d] - spec.off) for d in range(3)
+        (spec.off, spec.w - spec.tile[d] - spec.off) for d in range(ndim)
     )
     del mxu  # slab stays f32: Mosaic's dynamic lane rotate is 32-bit only;
     # the kernel rounds to bf16 while building the (W, W*W) window
@@ -378,13 +599,15 @@ def pad_fields(fields6, spec, mxu="f32"):
     # kernel's dynamic lane rotation has an aligned shape; the zero lanes
     # are never read back (rotations only expose [z0, z0+W))
     lanes = 128
-    nzp = fields6[0].shape[2] + pw[2][0] + pw[2][1]
+    nzp = fields6[0].shape[ndim - 1] + pw[ndim - 1][0] + pw[ndim - 1][1]
     zextra = (-nzp) % lanes
     out = []
     for a in fields6:
         a = jnp.pad(a, pw, mode="wrap")
         if zextra:
-            a = jnp.pad(a, ((0, 0), (0, 0), (0, zextra)))
+            a = jnp.pad(
+                a, ((0, 0),) * (ndim - 1) + ((0, zextra),)
+            )
         out.append(a)
     return tuple(out)
 
@@ -429,9 +652,11 @@ def binned_push_deposit(
     staggering = dict(stag_items)
     dtype = parts7[0].dtype
     W, P, nt = spec.w, spec.p_max, spec.n_tiles
+    ndim = spec.ndim
     ns = parts7[0].shape[0] // nt
-    nzp = fields6[0].shape[2]
-    kernel = _build_kernel(
+    nzp = fields6[0].shape[ndim - 1]
+    build = _build_kernel if ndim == 3 else _build_kernel_2d
+    kernel = build(
         spec, geom, staggering, order, galerkin, pusher_name, dt, dtype,
         mxu, nzp,
     )
@@ -439,9 +664,10 @@ def binned_push_deposit(
         raise ValueError("p_max must be a multiple of 128")
     S = P // 128
     gmx = jnp.bfloat16 if mxu in ("mixed", "bf16") else fields6[0].dtype
-    ntx, nty, ntz = spec.tiles_per_dim
+    ntz = spec.tiles_per_dim[-1]
+    wlast = W * W if ndim == 3 else W
     win_spec = pl.BlockSpec(
-        (1, W, W * W), lambda i, k, s: (i * ntz + k, 0, 0),
+        (1, W, wlast), lambda i, k, s: (i * ntz + k, 0, 0),
         memory_space=pltpu.VMEM,
     )
     # fields must stay in HBM: the in-kernel slab DMA slices them at
@@ -452,19 +678,28 @@ def binned_push_deposit(
         memory_space=pltpu.VMEM,
     )
     parts7 = tuple(a.reshape(ns * nt, S, 128) for a in parts7)
+    # particle I/O arity: 2D drops the inactive y coordinate
+    n_pin = 7 if ndim == 3 else 6
+    n_pout = n_pin - 1
+    if len(parts7) != n_pin:
+        raise ValueError(f"expected {n_pin} particle arrays, got {len(parts7)}")
+    # slab DMA unit: 3D fetches (W, W, nzp) per (x,y)-tile-column, 2D
+    # fetches (W, nzp) per x-tile-column
+    slab_dims = (W, W, nzp) if ndim == 3 else (W, nzp)
+    n_cols = nt // ntz
     grid_spec = pl.GridSpec(
-        # (x,y)-column outer, z-tile middle, species innermost: each field
-        # slab is DMA'd once per column and the J windows accumulate in VMEM
-        # across species before writeback
-        grid=(ntx * nty, ntz, ns),
+        # transverse-column outer, z-tile middle, species innermost: each
+        # field slab is DMA'd once per column and the J windows accumulate
+        # in VMEM across species before writeback
+        grid=(n_cols, ntz, ns),
         in_specs=[
             pl.BlockSpec(
                 (ns, 8), lambda i, k, s: (0, 0), memory_space=pltpu.SMEM
             ),
         ]
         + [field_spec] * 6
-        + [part_spec] * 7,
-        out_specs=[part_spec] * 6
+        + [part_spec] * n_pin,
+        out_specs=[part_spec] * n_pout
         + [win_spec] * 3
         + [
             pl.BlockSpec(
@@ -473,14 +708,14 @@ def binned_push_deposit(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 6, W, W, nzp), fields6[0].dtype),
-            pltpu.VMEM((6, W, W * W), gmx),
+            pltpu.VMEM((2, 6) + slab_dims, fields6[0].dtype),
+            pltpu.VMEM((6, W, wlast), gmx),
             pltpu.SemaphoreType.DMA((2, 6)),
         ],
     )
     out_shape = (
-        [jax.ShapeDtypeStruct((ns * nt, S, 128), dtype)] * 6
-        + [jax.ShapeDtypeStruct((nt, W, W * W), dtype)] * 3
+        [jax.ShapeDtypeStruct((ns * nt, S, 128), dtype)] * n_pout
+        + [jax.ShapeDtypeStruct((nt, W, wlast), dtype)] * 3
         + [jax.ShapeDtypeStruct((ns * nt, 8, 128), jnp.int32)]
     )
     outs = pl.pallas_call(
@@ -490,7 +725,7 @@ def binned_push_deposit(
         interpret=interpret,
     )(params, *fields6, *parts7)
     return (
-        tuple(o.reshape(ns * nt, P) for o in outs[:6]),
-        tuple(outs[6:9]),
-        outs[9][:, 0, 0],
+        tuple(o.reshape(ns * nt, P) for o in outs[:n_pout]),
+        tuple(outs[n_pout:n_pout + 3]),
+        outs[n_pout + 3][:, 0, 0],
     )

@@ -36,7 +36,7 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class TileSpec:
-    """Static tile/window geometry for the binned hot path (3D).
+    """Static tile/window geometry for the binned hot path (2D XZ or 3D).
 
     ``w`` is the per-dim window width: every index an order-``order``
     Esirkepov deposition (T = order+3 taps, start index floor(x)-s_lo) or
@@ -45,14 +45,18 @@ class TileSpec:
     Window start (grid units) for tile t is ``t*tile - off``.
     """
 
-    tile: Tuple[int, int, int]
-    tiles_per_dim: Tuple[int, int, int]
+    tile: Tuple[int, ...]
+    tiles_per_dim: Tuple[int, ...]
     p_max: int
     order: int
     margin: int
     interval: int
     w: int
     off: int
+
+    @property
+    def ndim(self) -> int:
+        return len(self.tile)
 
     @property
     def n_tiles(self) -> int:
@@ -68,14 +72,16 @@ class TileSpec:
         n_cell: Tuple[int, ...],
         order: int,
         n_particles: int,
-        tile: Tuple[int, int, int] = (8, 8, 8),
+        tile: Tuple[int, ...] = (8, 8, 8),
         margin: int = 1,
         interval: int = 1,
         headroom: float = 2.0,
         p_max: int | None = None,
     ) -> "TileSpec":
-        if len(n_cell) != 3:
-            raise NotImplementedError("tiled layout is 3D-only for now")
+        if len(n_cell) not in (2, 3):
+            raise NotImplementedError("tiled layout is 2D/3D-only")
+        tile = tuple(tile)[-len(n_cell):] if len(tile) != len(n_cell) \
+            else tuple(tile)
         tiles_per_dim = []
         for n, t in zip(n_cell, tile):
             if n % t:
@@ -109,7 +115,7 @@ class TileSpec:
 def tile_ids(positions, geom, spec: TileSpec):
     """Linear tile id per particle from (already wrapped) positions."""
     ids = 0
-    for d in range(3):
+    for d in range(spec.ndim):
         gd = (positions[d] - geom.prob_lo[d]) * (1.0 / geom.dx[d])
         idx = jnp.clip(
             jnp.floor(gd).astype(jnp.int32) // spec.tile[d],
@@ -133,16 +139,17 @@ def rebin(sp, geom, spec: TileSpec):
     p_max slots — the caller must treat overflow > 0 as a hard error.
     """
     cap_in = sp.capacity
+    ndim = spec.ndim
     n_tiles, p_max = spec.n_tiles, spec.p_max
-    pos = list(sp.positions(3))
-    for d in range(3):
+    pos = list(sp.positions(ndim))
+    for d in range(ndim):
         lo, hi = geom.prob_lo[d], geom.prob_hi[d]
         pos[d] = lo + jnp.mod(pos[d] - lo, hi - lo)
     tid = jnp.where(sp.alive, tile_ids(pos, geom, spec), n_tiles)
 
     payload = jnp.stack(
-        [
-            pos[0], pos[1], pos[2],
+        list(pos)
+        + [
             sp.ux, sp.uy, sp.uz, sp.w,
             sp.alive.astype(sp.w.dtype),
         ]
@@ -178,14 +185,9 @@ def rebin(sp, geom, spec: TileSpec):
 
     # dead-slot fills: tile center position, zero momentum/weight
     centers = []
-    for d in range(3):
-        td = slot_t
-        if d == 0:
-            idx_d = td // (spec.tiles_per_dim[1] * spec.tiles_per_dim[2])
-        elif d == 1:
-            idx_d = (td // spec.tiles_per_dim[2]) % spec.tiles_per_dim[1]
-        else:
-            idx_d = td % spec.tiles_per_dim[2]
+    for d in range(ndim):
+        stride = int(np.prod(spec.tiles_per_dim[d + 1:], initial=1))
+        idx_d = (slot_t // stride) % spec.tiles_per_dim[d]
         centers.append(
             geom.prob_lo[d]
             + (idx_d.astype(sp.w.dtype) + 0.5) * (spec.tile[d] * geom.dx[d])
@@ -194,24 +196,28 @@ def rebin(sp, geom, spec: TileSpec):
     def sel(row, fill):
         return jnp.where(valid, gathered[row], fill)
 
+    pos_kw = dict(
+        zip(("x", "z") if ndim == 2 else ("x", "y", "z"),
+            (sel(d, centers[d]) for d in range(ndim)))
+    )
     new = sp.replace(
-        x=sel(0, centers[0]),
-        y=sel(1, centers[1]),
-        z=sel(2, centers[2]),
-        ux=sel(3, 0.0),
-        uy=sel(4, 0.0),
-        uz=sel(5, 0.0),
-        w=sel(6, 0.0),
-        alive=jnp.where(valid, gathered[7] > 0.5, False),
+        **pos_kw,
+        ux=sel(ndim, 0.0),
+        uy=sel(ndim + 1, 0.0),
+        uz=sel(ndim + 2, 0.0),
+        w=sel(ndim + 3, 0.0),
+        alive=jnp.where(valid, gathered[ndim + 4] > 0.5, False),
         extra={
-            k: sel(8 + i, 0.0) for i, k in enumerate(sorted(sp.extra))
+            k: sel(ndim + 5 + i, 0.0)
+            for i, k in enumerate(sorted(sp.extra))
         },
     )
     return new, overflow
 
 
 def extract_windows(grid: jnp.ndarray, spec: TileSpec) -> jnp.ndarray:
-    """Per-tile periodic windows: (n_tiles, W, W*W) with layout (x, (y,z)).
+    """Per-tile periodic windows: (n_tiles, W, W*W) with layout (x, (y,z))
+    in 3D, (n_tiles, W, W) with layout (x, z) in 2D.
 
     windows[t, a, b*W+c] = grid[(t_x*tx - off + a) % nx,
                                 (t_y*ty - off + b) % ny,
@@ -221,8 +227,9 @@ def extract_windows(grid: jnp.ndarray, spec: TileSpec) -> jnp.ndarray:
     over it reads the window as the natural (M=W, K=W*W) operand.
     """
     w, off = spec.w, spec.off
+    ndim = spec.ndim
     out = grid
-    for d in range(3):
+    for d in range(ndim):
         nt = spec.tiles_per_dim[d]
         tile = spec.tile[d]
         ax = 2 * d
@@ -247,6 +254,10 @@ def extract_windows(grid: jnp.ndarray, spec: TileSpec) -> jnp.ndarray:
             out = out.reshape(
                 out.shape[:ax] + (nt, w) + out.shape[ax + 1:]
             )
+    if ndim == 2:
+        # (ntx, Wx, ntz, Wz) -> (ntx, ntz, Wx, Wz)
+        out = out.transpose(0, 2, 1, 3)
+        return out.reshape(spec.n_tiles, w, w)
     # out: (ntx, Wx, nty, Wy, ntz, Wz) -> (ntx, nty, ntz, Wx, Wy, Wz)
     out = out.transpose(0, 2, 4, 1, 3, 5)
     return out.reshape(spec.n_tiles, w, w * w)
@@ -265,21 +276,21 @@ def fold_windows(
     or any shape reshapeable to (ntx, nty, ntz, w, w, w).
     """
     w, off = spec.w, spec.off
-    ntx, nty, ntz = spec.tiles_per_dim
-    arr = windows.reshape(ntx, nty, ntz, w, w, w)
-    if axes != (0, 1, 2):
-        inv = [0, 0, 0]
+    ndim = spec.ndim
+    arr = windows.reshape(*spec.tiles_per_dim, *((w,) * ndim))
+    if axes != tuple(range(ndim)):
+        inv = [0] * ndim
         for pos_, ax in enumerate(axes):
-            inv[ax] = 3 + pos_
-        arr = arr.transpose(0, 1, 2, *inv)
+            inv[ax] = ndim + pos_
+        arr = arr.transpose(*range(ndim), *inv)
     if all(w % t == 0 for t in spec.tile):
         # roll-based overlap-add (the adjoint of the roll-based extract):
         # chunk j of the window axis adds into tile t+j; then un-roll by off
-        out = arr  # (ntx, nty, ntz, wx, wy, wz)
-        for d in (2, 1, 0):
+        out = arr  # (nt..., w...)
+        for d in reversed(range(ndim)):
             tile = spec.tile[d]
             k = w // tile
-            t_ax, w_ax = d, 3 + d
+            t_ax, w_ax = d, ndim + d
             chunks = [
                 jnp.roll(
                     jax.lax.slice_in_dim(out, j * tile, (j + 1) * tile, axis=w_ax),
@@ -296,6 +307,17 @@ def fold_windows(
             )
             out = jnp.roll(merged, -off, axis=t_ax)
         return out
+    if ndim == 2:
+        px, pz = (
+            jnp.asarray(
+                _placement(spec.tiles_per_dim[d], spec.tile[d], w, off,
+                           n_cell[d]),
+                arr.dtype,
+            )
+            for d in range(2)
+        )
+        out = jnp.einsum("abxv,bvn->axn", arr, pz)
+        return jnp.einsum("axn,axg->gn", out, px)
     # general fallback: fold each (tile axis, window axis) pair with a 0/1
     # placement matrix P[(t,a), g] = [(t*tile - off + a) mod n == g] — the
     # overlap-add becomes three MXU contractions
