@@ -129,18 +129,27 @@ def run_uniform(n, ppc, steps):
     rtt = time.perf_counter() - t0
     best = float("inf")
     for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state = sim._step(state)
-        _pull(state.fields.Ex)
-        best = min(best, max(time.perf_counter() - t0 - rtt, 1e-9))
+        # adaptive span: keep doubling the step count until the timed span
+        # dominates the tunnel round trip, else the rtt subtraction can
+        # swallow the whole measurement
+        n_steps = steps
+        while True:
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                state = sim._step(state)
+            _pull(state.fields.Ex)
+            span = time.perf_counter() - t0
+            if span >= max(5.0 * rtt, 0.25):
+                break
+            n_steps *= 2
+        best = min(best, max(span - rtt, 1e-9) / n_steps)
     sim.state = state
     if sim.tile_spec is not None:
         ovf = int(state.aux["tile_overflow"])
         vio = int(state.aux["tile_violations"])
         if ovf or vio:
             raise RuntimeError(f"tile invariants violated: {ovf}, {vio}")
-    per_step = best / steps
+    per_step = best
     return {
         "n_cell": n,
         "n_particles": n_particles,
