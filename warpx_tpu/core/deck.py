@@ -319,9 +319,8 @@ def _gate_unimplemented(deck: Deck) -> None:
             raise NotImplementedError(
                 f"MR with {_mr_dep} current deposition"
             )
-    if deck.get_string("eb2.geom_type", ""):
-        raise NotImplementedError("EB geometry from eb2.* (STL/box builders)")
-    if deck.get_string("warpx.eb_implicit_function", ""):
+    _eb2_fn = _eb2_implicit_function(deck)
+    if _eb2_fn or deck.get_string("warpx.eb_implicit_function", ""):
         solver_eb = (deck.get_string("algo.maxwell_solver", "yee")
                      or "yee").lower()
         if solver_eb in ("ect", "psatd"):
@@ -897,7 +896,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
         do_divb_cleaning_external=divb_cleaning_ext,
         eb_implicit_function=(
             deck.get_string("warpx.eb_implicit_function", "") or ""
-        ).strip('"'),
+        ).strip('"') or _eb2_implicit_function(deck),
         quantum_xi_c2=(
             xi_q * 299792458.0**2 if xi_q is not None
             else 1.1728865132395492e-35
@@ -1264,6 +1263,52 @@ def _lattice_from_deck(deck: Deck):
 
     read(deck.get_strings("lattice.elements", []), 0.0)
     return tuple(out)
+
+
+def _eb2_implicit_function(deck: Deck) -> str:
+    """Translate amrex eb2.* geometry builders into an implicit function.
+
+    AMReX EB convention (Source/EmbeddedBoundary/WarpXInitEB.cpp): phi > 0 is
+    covered, < 0 regular; eb2.*_has_fluid_inside selects which side is fluid.
+    Only the analytic builders (box, sphere/cylinder) are synthesized; STL
+    remains gated.
+    """
+    geom_type = (deck.get_string("eb2.geom_type", "") or "").strip('"').lower()
+    if not geom_type:
+        return ""
+    ndim = deck.get_int("geometry.dims", 3)
+    axes = ("x", "y", "z")[:ndim] if ndim != 2 else ("x", "z")
+    if geom_type == "box":
+        lo = deck.get_reals("eb2.box_lo")
+        hi = deck.get_reals("eb2.box_hi")
+        fluid_inside = deck.get_bool("eb2.box_has_fluid_inside", True)
+        terms = [
+            f"max({ax}-({h!r}),({l!r})-{ax})"
+            for ax, l, h in zip(axes, lo, hi)
+        ]
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = f"max({expr},{t})"
+    elif geom_type in ("sphere", "cylinder"):
+        center = deck.get_reals(f"eb2.{geom_type}_center", [0.0] * 3)
+        radius = deck.get_real(f"eb2.{geom_type}_radius")
+        fluid_inside = deck.get_bool(
+            f"eb2.{geom_type}_has_fluid_inside", True)
+        use_axes = axes
+        if geom_type == "cylinder":
+            cyl_dir = deck.get_int("eb2.cylinder_direction", 2)
+            use_axes = tuple(
+                ax for d, ax in enumerate(axes) if d != cyl_dir
+            )
+        r2 = "+".join(
+            f"({ax}-({c!r}))**2" for ax, c in zip(use_axes, center)
+        )
+        expr = f"sqrt({r2})-({radius!r})"
+    else:
+        raise NotImplementedError(
+            f"EB geometry from eb2.geom_type={geom_type}"
+        )
+    return expr if fluid_inside else f"-({expr})"
 
 
 def _implicit_from_deck(deck: Deck) -> dict:
