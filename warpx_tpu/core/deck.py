@@ -1273,6 +1273,10 @@ def _eb2_implicit_function(deck: Deck) -> str:
     Only the analytic builders (box, sphere/cylinder) are synthesized; STL
     remains gated.
     """
+    if (deck.get_string("warpx.eb_implicit_function", "") or "").strip('"'):
+        # the reference ignores eb2.* entirely when the parser function is
+        # set (WarpXInitEB.cpp:103-114) — mirror that precedence
+        return ""
     geom_type = (deck.get_string("eb2.geom_type", "") or "").strip('"').lower()
     if not geom_type:
         return ""
@@ -1294,16 +1298,33 @@ def _eb2_implicit_function(deck: Deck) -> str:
         radius = deck.get_real(f"eb2.{geom_type}_radius")
         fluid_inside = deck.get_bool(
             f"eb2.{geom_type}_has_fluid_inside", True)
-        use_axes = axes
         if geom_type == "cylinder":
-            cyl_dir = deck.get_int("eb2.cylinder_direction", 2)
-            use_axes = tuple(
-                ax for d, ax in enumerate(axes) if d != cyl_dir
-            )
-        r2 = "+".join(
-            f"({ax}-({c!r}))**2" for ax, c in zip(use_axes, center)
-        )
+            cyl_dir = deck.get_int("eb2.cylinder_direction", -1)
+            if cyl_dir < 0 or cyl_dir >= ndim:
+                raise ValueError(
+                    "eb2.cylinder_direction is required and must be in "
+                    f"[0, {ndim}) (got {cyl_dir})"
+                )
+            # pair each transverse axis with ITS center component — AMReX
+            # CylinderIF skips the center entry along the cylinder axis
+            pairs = [
+                (ax, center[d]) for d, ax in enumerate(axes) if d != cyl_dir
+            ]
+        else:
+            pairs = list(zip(axes, center))
+        r2 = "+".join(f"({ax}-({c!r}))**2" for ax, c in pairs)
         expr = f"sqrt({r2})-({radius!r})"
+        if geom_type == "cylinder":
+            height = deck.get_real("eb2.cylinder_height", -1.0)
+            if height is not None and height >= 0.0:
+                # finite cylinder = infinite cylinder ∩ axis slab
+                # (AMReX EB2::CylinderIF with a non-negative height)
+                ax_axis = axes[cyl_dir]
+                c_axis = center[cyl_dir]
+                expr = (
+                    f"max({expr},"
+                    f"abs({ax_axis}-({c_axis!r}))-({height / 2.0!r}))"
+                )
     else:
         raise NotImplementedError(
             f"EB geometry from eb2.geom_type={geom_type}"

@@ -458,7 +458,7 @@ class Simulation:
                 lev1 = {k: np.asarray(v) for k, v in lev1.items()
                         if k in fields}
                 levels.append(lev1)
-                ref_ratio.append(tuple(self.mr_layout.ref_ratio))
+                ref_ratio.append(tuple(self.mr_layout.rv))
         if not fields:
             # plotfiles need >= 1 component; mirror the reference which
             # always writes the requested fields_to_plot set
