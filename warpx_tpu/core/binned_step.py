@@ -33,7 +33,8 @@ from .config import SimConfig
 from .state import SimState
 from .step import advance_fields
 
-__all__ = ["binned_supported", "make_binned_step", "binned_capacity"]
+__all__ = ["binned_supported", "bounded_binned_supported",
+           "make_binned_step", "binned_capacity"]
 
 # per-component window-axis order emitted by the fused kernel
 _FOLD_AXES = {3: ((0, 1, 2), (1, 0, 2), (2, 0, 1)),
@@ -76,6 +77,72 @@ def binned_supported(cfg: SimConfig) -> bool:
                 or sp.species_type == "photon" or sp.mass == 0.0
                 or sp.do_field_ionization or sp.pusher not in
                 ("boris", "vay", "higuera")):
+            return False
+    return True
+
+
+def bounded_binned_supported(cfg: SimConfig) -> bool:
+    """Whether the tile-binned fused kernel covers this BOUNDED
+    configuration (non-periodic boundaries / moving window / lasers —
+    core/bounded_step.py ``step_binned``).
+
+    Only the gather+push+deposit block moves onto the fused Pallas kernel;
+    pad_eb guard fills, J filtering/folding, the field advance (Yee/CKC/
+    PSATD damped/PML), particle boundaries, scraping and continuous
+    injection all reuse the slow path's machinery, so most bounded features
+    pass through.  The gates below are couplings the kernel genuinely does
+    not express (per-particle creation/destruction mid-interval, rho
+    deposits, per-source-time galilean origins, non-z window axes...).
+    """
+    geom = cfg.geometry
+    if cfg.tiled_particles == "off":
+        return False
+    if geom.ndim not in (2, 3) or getattr(geom, "rz", False):
+        return False
+    if cfg.electrostatic != "none" or cfg.evolve_scheme != "explicit":
+        return False
+    if cfg.max_level > 0:
+        return False
+    if cfg.em_solver not in ("yee", "ckc", "psatd"):
+        return False
+    if cfg.em_solver_medium != "vacuum":
+        return False
+    if cfg.em_solver == "psatd":
+        if (cfg.psatd_current_correction or cfg.psatd_update_with_rho
+                or cfg.psatd_j_in_time != "constant"
+                or cfg.psatd_time_averaging
+                or cfg.multi_j_n_depositions > 1
+                or any(cfg.psatd_v_galilean) or any(cfg.psatd_v_comoving)):
+            return False
+    if cfg.current_deposition != "esirkepov":
+        return False
+    if cfg.grid_type != "staggered":
+        return False
+    if cfg.field_gathering == "momentum-conserving":
+        return False
+    if not (1 <= cfg.particle_shape <= 3):
+        return False
+    if cfg.do_dive_cleaning or cfg.do_divb_cleaning:
+        return False
+    if cfg.collisions or cfg.lattice_elements:
+        return False
+    if cfg.eb_implicit_function:
+        return False
+    if cfg.do_moving_window and cfg.moving_window_dir != geom.ndim - 1:
+        return False
+    tile = cfg.tile_size[-geom.ndim:]
+    if any(n % t for n, t in zip(geom.n_cell, tile)):
+        return False
+    for sp in cfg.species:
+        if sp.injection_style == "laser":
+            continue  # the antenna deposits via the slow path, in-step
+        if (sp.do_not_push or sp.do_not_deposit or sp.do_not_gather
+                or sp.species_type == "photon" or sp.mass == 0.0
+                or sp.do_field_ionization or sp.do_resampling
+                or sp.do_qed_quantum_sync or sp.do_qed_breit_wheeler
+                or sp.zinject_plane is not None
+                or sp.injection_style == "nfluxpercell"
+                or sp.pusher not in ("boris", "vay", "higuera")):
             return False
     return True
 

@@ -95,8 +95,19 @@ def field_shapes(cfg, staggering) -> Dict[str, tuple]:
     return DomainLayout.from_config(cfg).field_shapes(staggering)
 
 
-def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
-    """Build (step_main, step_window, half_push) jitted kernels."""
+def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
+                         tile_spec=None):
+    """Build (step_main, step_window, half_push, solve_es) jitted kernels.
+
+    With ``tile_spec`` set (a TileSpec from core/binned_step.make_tile_spec;
+    config pre-validated by binned_step.bounded_binned_supported), the
+    returned step_main is the tile-binned fast variant: the per-particle
+    gather+push+deposit block runs through the fused Pallas kernel
+    (ops/pallas_pic.py) over SPACE-ANCHORED tiles — tiles bind to physical
+    positions at each rebin while the moving-window grid slides under them
+    by whole cells — and everything else (guard fills, filtering, field
+    advance, PML, particle boundaries, injection) reuses the closures
+    below, so wall/window behavior is identical to the slow path."""
     geom = cfg.geometry
     ndim = geom.ndim
     dt = cfg.dt
@@ -858,6 +869,17 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 else state.aux,
             )
 
+        return _field_tail(
+            state, new_species, j_total, rho_old_pad, rho_new_pad,
+            aux_updates,
+        )
+
+    # ------------------------------------------------------ shared field tail
+    def _field_tail(state, new_species, j_total, rho_old_pad, rho_new_pad,
+                    aux_updates):
+        """J filter/fold + rho handling + field advance + PML/boundary
+        machinery shared by the slow step and the tile-binned fast step
+        (both produce guard-padded J blocks in the same big_shape frame)."""
         if j_total is None:
             j_valid = tuple(
                 jnp.zeros(shapes[nm], dtype) for nm in ("jx", "jy", "jz")
@@ -1115,7 +1137,14 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
         dz = dxs[wdir]
         new_pos = cur_pos + jnp.floor((new_hi[wdir] - cur_pos) / dz) * dz
 
-        K = max(max_shift * 2, 4)
+        # injected band size: with the tile-binned step, injection is
+        # batched to pre-rebin steps (the window edge outruns anything
+        # physical, so an `interval`-step batch is physically safe), so the
+        # band must cover a whole interval's worth of window motion
+        K = max(
+            max_shift * (2 if tile_spec is None else tile_spec.interval + 2),
+            4,
+        )
         from .injection import _regular_unit_positions
 
         unit = _regular_unit_positions(
@@ -1348,9 +1377,28 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             for sp_cfg in cfg.species:
                 if not sp_cfg.do_continuous_injection or is_laser[sp_cfg.name]:
                     continue
-                state, sp = continuous_injection(
-                    state, sp_cfg, new_species[sp_cfg.name], new_phys_lo, new_hi
-                )
+                if tile_spec is None:
+                    state, sp = continuous_injection(
+                        state, sp_cfg, new_species[sp_cfg.name],
+                        new_phys_lo, new_hi
+                    )
+                else:
+                    # binned mode: new particles land in arbitrary dead
+                    # slots, which only the rebin can re-sort — inject only
+                    # when the NEXT step_main rebins (state.step is already
+                    # t^{n+1} here; rebin fires on step % interval == 0)
+                    due = (state.step % tile_spec.interval) == 0
+
+                    def _inj(op, sp_cfg=sp_cfg):
+                        st, s = op
+                        return continuous_injection(
+                            st, sp_cfg, s, new_phys_lo, new_hi
+                        )
+
+                    state, sp = jax.lax.cond(
+                        due, _inj, lambda op: op,
+                        (state, new_species[sp_cfg.name]),
+                    )
                 new_species[sp_cfg.name] = sp
             state = state.replace(species=new_species)
 
@@ -1504,6 +1552,16 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
                 new_species[sp_cfg.name] = sp
                 continue
             pos = sp.positions(ndim)
+            if tile_spec is not None:
+                # binned layouts leave positions unwrapped between rebins so
+                # window coordinates stay continuous; wrap the GATHER
+                # coordinate on periodic dims (state positions untouched)
+                pos = list(pos)
+                for d in range(ndim):
+                    if pbc_lo[d] == "periodic":
+                        lo_g, hi_g = geom.prob_lo[d], geom.prob_hi[d]
+                        pos[d] = lo_g + jnp.mod(pos[d] - lo_g, hi_g - lo_g)
+                pos = tuple(pos)
             from .step import _add_ext
 
             e6 = _add_ext(
@@ -1695,8 +1753,260 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype):
             upd["phi"] = phi_tot.astype(dtype)
         return state.replace(fields=state.fields.replace(**upd))
 
+    # --------------------------------------- tile-binned bounded fast path
+    step_binned = None
+    if tile_spec is not None:
+        spec = tile_spec
+        from ..ops.pallas_pic import binned_push_deposit
+        from ..ops.tiling import fold_windows_open
+        from ..ops.tiling import rebin as _tile_rebin
+        from .binned_step import _FOLD_AXES
+
+        interpret = jax.default_backend() == "cpu"
+        smax = max_shift * spec.interval if cfg.do_moving_window else 0
+        waxis = wdir if cfg.do_moving_window else -1
+        # per-axis base of the kernel frame inside the ng-padded blocks:
+        # kernel index t*tile + a on axis d reads padded index
+        # kbase[d] + t*tile - off + a (minus the accumulated window shift
+        # on the window axis)
+        kbase = [ext_lo[d] + ng - spec.off for d in range(ndim)]
+        kext = [n_cell[d] + spec.w - spec.tile[d] for d in range(ndim)]
+        wrap_dims = tuple(pbc_lo[d] == "periodic" for d in range(ndim))
+        stag_items = tuple(
+            sorted((k, tuple(v)) for k, v in staggering.items())
+        )
+        nt, pmax = spec.n_tiles, spec.p_max
+
+        def _to_kernel_frame(farr_pad):
+            """Slice the guard-padded component blocks to the kernel's
+            window-aligned layout (the bounded analog of pad_fields); the
+            window axis keeps ``smax`` slack below so the in-kernel lane
+            rotation (z0 = t*tz + smax - shift) stays in range for any
+            accumulated shift in [0, smax].  Out-of-block rows zero-fill —
+            they are only reachable by particles beyond the margin, which
+            the violation counter flags as a hard error anyway."""
+            outs = []
+            for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
+                a = farr_pad[nm]
+                for d in range(ndim):
+                    lo_i = kbase[d] - (smax if d == waxis else 0)
+                    ext = kext[d] + (smax if d == waxis else 0)
+                    pad_lo = max(0, -lo_i)
+                    pad_hi = max(0, lo_i + ext - a.shape[d])
+                    if pad_lo or pad_hi:
+                        pw = [(0, 0)] * ndim
+                        pw[d] = (pad_lo, pad_hi)
+                        a = jnp.pad(a, pw)
+                    a = jax.lax.slice_in_dim(
+                        a, lo_i + pad_lo, lo_i + pad_lo + ext, axis=d
+                    )
+                zex = (-a.shape[ndim - 1]) % 128
+                if zex:
+                    pw = [(0, 0)] * (ndim - 1) + [(0, zex)]
+                    a = jnp.pad(a, tuple(pw))
+                outs.append(a)
+            return tuple(outs)
+
+        def _embed_folded(F, shift):
+            """Add an open-folded anchor-frame J window sum (extent
+            n + w - tile per dim, index p <-> anchor-frame cell p - off)
+            into a zeroed big_shape guard block at the same base the gather
+            frame uses; slack keeps the dynamic offset non-negative."""
+            slack_lo, slack_hi = [], []
+            for d in range(ndim):
+                base_min = kbase[d] - (smax if d == waxis else 0)
+                slack_lo.append(max(0, -base_min))
+                slack_hi.append(
+                    max(0, kbase[d] + F.shape[d] - big_shape[d])
+                )
+            padded = jnp.zeros(
+                tuple(big_shape[d] + slack_lo[d] + slack_hi[d]
+                      for d in range(ndim)),
+                F.dtype,
+            )
+            starts = []
+            for d in range(ndim):
+                s = kbase[d] + slack_lo[d]
+                if d == waxis:
+                    s = s - shift
+                starts.append(jnp.asarray(s, jnp.int32))
+            padded = jax.lax.dynamic_update_slice(padded, F, tuple(starts))
+            sl = tuple(
+                slice(slack_lo[d], slack_lo[d] + big_shape[d])
+                for d in range(ndim)
+            )
+            return padded[sl]
+
+        def step_binned(state: SimState) -> SimState:
+            f = state.fields.Ex.dtype
+            do_rebin = (state.step % spec.interval) == 0
+            aux_updates = {}
+            if cfg.do_moving_window:
+                # tiles re-anchor to the current window edge at each rebin;
+                # between rebins the grid slides under them by whole cells
+                anchor = jnp.where(
+                    do_rebin, state.aux["window_lo"],
+                    state.aux["tile_anchor"],
+                )
+                aux_updates["tile_anchor"] = anchor
+                shift = jnp.round(
+                    (state.aux["window_lo"] - anchor) / dxs[wdir]
+                ).astype(jnp.int32)
+            else:
+                anchor = None
+                shift = jnp.zeros((), jnp.int32)
+            origin_t = list(geom.prob_lo)
+            if cfg.do_moving_window:
+                origin_t[wdir] = anchor
+            anchors_vec = jnp.stack(
+                [jnp.asarray(o, f) for o in origin_t]
+            )
+
+            # --- rebin (dead particles garbage-collect here: absorbed
+            # slots sort to the overflow bucket and free up) --------------
+            overflow = state.aux.get(
+                "tile_overflow", jnp.zeros((), jnp.int32)
+            )
+            species = dict(state.species)
+            for sp_cfg in cfg.species:
+                if is_laser[sp_cfg.name]:
+                    continue
+                sp = species[sp_cfg.name]
+
+                def _rb(s):
+                    new, ovf = _tile_rebin(
+                        s, geom, spec, origin=tuple(origin_t),
+                        wrap_dims=wrap_dims,
+                    )
+                    return new, ovf.astype(jnp.int32)
+
+                def _keep(s):
+                    return s, jnp.zeros((), jnp.int32)
+
+                sp, ovf = jax.lax.cond(do_rebin, _rb, _keep, sp)
+                overflow = overflow + ovf
+                species[sp_cfg.name] = sp
+
+            # --- guard-padded fields -> kernel frame ----------------------
+            farr_pad = {
+                nm: pad_eb(getattr(state.fields, nm), nm)
+                for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz")
+            }
+            if cfg.use_nci_corr:
+                from .step import _apply_nci
+
+                farr_pad = _apply_nci(farr_pad, cfg)
+            fields6 = _to_kernel_frame(farr_pad)
+
+            # --- fused gather+push+deposit (one launch per pusher) --------
+            jw_tot = None
+            violations = state.aux.get(
+                "tile_violations", jnp.zeros((), jnp.int32)
+            )
+            new_species = {}
+            groups: Dict[str, list] = {}
+            for sp_cfg in cfg.species:
+                if is_laser[sp_cfg.name]:
+                    continue
+                groups.setdefault(sp_cfg.pusher, []).append(sp_cfg)
+            for pusher_name, sps in groups.items():
+                n_pin = 7 if ndim == 3 else 6
+                cols = [[] for _ in range(n_pin)]
+                for sp_cfg in sps:
+                    sp = species[sp_cfg.name]
+                    w_eff = jnp.where(sp.alive, sp.w, jnp.zeros((), f))
+                    arrs = (
+                        (sp.x, sp.y, sp.z, sp.ux, sp.uy, sp.uz, w_eff)
+                        if ndim == 3
+                        else (sp.x, sp.z, sp.ux, sp.uy, sp.uz, w_eff)
+                    )
+                    for ci, a in enumerate(arrs):
+                        cols[ci].append(a.reshape(nt, pmax))
+                parts7 = tuple(
+                    c[0] if len(c) == 1 else jnp.concatenate(c, axis=0)
+                    for c in cols
+                )
+                params = jnp.array(
+                    [[sp_cfg.charge, sp_cfg.mass, *cfg.e_ext_particle,
+                      *cfg.b_ext_particle] for sp_cfg in sps], f,
+                )
+                newp, jw, viol = binned_push_deposit(
+                    params, fields6, parts7, anchors_vec, shift,
+                    spec=spec, geom=geom, order=order,
+                    galerkin=cfg.galerkin, pusher_name=pusher_name, dt=dt,
+                    stag_items=stag_items, mxu=cfg.tile_mxu, smax=smax,
+                    interpret=interpret,
+                )
+                jw_tot = jw if jw_tot is None else tuple(
+                    a + b for a, b in zip(jw_tot, jw)
+                )
+                violations = violations + jnp.sum(viol)
+                for k, sp_cfg in enumerate(sps):
+                    sp = species[sp_cfg.name]
+                    sl = slice(k * nt, (k + 1) * nt)
+                    flat = [a[sl].reshape(-1) for a in newp]
+                    if ndim == 3:
+                        new_species[sp_cfg.name] = sp.replace(
+                            x=flat[0], y=flat[1], z=flat[2],
+                            ux=flat[3], uy=flat[4], uz=flat[5],
+                        )
+                    else:
+                        new_species[sp_cfg.name] = sp.replace(
+                            x=flat[0], z=flat[1],
+                            ux=flat[2], uy=flat[3], uz=flat[4],
+                        )
+
+            # --- open fold into the big_shape guard frame -----------------
+            j_total = None
+            if jw_tot is not None:
+                j_total = tuple(
+                    _embed_folded(
+                        fold_windows_open(
+                            jw_tot[i], spec, axes=_FOLD_AXES[ndim][i]
+                        ),
+                        shift,
+                    )
+                    for i in range(3)
+                )
+
+            # --- laser antennas ride the slow deposit alongside -----------
+            origin = origin_of(state)
+            for sp_cfg in cfg.species:
+                if not is_laser[sp_cfg.name]:
+                    continue
+                sp = state.species[sp_cfg.name]
+                if sp.capacity == 0:
+                    new_species[sp_cfg.name] = sp
+                    continue
+                laser = laser_cfg[sp_cfg.name]
+                mobility = 0.05 / laser.e_max / cfg.gamma_boost
+                sp_new = update_antenna(
+                    sp, laser, geom, mobility, state.time, dt,
+                    gamma_boost=cfg.gamma_boost, z0_lab=laser.z0_lab,
+                )
+                w_eff = jnp.where(sp.alive, sp_new.w, 0.0)
+                jx, jy, jz = deposit_current_esirkepov(
+                    sp_new.positions(ndim), sp_new.ux, sp_new.uy,
+                    sp_new.uz, w_eff, 1.0, geom, dt, order,
+                    origin=origin, wrap=False, offset=ng,
+                    out_shape=big_shape,
+                    chunk_size=cfg.deposit_chunk_size,
+                )
+                j_total = (
+                    (jx, jy, jz)
+                    if j_total is None
+                    else tuple(a + b for a, b in zip(j_total, (jx, jy, jz)))
+                )
+                new_species[sp_cfg.name] = sp_new
+
+            aux_updates["tile_overflow"] = overflow
+            aux_updates["tile_violations"] = violations
+            return _field_tail(
+                state, new_species, j_total, None, None, aux_updates
+            )
+
     return (
-        jax.jit(step_main),
+        jax.jit(step_binned if tile_spec is not None else step_main),
         jax.jit(step_window),
         jax.jit(half_push, static_argnames=("dt_half",)),
         jax.jit(solve_es) if is_es else None,

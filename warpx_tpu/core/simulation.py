@@ -88,8 +88,24 @@ class Simulation:
                     "macroscopic medium with non-periodic boundaries / "
                     "moving window / lasers (bounded path)"
                 )
+            from .binned_step import bounded_binned_supported
             from .bounded_step import make_bounded_kernels
 
+            # tile-binned fast variant for the bounded path: decided here,
+            # kernels rebuilt with the tile spec at state-setup time (the
+            # spec needs the particle counts)
+            self._want_binned_bounded = cfg.tiled_particles == "on" or (
+                cfg.tiled_particles == "auto"
+                and bounded_binned_supported(cfg)
+                and jax.default_backend() not in ("cpu",)
+            )
+            if (cfg.tiled_particles == "on"
+                    and not bounded_binned_supported(cfg)):
+                raise NotImplementedError(
+                    "tiled_particles=on but configuration is outside the "
+                    "bounded binned path's coverage "
+                    "(see bounded_binned_supported)"
+                )
             self._step_main, self._step_window, self._half_push, self._solve_es = (
                 make_bounded_kernels(cfg, self.staggering, self.dtype)
             )
@@ -353,12 +369,37 @@ class Simulation:
             )
         from .step import wrap_positions
 
-        self.state = self.state.replace(
-            species={
-                nm: wrap_positions(sp, self.cfg.geometry)
-                for nm, sp in self.state.species.items()
-            }
-        )
+        if self.is_bounded:
+            # wrap only the PERIODIC particle dims back into the (static)
+            # domain; bounded/moving-window dims must not wrap — live
+            # particles legitimately sit outside the original static bounds
+            # once the window has moved
+            geom = self.cfg.geometry
+            ndim = geom.ndim
+            pbc_lo = self.cfg.particle_bc_lo or ("periodic",) * ndim
+
+            def _wrap(sp):
+                pos = list(sp.positions(ndim))
+                for d in range(ndim):
+                    if pbc_lo[d] != "periodic":
+                        continue
+                    lo, hi = geom.prob_lo[d], geom.prob_hi[d]
+                    pos[d] = lo + jnp.mod(pos[d] - lo, hi - lo)
+                return sp.with_positions(ndim, pos)
+
+            self.state = self.state.replace(
+                species={
+                    nm: _wrap(sp)
+                    for nm, sp in self.state.species.items()
+                }
+            )
+        else:
+            self.state = self.state.replace(
+                species={
+                    nm: wrap_positions(sp, self.cfg.geometry)
+                    for nm, sp in self.state.species.items()
+                }
+            )
 
     def flush_diagnostics(self, step: int):
         """Write due outputs for ``step`` (post-step user step number)."""
@@ -923,6 +964,114 @@ class Simulation:
                 interpret=jax.default_backend() == "cpu",
             )
             self._step_main = self._step
+        if getattr(self, "_want_binned_bounded", False):
+            # bounded binned layout: non-laser species re-laid at the tile
+            # capacity (alive-compacted first — continuous-injection species
+            # carry whole-run capacities far beyond their live counts);
+            # p_max sizes from the PEAK per-tile occupancy (host-side
+            # binning of the initial positions — beams concentrate — plus
+            # the ppc bound for injected plasma), not the mean.
+            import dataclasses as _dc
+            import math as _math
+
+            from .binned_step import make_tile_spec
+            from .bounded_step import make_bounded_kernels
+
+            tile = cfg.tile_size[-geom.ndim:]
+            ntpd = [n // t for n, t in zip(geom.n_cell, tile)]
+            n_tiles = int(np.prod(ntpd))
+            is_laser_sp = {
+                s.name: s.injection_style == "laser" for s in cfg.species
+            }
+            max_tile = 1
+            max_alive = 1
+            for sp_cfg in cfg.species:
+                if is_laser_sp[sp_cfg.name]:
+                    continue
+                ps = species[sp_cfg.name]
+                alive = np.asarray(ps.alive)
+                if alive.any():
+                    max_alive = max(max_alive, int(alive.sum()))
+                    idx = np.zeros(int(alive.sum()), np.int64)
+                    for d in range(geom.ndim):
+                        p = np.asarray(ps.positions(geom.ndim)[d])[alive]
+                        cell = np.clip(
+                            np.floor(
+                                (p - geom.prob_lo[d]) / geom.dx[d]
+                            ).astype(np.int64) // tile[d],
+                            0, ntpd[d] - 1,
+                        )
+                        idx = idx * ntpd[d] + cell
+                    cnt = np.bincount(idx, minlength=n_tiles)
+                    max_tile = max(max_tile, int(cnt.max()))
+                ppc = getattr(
+                    sp_cfg, "num_particles_per_cell_each_dim", None
+                )
+                if ppc and (sp_cfg.do_continuous_injection
+                            or sp_cfg.injection_style in
+                            ("nuniformpercell", "nrandompercell")):
+                    ppc_tot = int(np.prod(ppc))
+                    max_tile = max(
+                        max_tile, ppc_tot * int(np.prod(tile))
+                    )
+            spec0 = make_tile_spec(cfg, max_alive)
+            p_max = max(
+                spec0.p_max,
+                -(-int(_math.ceil(max_tile * cfg.tile_headroom)) // 128)
+                * 128,
+            )
+            self.tile_spec = _dc.replace(spec0, p_max=p_max)
+            cap = self.tile_spec.capacity
+
+            def _relayout(ps: ParticleState) -> ParticleState:
+                order_ = np.argsort(~np.asarray(ps.alive), kind="stable")
+                n_alive = int(np.asarray(ps.alive).sum())
+                if n_alive > cap:
+                    raise ValueError(
+                        f"{n_alive} live particles exceed tile capacity "
+                        f"{cap}; raise tile_headroom"
+                    )
+                take = order_[:cap]
+
+                def ext(a, fill=0.0):
+                    arr = np.asarray(a)[take]
+                    if cap > arr.shape[0]:
+                        arr = np.concatenate([
+                            arr,
+                            np.full(cap - arr.shape[0], fill, arr.dtype),
+                        ])
+                    return jnp.asarray(arr)
+
+                center = tuple(
+                    0.5 * (lo + hi)
+                    for lo, hi in zip(geom.prob_lo, geom.prob_hi)
+                )
+                pos = ps.positions(geom.ndim)
+                pos_kw = dict(
+                    zip(("x", "z") if geom.ndim == 2 else ("x", "y", "z"),
+                        (ext(p, c) for p, c in zip(pos, center)))
+                )
+                return ps.replace(
+                    **pos_kw,
+                    ux=ext(ps.ux), uy=ext(ps.uy), uz=ext(ps.uz),
+                    w=ext(ps.w), alive=ext(ps.alive, False),
+                    extra={k: ext(v) for k, v in ps.extra.items()},
+                )
+
+            species = {
+                nm: (ps if is_laser_sp[nm] else _relayout(ps))
+                for nm, ps in species.items()
+            }
+            aux["tile_overflow"] = jnp.zeros((), jnp.int32)
+            aux["tile_violations"] = jnp.zeros((), jnp.int32)
+            if cfg.do_moving_window:
+                aux["tile_anchor"] = jnp.asarray(
+                    geom.prob_lo[cfg.moving_window_dir], self.dtype
+                )
+            (self._step_main, self._step_window, self._half_push,
+             self._solve_es) = make_bounded_kernels(
+                cfg, self.staggering, self.dtype, tile_spec=self.tile_spec,
+            )
         self.state = SimState(
             fields=fields,
             species=species,
@@ -1295,6 +1444,7 @@ class DistSimulation(Simulation):
         # sharded path has its own layout; the tile-binned single-chip
         # layout must not rewrite the step/state in init()
         self._want_binned = False
+        self._want_binned_bounded = False
         self.tile_spec = None
         from ..parallel.topology import SpatialMesh
         from .sharded_step import make_sharded_half_push, make_sharded_step

@@ -91,13 +91,12 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
-                  dtype, mxu, nzp):
+                  dtype, mxu, nzp, smax=0):
     W, P, T = spec.w, spec.p_max, order + 3
     S = P // 128
     ntx, nty, ntz = spec.tiles_per_dim
     tdims = spec.tile
     dx = geom.dx
-    lo = geom.prob_lo
     inv_dx = tuple(1.0 / d for d in dx)
     invdtd = (
         1.0 / (dt * dx[1] * dx[2]),
@@ -113,7 +112,7 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
     gprec = None if mxu in ("mixed", "bf16") else _HI
     dprec = None if mxu == "bf16" else _HI
 
-    def kernel(params, fex, fey, fez, fbx, fby, fbz,
+    def kernel(params, anch, shft, fex, fey, fez, fbx, fby, fbz,
                xr, yr, zr, uxr, uyr, uzr, wr,
                xo, yo, zo, uxo, uyo, uzo,
                jxw, jyw, jzw, violr,
@@ -174,8 +173,12 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
             # (reused by every species step of this tile).  Mosaic can't
             # vector-load at dynamic lane offsets, so rotate the lane axis by
             # the tile's z origin and take the leading W lanes statically.
+            # Moving-window (bounded) mode: tiles are anchored in space at
+            # the last rebin while the grid has moved ``shft`` cells along z
+            # since, so the window slides back by shft within the smax-slack
+            # padded slab (z0 stays >= 0 because shft <= smax).
             slot_ = txy % 2
-            z0 = t2 * tdims[2]
+            z0 = t2 * tdims[2] + (smax - shft[0, 0])
             for ci in range(6):
                 # Mosaic's dynamic rotate is 32-bit only; roll the f32 slab
                 # and round to the gather dtype while slicing into win2
@@ -187,7 +190,7 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
         # (S, W*W, 128)) so S can be any positive integer
         pos = (xr[0], yr[0], zr[0])
         X = [
-            (pos[d] - lo[d]) * inv_dx[d] - worig[d].astype(f)
+            (pos[d] - anch[0, d]) * inv_dx[d] - worig[d].astype(f)
             for d in range(3)
         ]
         rows = jax.lax.broadcasted_iota(jnp.int32, (S, W, 128), 1).astype(f)
@@ -363,7 +366,7 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
 
 
 def _build_kernel_2d(spec, geom, staggering, order, galerkin, pusher_name,
-                     dt, dtype, mxu, nzp):
+                     dt, dtype, mxu, nzp, smax=0):
     """2D XZ variant of the fused kernel.
 
     Same structure as the 3D kernel with the transverse product collapsed to
@@ -381,7 +384,6 @@ def _build_kernel_2d(spec, geom, staggering, order, galerkin, pusher_name,
     ntx, ntz = spec.tiles_per_dim
     tdims = spec.tile
     dx = geom.dx  # (dx, dz)
-    lo = geom.prob_lo
     inv_dx = (1.0 / dx[0], 1.0 / dx[1])
     invvol = 1.0 / (dx[0] * dx[1])
     invdtd = (1.0 / (dt * dx[1]), 1.0 / (dt * dx[0]))  # (J_x, J_z)
@@ -394,7 +396,7 @@ def _build_kernel_2d(spec, geom, staggering, order, galerkin, pusher_name,
     dprec = None if mxu == "bf16" else _HI
     axnames = ("x", "z")
 
-    def kernel(params, fex, fey, fez, fbx, fby, fbz,
+    def kernel(params, anch, shft, fex, fey, fez, fbx, fby, fbz,
                xr, zr, uxr, uyr, uzr, wr,
                xo, zo, uxo, uyo, uzo,
                jxw, jyw, jzw, violr,
@@ -437,14 +439,14 @@ def _build_kernel_2d(spec, geom, staggering, order, galerkin, pusher_name,
         @pl.when(sid == 0)
         def _window():
             slot_ = tx % 2
-            z0 = t2 * tdims[1]
+            z0 = t2 * tdims[1] + (smax - shft[0, 0])
             for ci in range(6):
                 rot = pltpu.roll(slab[slot_, ci], -z0, 1)
                 win2[ci] = rot[:, :W].astype(gmx)
 
         pos_act = (xr[0], zr[0])
         X = [
-            (pos_act[d] - lo[d]) * inv_dx[d] - worig[d].astype(f)
+            (pos_act[d] - anch[0, d]) * inv_dx[d] - worig[d].astype(f)
             for d in range(2)
         ]
         rows = jax.lax.broadcasted_iota(jnp.int32, (S, W, 128), 1).astype(f)
@@ -616,13 +618,15 @@ def pad_fields(fields6, spec, mxu="f32"):
     jax.jit,
     static_argnames=(
         "spec", "geom", "order", "galerkin", "pusher_name", "dt",
-        "stag_items", "mxu", "interpret",
+        "stag_items", "mxu", "smax", "interpret",
     ),
 )
 def binned_push_deposit(
     params,
     fields6,
     parts7,
+    anchors=None,
+    zshift=None,
     *,
     spec,
     geom,
@@ -632,6 +636,7 @@ def binned_push_deposit(
     dt,
     stag_items,
     mxu="f32",
+    smax=0,
     interpret=False,
 ):
     """Run the fused kernel over all tiles for ALL species at once.
@@ -658,8 +663,16 @@ def binned_push_deposit(
     build = _build_kernel if ndim == 3 else _build_kernel_2d
     kernel = build(
         spec, geom, staggering, order, galerkin, pusher_name, dt, dtype,
-        mxu, nzp,
+        mxu, nzp, smax=smax,
     )
+    # dynamic tiling origin (anchor) + accumulated moving-window cell shift;
+    # the periodic path anchors at prob_lo with zero shift
+    if anchors is None:
+        anchors = jnp.asarray(geom.prob_lo, dtype)
+    anchors = jnp.asarray(anchors, dtype).reshape(1, ndim)
+    if zshift is None:
+        zshift = jnp.zeros((), jnp.int32)
+    zshift = jnp.asarray(zshift, jnp.int32).reshape(1, 1)
     if P % 128:
         raise ValueError("p_max must be a multiple of 128")
     S = P // 128
@@ -696,6 +709,12 @@ def binned_push_deposit(
             pl.BlockSpec(
                 (ns, 8), lambda i, k, s: (0, 0), memory_space=pltpu.SMEM
             ),
+            pl.BlockSpec(
+                (1, ndim), lambda i, k, s: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1), lambda i, k, s: (0, 0), memory_space=pltpu.SMEM
+            ),
         ]
         + [field_spec] * 6
         + [part_spec] * n_pin,
@@ -723,7 +742,7 @@ def binned_push_deposit(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(params, *fields6, *parts7)
+    )(params, anchors, zshift, *fields6, *parts7)
     return (
         tuple(o.reshape(ns * nt, P) for o in outs[:n_pout]),
         tuple(outs[n_pout:n_pout + 3]),

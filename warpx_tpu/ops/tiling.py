@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["TileSpec", "rebin", "extract_windows", "fold_windows"]
+__all__ = ["TileSpec", "rebin", "extract_windows", "fold_windows",
+           "fold_windows_open"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -112,11 +113,16 @@ class TileSpec:
         )
 
 
-def tile_ids(positions, geom, spec: TileSpec):
-    """Linear tile id per particle from (already wrapped) positions."""
+def tile_ids(positions, geom, spec: TileSpec, origin=None):
+    """Linear tile id per particle from (already wrapped) positions.
+
+    ``origin`` overrides the per-dim tiling origin (may contain traced
+    scalars — the moving-window binned path anchors tiles in space at the
+    last rebin, so the origin is the dynamic anchor, not prob_lo)."""
+    lo_all = geom.prob_lo if origin is None else origin
     ids = 0
     for d in range(spec.ndim):
-        gd = (positions[d] - geom.prob_lo[d]) * (1.0 / geom.dx[d])
+        gd = (positions[d] - lo_all[d]) * (1.0 / geom.dx[d])
         idx = jnp.clip(
             jnp.floor(gd).astype(jnp.int32) // spec.tile[d],
             0,
@@ -126,13 +132,19 @@ def tile_ids(positions, geom, spec: TileSpec):
     return ids
 
 
-def rebin(sp, geom, spec: TileSpec):
+def rebin(sp, geom, spec: TileSpec, origin=None, wrap_dims=None):
     """Sort a species into the padded (n_tiles, p_max) tile layout.
 
     Positions are wrapped into the periodic domain first (between rebins the
     step function deliberately leaves positions unwrapped so window-relative
     coordinates stay continuous across the boundary).  Dead slots get
     weight 0, zero momentum, and the center position of their tile.
+
+    ``origin`` (per-dim, may be traced) overrides the tiling origin for the
+    bounded/moving-window path; ``wrap_dims`` selects which dims get the
+    periodic wrap (default: all).  On non-wrapped dims out-of-domain
+    particles clip into the edge tiles — callers must have absorbed them
+    (weight 0) beforehand.
 
     Returns (new ParticleState with capacity n_tiles*p_max, overflow count):
     ``overflow`` counts alive particles that did not fit in their tile's
@@ -141,11 +153,18 @@ def rebin(sp, geom, spec: TileSpec):
     cap_in = sp.capacity
     ndim = spec.ndim
     n_tiles, p_max = spec.n_tiles, spec.p_max
+    if wrap_dims is None:
+        wrap_dims = (True,) * ndim
+    lo_all = geom.prob_lo if origin is None else origin
     pos = list(sp.positions(ndim))
     for d in range(ndim):
-        lo, hi = geom.prob_lo[d], geom.prob_hi[d]
+        if not wrap_dims[d]:
+            continue
+        lo = lo_all[d]
+        hi = lo + (geom.prob_hi[d] - geom.prob_lo[d])
         pos[d] = lo + jnp.mod(pos[d] - lo, hi - lo)
-    tid = jnp.where(sp.alive, tile_ids(pos, geom, spec), n_tiles)
+    tid = jnp.where(sp.alive, tile_ids(pos, geom, spec, origin=lo_all),
+                    n_tiles)
 
     payload = jnp.stack(
         list(pos)
@@ -189,7 +208,7 @@ def rebin(sp, geom, spec: TileSpec):
         stride = int(np.prod(spec.tiles_per_dim[d + 1:], initial=1))
         idx_d = (slot_t // stride) % spec.tiles_per_dim[d]
         centers.append(
-            geom.prob_lo[d]
+            lo_all[d]
             + (idx_d.astype(sp.w.dtype) + 0.5) * (spec.tile[d] * geom.dx[d])
         )
 
@@ -332,6 +351,55 @@ def fold_windows(
     out = jnp.einsum("abcxyv,cvn->abnxy", arr, pz)
     out = jnp.einsum("abnxu,bum->amnx", out, py)
     return jnp.einsum("amnx,axg->gmn", out, px)
+
+
+def fold_windows_open(
+    windows: jnp.ndarray, spec: TileSpec, axes=None
+) -> jnp.ndarray:
+    """OPEN (non-periodic) overlap-add of per-tile windows.
+
+    The bounded-domain counterpart of ``fold_windows``: no wrap-around —
+    returns an array of extent ``n_d + w - tile_d`` per dim whose index p
+    corresponds to (anchor-frame) grid index ``p - off``.  The caller embeds
+    it into the guard-padded deposition block at the appropriate offset
+    (minus the moving-window shift on the window axis), after which the
+    slow path's guard handling (periodic fold / bounded drop) applies
+    unchanged.  Requires the roll-friendly layout (w % tile == 0).
+    """
+    w = spec.w
+    ndim = spec.ndim
+    if axes is None:
+        axes = tuple(range(ndim))
+    arr = windows.reshape(*spec.tiles_per_dim, *((w,) * ndim))
+    if axes != tuple(range(ndim)):
+        inv = [0] * ndim
+        for pos_, ax in enumerate(axes):
+            inv[ax] = ndim + pos_
+        arr = arr.transpose(*range(ndim), *inv)
+    if not all(w % t == 0 for t in spec.tile):
+        raise NotImplementedError("fold_windows_open needs w % tile == 0")
+    out = arr
+    for d in reversed(range(ndim)):
+        tile = spec.tile[d]
+        k = w // tile
+        t_ax, w_ax = d, ndim + d
+        nt = spec.tiles_per_dim[d]
+        # chunk j of the window axis adds into padded tile slot t + j:
+        # the tile axis grows to nt + k - 1 (extent n + w - tile)
+        total = None
+        for j in range(k):
+            c = jax.lax.slice_in_dim(out, j * tile, (j + 1) * tile,
+                                     axis=w_ax)
+            pw = [(0, 0)] * c.ndim
+            pw[t_ax] = (j, k - 1 - j)
+            c = jnp.pad(c, pw)
+            total = c if total is None else total + c
+        moved = jnp.moveaxis(total, w_ax, t_ax + 1)
+        ms = list(moved.shape)
+        out = moved.reshape(
+            ms[:t_ax] + [(nt + k - 1) * tile] + ms[t_ax + 2:]
+        )
+    return out
 
 
 def _placement(nt, tile, w, off, n):
