@@ -8,6 +8,8 @@ import os
 import subprocess
 import sys
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 REF = "/root/reference/Examples"
 # RZ and EB decks are included since round 3 (rz spectral + staircase EB)
 SKIP_PAT = ("picmi", ".py", "restart")
@@ -16,7 +18,7 @@ RUNNER = r"""
 import sys
 import jax
 jax.config.update("jax_platforms", "cpu")
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, sys.argv[2])
 from warpx_tpu.__main__ import main
 deck = sys.argv[1]
 sys.exit(main([deck, "max_step=2", "diagnostics.diags_names=",
@@ -36,26 +38,26 @@ def main():
     if only and only != "--resume":
         decks = [d for d in decks if only in d]
     results = []
-    if only == "--resume" and os.path.exists("/root/repo/DECK_SWEEP.partial"):
+    if only == "--resume" and os.path.exists(f"{REPO}/DECK_SWEEP.partial"):
         # keep prior PASSes; retry failures/timeouts and untried decks
         done = {}
-        for line in open("/root/repo/DECK_SWEEP.partial"):
+        for line in open(f"{REPO}/DECK_SWEEP.partial"):
             parts = line.rstrip("\n").split("\t")
             if len(parts) >= 2:
                 done[parts[1]] = (parts[0], parts[2] if len(parts) > 2 else "")
         keep = {n: v for n, v in done.items() if v[0] == "PASS"}
         results = [(n, v[0], v[1]) for n, v in keep.items()]
         decks = [d for d in decks if os.path.basename(d) not in keep]
-        os.replace("/root/repo/DECK_SWEEP.partial",
-                   "/root/repo/DECK_SWEEP.partial.bak")
-        with open("/root/repo/DECK_SWEEP.partial", "a") as fh:
+        os.replace(f"{REPO}/DECK_SWEEP.partial",
+                   f"{REPO}/DECK_SWEEP.partial.bak")
+        with open(f"{REPO}/DECK_SWEEP.partial", "a") as fh:
             for n, (st, err) in keep.items():
                 fh.write(f"{st}\t{n}\t{err}\n")
     for deck in decks:
         name = os.path.basename(deck)
         try:
             out = subprocess.run(
-                [sys.executable, "-c", RUNNER, deck],
+                [sys.executable, "-c", RUNNER, deck, REPO],
                 capture_output=True, text=True, timeout=240,
             )
             if out.returncode == 0:
@@ -66,11 +68,11 @@ def main():
         except subprocess.TimeoutExpired:
             results.append((name, "TIMEOUT", ""))
         print(f"{results[-1][1]:8s} {name}  {results[-1][2]}", flush=True)
-        with open("/root/repo/DECK_SWEEP.partial", "a") as fh:
+        with open(f"{REPO}/DECK_SWEEP.partial", "a") as fh:
             fh.write(f"{results[-1][1]}\t{name}\t{results[-1][2]}\n")
     npass = sum(1 for r in results if r[1] == "PASS")
     print(f"\n{npass}/{len(results)} decks run for 2 steps without error")
-    with open("/root/repo/DECK_SWEEP.md", "w") as fh:
+    with open(f"{REPO}/DECK_SWEEP.md", "w") as fh:
         fh.write("# Reference deck compatibility sweep\n\n")
         fh.write(
             "Every non-PICMI reference test deck (incl. RZ and EB)"
