@@ -21,8 +21,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-W, P = 16, 2048
-NT = 512
+import os as _os
+W = int(_os.environ.get("LAB_W", 16))
+P = int(_os.environ.get("LAB_P", 2048))
+NT = int(_os.environ.get("LAB_NT", 512))
 ORDER = 1
 
 
@@ -68,11 +70,10 @@ def make_kernel(mode):
                xr, yr, zr, uxr, uyr, uzr, wr,
                xo, yo, zo, uxo, uyo, uzo,
                jxw, jyw, jzw):
-        pos = (xr[0].reshape(P), yr[0].reshape(P), zr[0].reshape(P))
+        pos = (xr[0], yr[0], zr[0])  # (1, P) planes
         if mode == "empty":
-            sl = (P // 128, 128)
             for src, dst in ((pos[0], xo), (pos[1], yo), (pos[2], zo)):
-                dst[0] = (src * 1.0001).reshape(sl)
+                dst[0] = src * 1.0001
             uxo[0] = uxr[0] + wr[0]
             uyo[0] = uyr[0] + wr[0]
             uzo[0] = uzr[0] + wr[0]
@@ -84,8 +85,8 @@ def make_kernel(mode):
 
         def band(xc, o):
             if mode == "novpu":
-                return (xc[None, :] - rows) * 0.25
-            xi = xc[None, :] - rows
+                return (xc - rows) * 0.25
+            xi = xc - rows
             if o == 0:
                 return jnp.where((xi >= -0.5) & (xi < 0.5), 1.0, 0.0
                                  ).astype(f)
@@ -133,14 +134,14 @@ def make_kernel(mode):
                     preferred_element_type=f, precision=gprec,
                 )
             ax_m = axis_mat(0, *kx)
-            e6.append(jnp.sum(ax_m * h, axis=0))
+            e6.append(jnp.sum(ax_m * h, axis=0, keepdims=True))
         ex, ey, ez, bx, by, bz = e6
 
         # Boris-ish push (same op mix)
         q_m = 1.7e11 * 0.5e-12
-        ux = uxr[0].reshape(P) + q_m * ex
-        uy = uyr[0].reshape(P) + q_m * ey
-        uz = uzr[0].reshape(P) + q_m * ez
+        ux = uxr[0] + q_m * ex
+        uy = uyr[0] + q_m * ey
+        uz = uzr[0] + q_m * ez
         tx, ty, tz = q_m * bx, q_m * by, q_m * bz
         upx = ux + uy * tz - uz * ty
         upy = uy + uz * tx - ux * tz
@@ -151,15 +152,14 @@ def make_kernel(mode):
         uz = uz + (upx * ty - upy * tx) * s + q_m * ez
         gaminv = jax.lax.rsqrt(1.0 + (ux * ux + uy * uy + uz * uz) * 1e-17)
         vel = (ux * gaminv, uy * gaminv, uz * gaminv)
-        sl = (P // 128, 128)
-        xo[0] = (pos[0] + vel[0] * 1e-12).reshape(sl)
-        yo[0] = (pos[1] + vel[1] * 1e-12).reshape(sl)
-        zo[0] = (pos[2] + vel[2] * 1e-12).reshape(sl)
-        uxo[0] = ux.reshape(sl)
-        uyo[0] = uy.reshape(sl)
-        uzo[0] = uz.reshape(sl)
+        xo[0] = pos[0] + vel[0] * 1e-12
+        yo[0] = pos[1] + vel[1] * 1e-12
+        zo[0] = pos[2] + vel[2] * 1e-12
+        uxo[0] = ux
+        uyo[0] = uy
+        uzo[0] = uz
 
-        wq = wr[0].reshape(P)
+        wq = wr[0]
         sm, df, cs = [], [], []
         for d in range(3):
             xn = X[d] + vel[d] * 1e-4
@@ -182,7 +182,7 @@ def make_kernel(mode):
         for d, (a, b, out_ref) in enumerate(
             ((1, 2, jxw), (0, 2, jyw), (0, 1, jzw))
         ):
-            lhs = cs[d] * wq[None, :]
+            lhs = cs[d] * wq
             if mode == "nomxu":
                 jd = jnp.sum(lhs, axis=1, keepdims=True) + outer(
                     sm[a], sm[b]
@@ -253,15 +253,15 @@ def run(mode):
     npart = NT * P
     if mode.startswith("pk_"):
         wins = jnp.asarray(rng.normal(size=(NT, 6, W, W * W)), f)
-        parts = jnp.asarray(rng.random(size=(NT, 7, P // 128, 128)), f)
+        parts = jnp.asarray(rng.random(size=(NT, 7, 1, P)), f)
         win_spec = pl.BlockSpec((1, 6, W, W * W), lambda i: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
         jw_spec = pl.BlockSpec((1, 3, W, W * W), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)
-        pin_spec = pl.BlockSpec((1, 7, P // 128, 128),
+        pin_spec = pl.BlockSpec((1, 7, 1, P),
                                 lambda i: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
-        pout_spec = pl.BlockSpec((1, 6, P // 128, 128),
+        pout_spec = pl.BlockSpec((1, 6, 1, P),
                                  lambda i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
         call = pl.pallas_call(
@@ -270,7 +270,7 @@ def run(mode):
             in_specs=[win_spec, pin_spec],
             out_specs=[pout_spec, jw_spec],
             out_shape=[
-                jax.ShapeDtypeStruct((NT, 6, P // 128, 128), f),
+                jax.ShapeDtypeStruct((NT, 6, 1, P), f),
                 jax.ShapeDtypeStruct((NT, 3, W, W * W), f),
             ],
         )
@@ -280,18 +280,18 @@ def run(mode):
         return
     wins = tuple(jnp.asarray(rng.normal(size=(NT, W, W * W)), f)
                  for _ in range(6))
-    parts = tuple(jnp.asarray(rng.random(size=(NT, P // 128, 128)), f)
+    parts = tuple(jnp.asarray(rng.random(size=(NT, 1, P)), f)
                   for _ in range(7))
     win_spec = pl.BlockSpec((1, W, W * W), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    part_spec = pl.BlockSpec((1, P // 128, 128), lambda i: (i, 0, 0),
+    part_spec = pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         make_kernel(mode),
         grid=(NT,),
         in_specs=[win_spec] * 6 + [part_spec] * 7,
         out_specs=[part_spec] * 6 + [win_spec] * 3,
-        out_shape=[jax.ShapeDtypeStruct((NT, P // 128, 128), f)] * 6
+        out_shape=[jax.ShapeDtypeStruct((NT, 1, P), f)] * 6
         + [jax.ShapeDtypeStruct((NT, W, W * W), f)] * 3,
     )
     fn = jax.jit(lambda *a: call(*a))
@@ -302,7 +302,10 @@ def run(mode):
 def main():
     print(f"device={jax.devices()[0]}  W={W} P={P} NT={NT} "
           f"(= {NT*P/1e6:.1f}M slots)")
-    for mode in ("empty", "full", "pk_empty", "pk_full", "empty"):
+    import sys as _sys
+    modes = _sys.argv[1:] or (
+        "empty", "full", "pk_empty", "pk_full", "empty")
+    for mode in modes:
         run(mode)
 
 

@@ -118,7 +118,8 @@ def main():
 
     _, jw, _ = run_kernel(fields6, parts7)
     fold3 = jax.jit(lambda jw: tuple(
-        fold_windows(jw[i], spec, geom.n_cell, axes=_FOLD_AXES[i]) for i in range(3)))
+        fold_windows(jw[i], spec, geom.n_cell, axes=_FOLD_AXES[3][i])
+        for i in range(3)))
     t_f = timeit(fold3, jw, rtt=rtt)
     print(f"fold_windows x3: {t_f*1e3:.3f} ms ({t_f/n_particles*1e9:.2f} ns/p)")
 

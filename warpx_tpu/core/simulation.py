@@ -324,9 +324,12 @@ class Simulation:
                 )
                 params = {}
                 for key in ("species", "reduction_type", "normalization"):
-                    v = deck.get_string(f"{nm}.{key}", "")
+                    # multi-token values (ColliderRelevant.species = a b)
+                    # ride as one space-joined string; per-kind handlers
+                    # split (ColliderRelevant.cpp reads a vector<string>)
+                    v = deck.get_strings(f"{nm}.{key}", [])
                     if v:
-                        params[key] = v
+                        params[key] = " ".join(v)
                 for key in ("bin_number", "bin_number_abs",
                             "bin_number_ord"):
                     v = deck.get_int(f"{nm}.{key}", 0)

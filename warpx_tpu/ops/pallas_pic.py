@@ -12,20 +12,26 @@ is exactly the scatter-free placement of each particle's weights — no one-hot
 comparisons, no scatter/gather primitives, out-of-window particles simply see
 their support clipped (and are counted in the per-tile violation output).
 
-Particles are laid out as (S, 128) lane planes with S = p_max // 128, so the
-slot capacity granularity is 128 (NOT the 1024 a flat (P,) layout would force
-through Mosaic's sublane tiling): slot occupancy — the fraction of the padded
-tile capacity actually holding particles — directly multiplies every VPU op
-in the kernel, so fine-grained p_max is a first-order performance knob.
+Particles ride WIDE-LANE (1, p_max) planes: the particle axis is the lane
+axis of every per-particle array (bands are (W, p_max), transverse outer
+products (W*W, p_max)), so each contraction is ONE streaming matmul over all
+of a tile's particles instead of p_max//128 batched small-M instances —
+Mosaic lowers lane-batched dots far better than sublane-batched ones (the
+(S, ., 128) ancestor of this layout measured ~2x slower at the same op
+count, tools/kernel_lab.py).  Slot capacity granularity stays 128 lanes;
+slot occupancy directly multiplies every VPU/MXU op in the kernel, so
+fine-grained p_max remains a first-order performance knob.  The 7 particle
+inputs and 6 outputs ride ONE packed block each ((1, 7|6, 1, P)): separate
+refs cost ~0.4 ns/slot of per-grid-step DMA setup at this block size.
 
-MXU shapes are chosen for systolic-array utilization (K or N = W*W = 256+):
+MXU shapes (K or N = W*W = 256+, the other free side = p_max):
 
-  * gather contracts the window over the fused (y,z) axis, batched over the
-    particle planes:
-      h[s, i_x, l] = sum_{jk} Ewin[i_x, jk] * (Ay ⊙ Az)[s, jk, l]  (K = W^2)
-    followed by a cheap VPU reduction  e[s,l] = sum_i Ax[s,i,l] h[s,i,l];
-  * deposition contracts over the particle lanes with the wide output last:
-      J[i_d, jk] = sum_{s,l} (Wd ⊙ wq)[s, i_d, l] * Tab[s, jk, l]  (N = W^2)
+  * gather contracts the window over the fused (y,z) axis with the particle
+    lanes streaming:
+      h[i_x, p] = sum_{jk} Ewin[i_x, jk] * (Ay ⊙ Az)[jk, p]   (K = W^2)
+    followed by a cheap VPU reduction  e[p] = sum_i Ax[i, p] h[i, p];
+  * deposition contracts over the particle lanes:
+      J[i_d, jk] = sum_p (Wd ⊙ wq)[i_d, p] * Tab[jk, p]       (K = p_max)
     replacing atomicAdd scatter (the design analog of the reference's
     shared-memory binned deposition, WarpXParticleContainer.cpp:490-548).
 
@@ -113,9 +119,7 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
     dprec = None if mxu == "bf16" else _HI
 
     def kernel(params, anch, shft, fex, fey, fez, fbx, fby, fbz,
-               xr, yr, zr, uxr, uyr, uzr, wr,
-               xo, yo, zo, uxo, uyo, uzo,
-               jxw, jyw, jzw, violr,
+               pin, pout, jxw, jyw, jzw, violr,
                slab, win2, sems):
         sid = pl.program_id(2)
         q = params[sid, 0]
@@ -185,25 +189,24 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
                 rot = pltpu.roll(slab[slot_, ci], -z0, 2)
                 for b in range(W):
                     win2[ci, :, b * W:(b + 1) * W] = rot[:, b, :W].astype(gmx)
-        # particle blocks are (1, S, 128) lane planes; all per-particle math
-        # below is on (S, 128) arrays (bands (S, W, 128), outers
-        # (S, W*W, 128)) so S can be any positive integer
-        pos = (xr[0], yr[0], zr[0])
+        # particle blocks are packed (1, 7|6, 1, P) wide-lane planes; all
+        # per-particle math below is on (1, P) vectors (bands (W, P),
+        # outers (W*W, P))
+        pos = (pin[0, 0], pin[0, 1], pin[0, 2])
         X = [
             (pos[d] - anch[0, d]) * inv_dx[d] - worig[d].astype(f)
             for d in range(3)
         ]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (S, W, 128), 1).astype(f)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (W, P), 0).astype(f)
 
         def band(xc, o_eff):
-            """(S, W, 128) band matrix A[s, i, l] = S_o(xc_sl - i): each
-            particle's shape weights land on its o+1 support rows, zero
-            elsewhere.
+            """(W, P) band matrix A[i, p] = S_o(xc_p - i): each particle's
+            shape weights land on its o+1 support rows, zero elsewhere.
 
             Order 0 uses the half-open box [-1/2, 1/2) so a particle exactly
             at a half-integer position lands on one row, matching the
             reference's floor(x + 0.5) index selection (ShapeFactors.H:40)."""
-            xi = xc[:, None, :] - rows
+            xi = xc - rows
             if o_eff == 0:
                 return jnp.where(
                     (xi >= -0.5) & (xi < 0.5),
@@ -228,8 +231,8 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
                 ay = axis_mat(1, *ykey)
                 az = axis_mat(2, *zkey)
                 bcache[key_] = (
-                    ay[:, :, None, :] * az[:, None, :, :]
-                ).reshape(S, W * W, 128).astype(gmx)
+                    ay[:, None, :] * az[None, :, :]
+                ).reshape(W * W, P).astype(gmx)
             return bcache[key_]
 
         # components sharing a transverse band product ride ONE contraction
@@ -253,16 +256,16 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
                 win2[members[0][0]] if len(members) == 1
                 else jnp.concatenate([win2[ci] for ci, _ in members], axis=0)
             )
-            # h[s,(c,i),l] = Ewin ((c,i),(jk)) . Byz (s,(jk),l): K = W^2
-            winb = jnp.broadcast_to(wstk, (S, len(members) * W, W * W))
+            # h[(c,i), p] = Ewin ((c,i),(jk)) . Byz ((jk), p): K = W^2,
+            # particle lanes stream on N
             h = jax.lax.dot_general(
-                winb, byz, (((2,), (1,)), ((0,), (0,))),
+                wstk, byz, (((1,), (0,)), ((), ())),
                 preferred_element_type=f, precision=gprec,
             )
             for g, (ci, xkey) in enumerate(members):
                 ax_m = axis_mat(0, *xkey)
                 e6[ci] = jnp.sum(
-                    ax_m * h[:, g * W:(g + 1) * W], axis=1
+                    ax_m * h[g * W:(g + 1) * W], axis=0, keepdims=True
                 )
         ex, ey, ez, bx, by, bz = e6
         ex = ex + params[sid, 2]
@@ -274,21 +277,21 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
 
         # ---- push ----------------------------------------------------------
         ux, uy, uz = pusher(
-            uxr[0], uyr[0], uzr[0],
+            pin[0, 3], pin[0, 4], pin[0, 5],
             ex, ey, ez, bx, by, bz, q, m, dt,
         )
         gaminv = 1.0 / jnp.sqrt(1.0 + (ux * ux + uy * uy + uz * uz) * inv_c2)
         vel = (ux * gaminv, uy * gaminv, uz * gaminv)
-        xo[0] = pos[0] + vel[0] * dt
-        yo[0] = pos[1] + vel[1] * dt
-        zo[0] = pos[2] + vel[2] * dt
-        uxo[0] = ux
-        uyo[0] = uy
-        uzo[0] = uz
+        pout[0, 0] = pos[0] + vel[0] * dt
+        pout[0, 1] = pos[1] + vel[1] * dt
+        pout[0, 2] = pos[2] + vel[2] * dt
+        pout[0, 3] = ux
+        pout[0, 4] = uy
+        pout[0, 5] = uz
 
         # ---- Esirkepov deposit ---------------------------------------------
         # new position in window units; old = new - v*dt/dx (== X exactly)
-        wq = q * wr[0]
+        wq = q * pin[0, 6]
         sm, df, cs, bad = [], [], [], None
         for d in range(3):
             xn = X[d] + vel[d] * (dt * inv_dx[d])
@@ -305,7 +308,7 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
             acc = diff
             s = 1
             while s < W:
-                acc = acc + jnp.pad(acc[:, :-s], ((0, 0), (s, 0), (0, 0)))
+                acc = acc + jnp.pad(acc[:-s], ((s, 0), (0, 0)))
                 s *= 2
             cs.append(acc)
             i0 = start_index(xn, order) - 1
@@ -313,33 +316,30 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
             bad = bd if bad is None else (bad | bd)
 
         def outer(a, b):
-            return (a[:, :, None, :] * b[:, None, :, :]).reshape(
-                S, W * W, 128
-            )
+            return (a[:, None, :] * b[None, :, :]).reshape(W * W, P)
 
         for d, (a, b, out_ref) in enumerate(
             ((1, 2, jxw), (0, 2, jyw), (0, 1, jzw))
         ):
-            # two-outer mix: 1/4 s_a s_b + 1/12 d_a d_b (module docstring).
-            # Batched over the S planes, contracting the 128 lanes; the
-            # (S, W, W*W) partials reduce to the tile's J window on the VPU.
-            lhs = cs[d] * (wq * invdtd[d])[:, None, :]
-            dims = (((2,), (2,)), ((0,), (0,)))
+            # two-outer mix: 1/4 s_a s_b + 1/12 d_a d_b (module docstring);
+            # ONE streaming contraction over the particle lanes (K = P)
+            lhs = cs[d] * (wq * invdtd[d])
+            dims = (((1,), (1,)), ((), ()))
             if dprec is not None:
                 # multi-pass modes: the scalars commute into the rhs, so the
                 # two outer-product contractions collapse to ONE dot against
-                # their scaled sum — a (W*W, 128) VPU add replaces a whole
+                # their scaled sum — a (W*W, P) VPU add replaces a whole
                 # MXU pass group
                 rhs = (0.25 * outer(sm[a], sm[b])
                        + (1.0 / 12.0) * outer(df[a], df[b]))
-                jds = jax.lax.dot_general(
+                jd = jax.lax.dot_general(
                     lhs, rhs, dims,
                     preferred_element_type=f, precision=dprec,
                 )
             else:
                 # bf16: single MXU passes are cheaper than an f32 combine —
                 # keep two dots on pre-cast operands
-                jds = jax.lax.dot_general(
+                jd = jax.lax.dot_general(
                     (0.25 * lhs).astype(dmx),
                     outer(sm[a], sm[b]).astype(dmx), dims,
                     preferred_element_type=f,
@@ -348,7 +348,6 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
                     outer(df[a], df[b]).astype(dmx), dims,
                     preferred_element_type=f,
                 )
-            jd = jnp.sum(jds, axis=0) if S > 1 else jds[0]
             # species accumulate into the same VMEM window (grid dim 2)
             @pl.when(sid == 0)
             def _init(jd=jd, out_ref=out_ref):
@@ -358,7 +357,7 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
             def _acc(jd=jd, out_ref=out_ref):
                 out_ref[0] = out_ref[0] + jd
 
-        alive = wr[0] > 0
+        alive = pin[0, 6] > 0
         cnt = jnp.sum((bad & alive).astype(jnp.int32))
         violr[0] = jnp.broadcast_to(cnt, (8, 128))
 
@@ -397,9 +396,7 @@ def _build_kernel_2d(spec, geom, staggering, order, galerkin, pusher_name,
     axnames = ("x", "z")
 
     def kernel(params, anch, shft, fex, fey, fez, fbx, fby, fbz,
-               xr, zr, uxr, uyr, uzr, wr,
-               xo, zo, uxo, uyo, uzo,
-               jxw, jyw, jzw, violr,
+               pin, pout, jxw, jyw, jzw, violr,
                slab, win2, sems):
         sid = pl.program_id(2)
         q = params[sid, 0]
@@ -444,15 +441,15 @@ def _build_kernel_2d(spec, geom, staggering, order, galerkin, pusher_name,
                 rot = pltpu.roll(slab[slot_, ci], -z0, 1)
                 win2[ci] = rot[:, :W].astype(gmx)
 
-        pos_act = (xr[0], zr[0])
+        pos_act = (pin[0, 0], pin[0, 1])
         X = [
             (pos_act[d] - anch[0, d]) * inv_dx[d] - worig[d].astype(f)
             for d in range(2)
         ]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (S, W, 128), 1).astype(f)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (W, P), 0).astype(f)
 
         def band(xc, o_eff):
-            xi = xc[:, None, :] - rows
+            xi = xc - rows
             if o_eff == 0:
                 return jnp.where(
                     (xi >= -0.5) & (xi < 0.5),
@@ -494,16 +491,15 @@ def _build_kernel_2d(spec, geom, staggering, order, galerkin, pusher_name,
                 win2[members[0][0]] if len(members) == 1
                 else jnp.concatenate([win2[ci] for ci, _ in members], axis=0)
             )
-            # h[s,(c,i),l] = Win ((c,i),j) . Az (s,j,l): K = W
-            winb = jnp.broadcast_to(wstk, (S, len(members) * W, W))
+            # h[(c,i), p] = Win ((c,i),j) . Az (j, p): K = W
             h = jax.lax.dot_general(
-                winb, az, (((2,), (1,)), ((0,), (0,))),
+                wstk, az, (((1,), (0,)), ((), ())),
                 preferred_element_type=f, precision=gprec,
             )
             for g, (ci, xkey) in enumerate(members):
                 ax_m = axis_mat(0, *xkey)
                 e6[ci] = jnp.sum(
-                    ax_m * h[:, g * W:(g + 1) * W], axis=1
+                    ax_m * h[g * W:(g + 1) * W], axis=0, keepdims=True
                 )
         ex, ey, ez, bx, by, bz = e6
         ex = ex + params[sid, 2]
@@ -515,19 +511,19 @@ def _build_kernel_2d(spec, geom, staggering, order, galerkin, pusher_name,
 
         # ---- push ----------------------------------------------------------
         ux, uy, uz = pusher(
-            uxr[0], uyr[0], uzr[0],
+            pin[0, 2], pin[0, 3], pin[0, 4],
             ex, ey, ez, bx, by, bz, q, m, dt,
         )
         gaminv = 1.0 / jnp.sqrt(1.0 + (ux * ux + uy * uy + uz * uz) * inv_c2)
         vel = (ux * gaminv, uy * gaminv, uz * gaminv)
-        xo[0] = pos_act[0] + vel[0] * dt
-        zo[0] = pos_act[1] + vel[2] * dt
-        uxo[0] = ux
-        uyo[0] = uy
-        uzo[0] = uz
+        pout[0, 0] = pos_act[0] + vel[0] * dt
+        pout[0, 1] = pos_act[1] + vel[2] * dt
+        pout[0, 2] = ux
+        pout[0, 3] = uy
+        pout[0, 4] = uz
 
         # ---- Esirkepov deposit ---------------------------------------------
-        wq = q * wr[0]
+        wq = q * pin[0, 5]
         vel_act = (vel[0], vel[2])
         sm, df, cs, bad = [], [], [], None
         for d in range(2):
@@ -540,7 +536,7 @@ def _build_kernel_2d(spec, geom, staggering, order, galerkin, pusher_name,
             acc = diff
             s = 1
             while s < W:
-                acc = acc + jnp.pad(acc[:, :-s], ((0, 0), (s, 0), (0, 0)))
+                acc = acc + jnp.pad(acc[:-s], ((s, 0), (0, 0)))
                 s *= 2
             cs.append(acc)
             i0 = start_index(xn, order) - 1
@@ -550,22 +546,22 @@ def _build_kernel_2d(spec, geom, staggering, order, galerkin, pusher_name,
         # segment stack: (J_x, J_z, J_y-sum-term, J_y-diff-term); each is an
         # (lhs_x-side, rhs_z-side) pair contracted over the particle lanes
         wqvy = wq * (vel[1] * invvol)
-        lhs4 = jnp.concatenate([
-            cs[0] * (wq * invdtd[0])[:, None, :],
+        lhs4 = jnp.stack([
+            cs[0] * (wq * invdtd[0]),
             0.5 * sm[0],
-            (0.25 * wqvy)[:, None, :] * sm[0],
-            ((1.0 / 12.0) * wqvy)[:, None, :] * df[0],
+            (0.25 * wqvy) * sm[0],
+            ((1.0 / 12.0) * wqvy) * df[0],
         ], axis=0).astype(dmx)
-        rhs4 = jnp.concatenate([
+        rhs4 = jnp.stack([
             0.5 * sm[1],
-            cs[1] * (wq * invdtd[1])[:, None, :],
+            cs[1] * (wq * invdtd[1]),
             sm[1],
             df[1],
         ], axis=0).astype(dmx)
         jd4 = jax.lax.dot_general(
             lhs4, rhs4, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=f, precision=dprec,
-        ).reshape(4, S, W, W).sum(axis=1)
+        )
         for jd, out_ref in (
             (jd4[0], jxw), (jd4[2] + jd4[3], jyw), (jd4[1], jzw)
         ):
@@ -577,7 +573,7 @@ def _build_kernel_2d(spec, geom, staggering, order, galerkin, pusher_name,
             def _acc(jd=jd, out_ref=out_ref):
                 out_ref[0] = out_ref[0] + jd
 
-        alive = wr[0] > 0
+        alive = pin[0, 5] > 0
         cnt = jnp.sum((bad & alive).astype(jnp.int32))
         violr[0] = jnp.broadcast_to(cnt, (8, 128))
 
@@ -675,7 +671,6 @@ def binned_push_deposit(
     zshift = jnp.asarray(zshift, jnp.int32).reshape(1, 1)
     if P % 128:
         raise ValueError("p_max must be a multiple of 128")
-    S = P // 128
     gmx = jnp.bfloat16 if mxu in ("mixed", "bf16") else fields6[0].dtype
     ntz = spec.tiles_per_dim[-1]
     wlast = W * W if ndim == 3 else W
@@ -686,16 +681,23 @@ def binned_push_deposit(
     # fields must stay in HBM: the in-kernel slab DMA slices them at
     # tile-aligned (not lane-aligned) offsets, which VMEM tiling forbids
     field_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
-    part_spec = pl.BlockSpec(
-        (1, S, 128), lambda i, k, s: (s * nt + i * ntz + k, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    parts7 = tuple(a.reshape(ns * nt, S, 128) for a in parts7)
     # particle I/O arity: 2D drops the inactive y coordinate
     n_pin = 7 if ndim == 3 else 6
     n_pout = n_pin - 1
     if len(parts7) != n_pin:
         raise ValueError(f"expected {n_pin} particle arrays, got {len(parts7)}")
+    # ONE packed wide-lane block per direction (module docstring)
+    pin_spec = pl.BlockSpec(
+        (1, n_pin, 1, P), lambda i, k, s: (s * nt + i * ntz + k, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    pout_spec = pl.BlockSpec(
+        (1, n_pout, 1, P), lambda i, k, s: (s * nt + i * ntz + k, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    parts_packed = jnp.stack(
+        [a.reshape(ns * nt, 1, P) for a in parts7], axis=1
+    )
     # slab DMA unit: 3D fetches (W, W, nzp) per (x,y)-tile-column, 2D
     # fetches (W, nzp) per x-tile-column
     slab_dims = (W, W, nzp) if ndim == 3 else (W, nzp)
@@ -717,8 +719,8 @@ def binned_push_deposit(
             ),
         ]
         + [field_spec] * 6
-        + [part_spec] * n_pin,
-        out_specs=[part_spec] * n_pout
+        + [pin_spec],
+        out_specs=[pout_spec]
         + [win_spec] * 3
         + [
             pl.BlockSpec(
@@ -733,7 +735,7 @@ def binned_push_deposit(
         ],
     )
     out_shape = (
-        [jax.ShapeDtypeStruct((ns * nt, S, 128), dtype)] * n_pout
+        [jax.ShapeDtypeStruct((ns * nt, n_pout, 1, P), dtype)]
         + [jax.ShapeDtypeStruct((nt, W, wlast), dtype)] * 3
         + [jax.ShapeDtypeStruct((ns * nt, 8, 128), jnp.int32)]
     )
@@ -742,9 +744,9 @@ def binned_push_deposit(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(params, anchors, zshift, *fields6, *parts7)
+    )(params, anchors, zshift, *fields6, parts_packed)
     return (
-        tuple(o.reshape(ns * nt, P) for o in outs[:n_pout]),
-        tuple(outs[n_pout:n_pout + 3]),
-        outs[n_pout + 3][:, 0, 0],
+        tuple(outs[0][:, i, 0] for i in range(n_pout)),
+        tuple(outs[1:4]),
+        outs[4][:, 0, 0],
     )
