@@ -161,6 +161,132 @@ def run_uniform(n, ppc, steps):
     }
 
 
+_LWFA_2D_DECK = """
+max_step = {max_step}
+amr.n_cell = {nx} {nz}
+geometry.dims = 2
+geometry.prob_lo = -30.e-6 -56.e-6
+geometry.prob_hi =  30.e-6  12.e-6
+boundary.field_lo = pml pml
+boundary.field_hi = pml pml
+warpx.verbose = 0
+warpx.use_filter = 1
+warpx.cfl = 0.98
+warpx.do_moving_window = 1
+warpx.moving_window_dir = z
+warpx.moving_window_v = 1.0
+warpx.sort_intervals = {interval}
+tpu.tiled_particles = on
+tpu.tile_mxu = {mxu}
+algo.particle_shape = 3
+algo.maxwell_solver = yee
+particles.species_names = electrons beam
+electrons.species_type = electron
+electrons.injection_style = NUniformPerCell
+electrons.num_particles_per_cell_each_dim = {ppcx} {ppcz} 1
+electrons.xmin = -20.e-6
+electrons.xmax =  20.e-6
+electrons.zmin = -56.e-6
+electrons.profile = constant
+electrons.density = 2.e23
+electrons.momentum_distribution_type = at_rest
+electrons.do_continuous_injection = 1
+beam.species_type = electron
+beam.injection_style = gaussian_beam
+beam.x_rms = .5e-6
+beam.y_rms = .5e-6
+beam.z_rms = .5e-6
+beam.x_m = 0.
+beam.y_m = 0.
+beam.z_m = -28.e-6
+beam.npart = 100
+beam.q_tot = -1.e-12
+beam.momentum_distribution_type = gaussian
+beam.ux_m = 0.0
+beam.uy_m = 0.0
+beam.uz_m = 500.
+beam.ux_th = 2.
+beam.uy_th = 2.
+beam.uz_th = 50.
+lasers.names = laser1
+laser1.profile = Gaussian
+laser1.position = 0. 0. 9.e-6
+laser1.direction = 0. 0. 1.
+laser1.polarization = 0. 1. 0.
+laser1.e_max = 16.e12
+laser1.profile_waist = 5.e-6
+laser1.profile_duration = 15.e-15
+laser1.profile_t_peak = 30.e-15
+laser1.profile_focal_distance = 100.e-6
+laser1.wavelength = 0.8e-6
+"""
+
+
+def run_lwfa(nx, nz, ppc, steps):
+    """BASELINE config-2 workload: 2D LWFA (Gaussian laser + moving window
+    + PML + continuously injected plasma + relativistic beam), the shape of
+    Examples/Physics_applications/laser_acceleration/inputs_base_2d (no MR),
+    run on the bounded tile-binned Pallas path.  The plasma pre-fills the
+    window (zmin = prob_lo) so the measurement reflects the in-plasma steady
+    state rather than the vacuum lead-in of the stock deck."""
+    import jax.numpy as jnp
+
+    from warpx_tpu.core.simulation import Simulation
+    from warpx_tpu.utils.parser import Deck
+
+    interval = int(os.environ.get("BENCH_LWFA_SORT_INTERVAL", 4))
+    # bounded horizon: continuous-injection slot capacity scales with
+    # max_step, so give the run a finite but generous budget
+    budget = 2 * interval + 64 * max(steps, interval)
+    deck = Deck.from_string(_LWFA_2D_DECK.format(
+        nx=nx, nz=nz, ppcx=ppc, ppcz=ppc, interval=interval,
+        max_step=budget,
+        mxu=os.environ.get("BENCH_MXU", "mixed"),
+    ))
+    sim = Simulation.from_deck(deck)
+    sim.init()
+
+    def alive_count(state):
+        return sum(
+            int(jnp.sum(p.alive)) for p in state.species.values()
+        )
+
+    # warm: compile the rebin and steady step variants + window shift
+    sim.evolve(2 * interval)
+    _pull(sim.state.fields.Ex)
+    t0 = time.perf_counter()
+    _pull(sim.state.fields.Ex)
+    rtt = time.perf_counter() - t0
+    n0 = alive_count(sim.state)
+    n_steps = max(steps, interval)
+    while True:
+        t0 = time.perf_counter()
+        sim.evolve(n_steps)
+        _pull(sim.state.fields.Ex)
+        span = time.perf_counter() - t0
+        remaining = budget - int(sim.state.step)
+        if span >= max(5.0 * rtt, 0.25) or remaining < 2 * n_steps:
+            break
+        n_steps *= 2
+    n1 = alive_count(sim.state)
+    ovf = int(sim.state.aux["tile_overflow"])
+    vio = int(sim.state.aux["tile_violations"])
+    if ovf or vio:
+        raise RuntimeError(f"tile invariants violated: {ovf}, {vio}")
+    per_step = max(span - rtt, 1e-9) / n_steps
+    n_mean = 0.5 * (n0 + n1)
+    return {
+        "n_cell": [nx, nz],
+        "n_particles": n_mean,
+        "per_step_seconds": per_step,
+        "steps_per_sec": 1.0 / per_step,
+        "pushes_per_sec": n_mean / per_step,
+        "path": "binned-pallas-bounded",
+        "sort_interval": interval,
+        "pull_rtt_s": rtt,
+    }
+
+
 def main():
     import jax
 
@@ -183,6 +309,17 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"bench: {spec} failed: {e}", file=sys.stderr, flush=True)
             last_err = e
+    if results and os.environ.get("BENCH_LWFA", "1") != "0":
+        try:
+            detail["lwfa_2d"] = run_lwfa(
+                int(os.environ.get("BENCH_LWFA_NX", 256)),
+                int(os.environ.get("BENCH_LWFA_NZ", 2048)),
+                int(os.environ.get("BENCH_LWFA_PPC", 2)),
+                steps,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: lwfa failed: {e}", file=sys.stderr, flush=True)
+            detail["lwfa_2d"] = {"error": str(e)[:300]}
     if results and "BENCH_MXU" not in os.environ:
         modes = {}
         for m in ("f32", "bf16"):

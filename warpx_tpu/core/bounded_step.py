@@ -96,8 +96,16 @@ def field_shapes(cfg, staggering) -> Dict[str, tuple]:
 
 
 def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
-                         tile_spec=None):
+                         tile_spec=None, psum_axis=None):
     """Build (step_main, step_window, half_push, solve_es) jitted kernels.
+
+    With ``psum_axis`` set (a mesh axis name), the kernels run under the
+    particle-decomposition SPMD mode (core/particle_dist.py): fields are
+    replicated, each shard owns a slice of every species' slot axis, and
+    the deposited sources are ``psum``-reduced over the axis at the
+    deposit->advance seam so the (replicated) field update is identical on
+    all shards.  Continuous injection partitions its candidate band by
+    candidate index so each new particle materializes on exactly one shard.
 
     With ``tile_spec`` set (a TileSpec from core/binned_step.make_tile_spec;
     config pre-validated by binned_step.bounded_binned_supported), the
@@ -441,6 +449,15 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
             phi = np.asarray(_eb_phi_at([jnp.asarray(m) for m in mesh]))
             # evolve where NOT covered (phi <= 0: regular or boundary)
             eb_mask[nm] = jnp.asarray(phi <= 0.0)
+
+    def _shard_key(k):
+        """Decorrelate per-shard random draws under particle decomposition
+        (each shard holds different particles, so identical keys would
+        re-emit the same thermal-wall sequence on every shard); the stored
+        state.rng split chain itself stays replicated."""
+        if psum_axis is None:
+            return k
+        return jax.random.fold_in(k, jax.lax.axis_index(psum_axis))
 
     def origin_of(state):
         """Array-origin coordinates (index 0, including PML strips)."""
@@ -880,6 +897,16 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
         """J filter/fold + rho handling + field advance + PML/boundary
         machinery shared by the slow step and the tile-binned fast step
         (both produce guard-padded J blocks in the same big_shape frame)."""
+        if psum_axis is not None:
+            # particle-decomposition seam (SyncCurrent analog over the
+            # particle shards): reduce per-shard partial sources so the
+            # replicated field advance sees the global deposit
+            if j_total is not None:
+                j_total = jax.lax.psum(j_total, psum_axis)
+            if rho_old_pad is not None:
+                rho_old_pad = jax.lax.psum(rho_old_pad, psum_axis)
+            if rho_new_pad is not None:
+                rho_new_pad = jax.lax.psum(rho_new_pad, psum_axis)
         if j_total is None:
             j_valid = tuple(
                 jnp.zeros(shapes[nm], dtype) for nm in ("jx", "jy", "jz")
@@ -1178,6 +1205,16 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
 
         pz = pos[:, wdir]
         sel = (pz > cur_pos) & (pz < new_pos)
+        if psum_axis is not None:
+            # particle decomposition: each candidate lands on exactly one
+            # shard; round-robin by rank WITHIN the selected set (sel is
+            # replicated here) so every injection batch spreads evenly over
+            # the shards regardless of the candidate grid's ordering —
+            # raw-index round-robin can alias with the band stride and
+            # pile whole rows onto one shard until its free slots run out
+            n_sh = jax.lax.psum(1, psum_axis)
+            me = jax.lax.axis_index(psum_axis)
+            sel &= ((jnp.cumsum(sel) - 1) % n_sh) == me
 
         xyz = [jnp.zeros(npart, dtype) for _ in range(3)]
         if ndim == 1:
@@ -1278,8 +1315,15 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
 
         cap = sp.capacity
         free_idx = jnp.nonzero(~sp.alive, size=npart, fill_value=cap)[0]
-        placeable = sel & (free_idx < cap)
-        tgt = jnp.where(placeable, free_idx, cap)
+        # compact: the j-th SELECTED candidate takes the j-th free slot —
+        # pairing by raw candidate index would burn one free slot per
+        # unselected candidate (and under particle decomposition each shard
+        # selects only 1/n of the band, so it would need n x the free slots
+        # it actually fills)
+        rank = jnp.cumsum(sel) - 1
+        slot = free_idx[jnp.clip(rank, 0, npart - 1)]
+        placeable = sel & (slot < cap)
+        tgt = jnp.where(placeable, slot, cap)
 
         def put(arr, vals):
             return arr.at[tgt].set(jnp.asarray(vals, arr.dtype), mode="drop")
@@ -1489,7 +1533,9 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
                 cap_loc = sp.capacity
                 rng_loc, k1, k2, k3 = jax.random.split(rng_loc, 4)
                 ax_n = axes[d]
-                un = sample_gaussian_flux(k1, cap_loc, 0.0, uth, dtype) * _c
+                un = sample_gaussian_flux(
+                    _shard_key(k1), cap_loc, 0.0, uth, dtype
+                ) * _c
                 u[ax_n] = jnp.where(ref, side_sign * un, u[ax_n])
                 ks = [k2, k3]
                 for ax2 in ("x", "y", "z"):
@@ -1498,7 +1544,9 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
                     kk = ks.pop()
                     u[ax2] = jnp.where(
                         ref,
-                        uth * _c * jax.random.normal(kk, (cap_loc,), dtype),
+                        uth * _c * jax.random.normal(
+                            _shard_key(kk), (cap_loc,), dtype
+                        ),
                         u[ax2],
                     )
 
@@ -1695,6 +1743,8 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
             es_groups
         ):
             rho = deposit_total_rho(state, cfg, only=grp_names)
+            if psum_axis is not None:
+                rho = jax.lax.psum(rho, psum_axis)
             if poisson_igf:
                 phi = solve_open_igf(rho, backend)
             else:

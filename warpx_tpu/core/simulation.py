@@ -107,7 +107,10 @@ class Simulation:
                     "(see bounded_binned_supported)"
                 )
             self._step_main, self._step_window, self._half_push, self._solve_es = (
-                make_bounded_kernels(cfg, self.staggering, self.dtype)
+                make_bounded_kernels(
+                    cfg, self.staggering, self.dtype,
+                    psum_axis=getattr(self, "_psum_axis", None),
+                )
             )
             self._step = None
         elif cfg.evolve_scheme != "explicit":
