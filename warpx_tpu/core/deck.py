@@ -1405,4 +1405,32 @@ def _tiling_from_deck(deck: Deck, ndim: int) -> dict:
     if mxu not in ("f32", "mixed", "bf16"):
         raise ValueError(f"tpu.tile_mxu must be f32|mixed|bf16, got {mxu}")
     out["tile_mxu"] = mxu
+
+    # dynamic load balancing (WarpX.cpp:1264-1281 parse block)
+    lb_iv = deck.get_strings("algo.load_balance_intervals", [])
+    if lb_iv:
+        out["load_balance_intervals"] = " ".join(lb_iv)
+    out["load_balance_with_sfc"] = bool(
+        deck.get_int("algo.load_balance_with_sfc", 0)
+    )
+    kf = deck.get_real("algo.load_balance_knapsack_factor", 0.0)
+    if kf:
+        out["load_balance_knapsack_factor"] = kf
+    th = deck.get_real("algo.load_balance_efficiency_ratio_threshold", -1.0)
+    if th >= 0.0:
+        out["load_balance_efficiency_ratio_threshold"] = th
+    cu = (deck.get_string("algo.load_balance_costs_update", "heuristic")
+          or "heuristic").lower().replace("-", "").replace("_", "")
+    if cu == "timers":
+        raise NotImplementedError(
+            "algo.load_balance_costs_update = timers (per-box profiler "
+            "costs) is not implemented; use heuristic"
+        )
+    out["load_balance_costs_update"] = "heuristic"
+    cw = deck.get_real("algo.costs_heuristic_cells_wt", -1.0)
+    if cw >= 0.0:
+        out["costs_heuristic_cells_wt"] = cw
+    pw = deck.get_real("algo.costs_heuristic_particles_wt", -1.0)
+    if pw >= 0.0:
+        out["costs_heuristic_particles_wt"] = pw
     return out

@@ -35,7 +35,10 @@ from ..solvers.yee_padded import evolve_b_padded, evolve_e_padded
 from .config import SimConfig
 from .state import SimState
 
-__all__ = ["make_sharded_step", "guard_cells_for"]
+__all__ = [
+    "make_sharded_step", "make_balanced_step", "make_balanced_half_push",
+    "guard_cells_for",
+]
 
 
 def guard_cells_for(order: int) -> int:
@@ -209,6 +212,216 @@ def make_sharded_step(cfg: SimConfig, staggering: Dict, smesh: SpatialMesh):
     return jax.jit(wrapped)
 
 
+def make_balanced_step(cfg: SimConfig, staggering: Dict, smesh: SpatialMesh):
+    """Balanced-mode SPMD step: particles ride their ASSIGNED chip.
+
+    After a dynamic load balance (parallel/load_balance.py, the analog of
+    WarpXRegrid.cpp:74-160 makeKnapSack/makeSFC + RemakeLevel) particles no
+    longer live with their slab owner, so gather reads from an all-gathered
+    global E,B copy and deposition emits a global J that is psum'd once and
+    sliced back to the slab owner.  Field work stays on the even slab
+    sharding (the Maxwell update is per-cell uniform — already balanced);
+    particle work follows the knapsack map.  The all_gather+psum pair is
+    the price of balance, adopted only when the measured efficiency gain
+    beats load_balance_efficiency_ratio_threshold, exactly like the
+    reference's doLoadBalance test (WarpXRegrid.cpp:119-124).
+    """
+    geom = cfg.geometry
+    ndim = geom.ndim
+    dt = cfg.dt
+    order = cfg.particle_shape
+    local_nc = smesh.local_n_cell(geom)
+    dim_axes = [
+        ax if smesh.n_shards(ax) > 1 else None for ax in geom.axis_names
+    ]
+    shard_axes = tuple(ax for ax in dim_axes if ax is not None)
+
+    def to_global(arr):
+        for d, ax in enumerate(dim_axes):
+            if ax is not None:
+                arr = lax.all_gather(arr, ax, axis=d, tiled=True)
+        return arr
+
+    def slab_slice(arr):
+        starts = [
+            (lax.axis_index(ax) * local_nc[d]).astype(jnp.int32)
+            if ax is not None else jnp.zeros((), jnp.int32)
+            for d, ax in enumerate(dim_axes)
+        ]
+        return lax.dynamic_slice(arr, starts, local_nc)
+
+    center = [
+        0.5 * (geom.prob_lo[d] + geom.prob_hi[d]) for d in range(ndim)
+    ]
+
+    def step_local(state: SimState) -> SimState:
+        fields = state.fields
+        farr = {
+            name: to_global(arr)
+            for name, arr in (
+                ("Ex", fields.Ex), ("Ey", fields.Ey), ("Ez", fields.Ez),
+                ("Bx", fields.Bx), ("By", fields.By), ("Bz", fields.Bz),
+            )
+        }
+        j_total = None
+        new_species = {}
+        for sp_cfg in cfg.species:
+            sp = state.species[sp_cfg.name]
+            if sp.capacity == 0:
+                new_species[sp_cfg.name] = sp
+                continue
+            pos = [
+                jnp.where(sp.alive, p, center[d])
+                for d, p in enumerate(sp.positions(ndim))
+            ]
+            if sp_cfg.do_not_gather:
+                zeros = jnp.zeros_like(sp.ux)
+                ex = ey = ez = bx = by = bz = zeros
+            else:
+                ex, ey, ez, bx, by, bz = gather_eb(
+                    pos, farr, staggering, geom, order, cfg.galerkin,
+                )
+            if sp_cfg.do_not_push:
+                ux, uy, uz = sp.ux, sp.uy, sp.uz
+                new_pos = pos
+            else:
+                pusher = PUSHERS[sp_cfg.pusher]
+                ux, uy, uz = pusher(
+                    sp.ux, sp.uy, sp.uz, ex, ey, ez, bx, by, bz,
+                    sp_cfg.charge, sp_cfg.mass, dt,
+                )
+                new_pos = position_step(pos, ux, uy, uz, dt, ndim)
+
+            if not sp_cfg.do_not_deposit:
+                w_eff = jnp.where(sp.alive, sp.w, 0.0)
+                if cfg.current_deposition == "esirkepov":
+                    j3 = deposit_current_esirkepov(
+                        new_pos, ux, uy, uz, w_eff, sp_cfg.charge,
+                        geom, dt, order,
+                        chunk_size=cfg.deposit_chunk_size,
+                    )
+                else:
+                    j3 = deposit_current_direct(
+                        new_pos, ux, uy, uz, w_eff, sp_cfg.charge,
+                        geom, staggering, dt, order,
+                    )
+                j_total = (
+                    j3 if j_total is None
+                    else tuple(a + b for a, b in zip(j_total, j3))
+                )
+
+            sp_new = sp.replace(ux=ux, uy=uy, uz=uz)
+            wrapped = []
+            for d in range(ndim):
+                lo_g, hi_g = geom.prob_lo[d], geom.prob_hi[d]
+                wrapped.append(
+                    lo_g + jnp.mod(new_pos[d] - lo_g, hi_g - lo_g)
+                )
+            new_species[sp_cfg.name] = sp_new.with_positions(ndim, wrapped)
+
+        if j_total is None:
+            jx = jy = jz = jnp.zeros(local_nc, fields.Ex.dtype)
+        else:
+            if shard_axes:
+                j_total = tuple(lax.psum(a, shard_axes) for a in j_total)
+            jx, jy, jz = (slab_slice(a) for a in j_total)
+        fields = fields.replace(jx=jx, jy=jy, jz=jz)
+
+        def pad1(arrs):
+            return tuple(exchange_halos(a, 1, dim_axes) for a in arrs)
+
+        Bx, By, Bz = evolve_b_padded(
+            fields.b(), pad1(fields.e()), geom.dx, ndim, 0.5 * dt
+        )
+        Ex, Ey, Ez = evolve_e_padded(
+            fields.e(), pad1((Bx, By, Bz)), (jx, jy, jz), geom.dx, ndim, dt
+        )
+        Bx, By, Bz = evolve_b_padded(
+            (Bx, By, Bz), pad1((Ex, Ey, Ez)), geom.dx, ndim, 0.5 * dt
+        )
+        fields = fields.replace(Ex=Ex, Ey=Ey, Ez=Ez, Bx=Bx, By=By, Bz=Bz)
+
+        return state.replace(
+            fields=fields,
+            species=new_species,
+            step=state.step + 1,
+            time=state.time + dt,
+        )
+
+    state_specs = _state_pspecs(
+        cfg, smesh.field_pspec(geom), smesh.particle_pspec()
+    )
+    wrapped = shard_map(
+        step_local,
+        mesh=smesh.mesh,
+        in_specs=(state_specs,),
+        out_specs=state_specs,
+    )
+    return jax.jit(wrapped)
+
+
+def make_balanced_half_push(cfg: SimConfig, staggering: Dict,
+                            smesh: SpatialMesh):
+    """Sharded PushP for balanced mode: gather from all-gathered fields so
+    off-slab (knapsack-assigned) particles see correct E,B."""
+    geom = cfg.geometry
+    ndim = geom.ndim
+    order = cfg.particle_shape
+    dim_axes = [
+        ax if smesh.n_shards(ax) > 1 else None for ax in geom.axis_names
+    ]
+    center = [
+        0.5 * (geom.prob_lo[d] + geom.prob_hi[d]) for d in range(ndim)
+    ]
+
+    def to_global(arr):
+        for d, ax in enumerate(dim_axes):
+            if ax is not None:
+                arr = lax.all_gather(arr, ax, axis=d, tiled=True)
+        return arr
+
+    def push_local(state: SimState, dt_half) -> SimState:
+        fields = state.fields
+        farr = {
+            name: to_global(arr)
+            for name, arr in (
+                ("Ex", fields.Ex), ("Ey", fields.Ey), ("Ez", fields.Ez),
+                ("Bx", fields.Bx), ("By", fields.By), ("Bz", fields.Bz),
+            )
+        }
+        new_species = {}
+        for sp_cfg in cfg.species:
+            sp = state.species[sp_cfg.name]
+            if sp_cfg.do_not_push or sp.capacity == 0:
+                new_species[sp_cfg.name] = sp
+                continue
+            pos = [
+                jnp.where(sp.alive, p, center[d])
+                for d, p in enumerate(sp.positions(ndim))
+            ]
+            ex, ey, ez, bx, by, bz = gather_eb(
+                pos, farr, staggering, geom, order, cfg.galerkin,
+            )
+            pusher = PUSHERS[sp_cfg.pusher]
+            ux, uy, uz = pusher(
+                sp.ux, sp.uy, sp.uz, ex, ey, ez, bx, by, bz,
+                sp_cfg.charge, sp_cfg.mass, dt_half,
+            )
+            new_species[sp_cfg.name] = sp.replace(ux=ux, uy=uy, uz=uz)
+        return state.replace(species=new_species)
+
+    state_specs = _state_pspecs(
+        cfg, smesh.field_pspec(geom), smesh.particle_pspec()
+    )
+    wrapped = shard_map(
+        push_local,
+        mesh=smesh.mesh,
+        in_specs=(state_specs, P()),
+        out_specs=state_specs,
+    )
+    return jax.jit(wrapped)
+
+
 def make_sharded_half_push(cfg: SimConfig, staggering: Dict, smesh: SpatialMesh):
     """Sharded PushP (synchronization half momentum push)."""
     geom = cfg.geometry
@@ -270,7 +483,8 @@ def make_sharded_half_push(cfg: SimConfig, staggering: Dict, smesh: SpatialMesh)
     return jax.jit(wrapped)
 
 
-def _state_pspecs(cfg: SimConfig, field_spec, particle_spec, aux_keys=("lost",)):
+def _state_pspecs(cfg: SimConfig, field_spec, particle_spec,
+                  aux_keys=("lost", "lb_efficiency")):
     """PartitionSpec pytree matching SimState."""
     from .state import FieldState, ParticleState, SimState
 

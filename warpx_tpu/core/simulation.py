@@ -1458,12 +1458,17 @@ class DistSimulation(Simulation):
         self.smesh = SpatialMesh.create(mesh_shape)
         self.headroom = headroom
         self._step = make_sharded_step(cfg, self.staggering, self.smesh)
+        self._step_main = self._step
         self._half_push_fn = make_sharded_half_push(
             cfg, self.staggering, self.smesh
         )
         self._half_push = lambda state, dt_half: self._half_push_fn(
             state, jnp.asarray(dt_half, self.dtype)
         )
+        from ..utils.intervals import IntervalsParser
+
+        self._lb_intervals = IntervalsParser(cfg.load_balance_intervals)
+        self._balanced = False  # particles still live with their slab owner
 
     def init(self, seed: int | None = None) -> SimState:
         from ..parallel.distribute import distribute_state
@@ -1471,6 +1476,7 @@ class DistSimulation(Simulation):
         state = super().init(seed)
         aux = dict(state.aux)
         aux.setdefault("lost", jnp.zeros((), jnp.int32))
+        aux.setdefault("lb_efficiency", jnp.ones((), self.dtype))
         state = state.replace(aux=aux)
         self.state = distribute_state(
             state, self.cfg.geometry, self.smesh, self.headroom
@@ -1493,6 +1499,182 @@ class DistSimulation(Simulation):
                 )
 
     def evolve(self, numsteps: int = -1) -> SimState:
-        state = super().evolve(numsteps)
+        if not self._lb_intervals.is_activated():
+            state = super().evolve(numsteps)
+            self.assert_no_lost()
+            return state
+        # single-step the base loop so the rebalance hook can fire at
+        # algo.load_balance_intervals boundaries (WarpXEvolve.cpp:434
+        # `if (step > 0 && load_balance_intervals.contains(step+1))`)
+        if self.state is None:
+            self.init()
+        cfg = self.cfg
+        start = int(self.state.step)
+        stop = cfg.max_step if numsteps < 0 else min(
+            start + numsteps, cfg.max_step
+        )
+        for s in range(start, stop):
+            super().evolve(1)
+            t = int(self.state.step)
+            if t < cfg.max_step and self._lb_intervals.contains(t):
+                self.load_balance()
         self.assert_no_lost()
-        return state
+        return self.state
+
+    # -- dynamic load balancing (WarpXRegrid.cpp:74-160 analog) -------------
+
+    def _tile_grid(self) -> tuple:
+        """Per-axis tile counts for cost binning: the shard grid refined
+        until there are >= 8 tiles per chip (the over-decomposition that
+        gives makeKnapSack/makeSFC something to trade)."""
+        geom = self.cfg.geometry
+        tiles = [max(1, self.smesh.n_shards(ax)) for ax in geom.axis_names]
+        n_chips = self.smesh.total_shards
+        while int(np.prod(tiles)) < 8 * n_chips:
+            # double the axis with the fewest tiles that still has cells
+            cand = [d for d in range(geom.ndim)
+                    if tiles[d] * 2 <= geom.n_cell[d]]
+            if not cand:
+                break
+            d = min(cand, key=lambda i: tiles[i])
+            tiles[d] *= 2
+        return tuple(tiles)
+
+    def measure_costs(self):
+        """Per-tile and per-chip heuristic costs from the live state.
+
+        cost = cells_wt * n_cells + particles_wt * n_particles
+        (ComputeCostsHeuristic, WarpXRegrid.cpp:316; weights
+        algo.costs_heuristic_*_wt).  Fields stay evenly slab-sharded on
+        TPU, so the cell term is a constant per chip; the particle term
+        follows slot ownership (segment s of every species' slot axis
+        lives on chip s)."""
+        cfg = self.cfg
+        geom = cfg.geometry
+        n_chips = self.smesh.total_shards
+        tiles = self._tile_grid()
+        n_tiles = int(np.prod(tiles))
+        tile_counts = np.zeros(n_tiles, dtype=np.int64)
+        chip_counts = np.zeros(n_chips, dtype=np.int64)
+        owner_tile = {}
+        for sp_cfg in cfg.species:
+            sp = self.state.species[sp_cfg.name]
+            if sp.capacity == 0:
+                owner_tile[sp_cfg.name] = np.zeros(0, np.int64)
+                continue
+            alive = np.asarray(jax.device_get(sp.alive))
+            pos = [np.asarray(jax.device_get(p))
+                   for p in sp.positions(geom.ndim)]
+            idx = np.zeros(alive.shape[0], dtype=np.int64)
+            for d in range(geom.ndim):
+                ext = (geom.prob_hi[d] - geom.prob_lo[d]) / tiles[d]
+                cell = np.clip(
+                    ((pos[d] - geom.prob_lo[d]) // ext).astype(np.int64),
+                    0, tiles[d] - 1,
+                )
+                idx = idx * tiles[d] + cell
+            idx = np.where(alive, idx, -1)
+            owner_tile[sp_cfg.name] = idx
+            tile_counts += np.bincount(idx[idx >= 0], minlength=n_tiles)
+            seg = sp.capacity // n_chips
+            chip_counts += np.bincount(
+                np.minimum(np.arange(alive.shape[0]) // seg, n_chips - 1),
+                weights=alive.astype(np.float64), minlength=n_chips,
+            ).astype(np.int64)
+        cw, pw = cfg.costs_heuristic_cells_wt, cfg.costs_heuristic_particles_wt
+        cells_per_chip = float(np.prod(geom.n_cell)) / n_chips
+        tile_costs = pw * tile_counts.astype(np.float64)
+        chip_costs = (pw * chip_counts.astype(np.float64)
+                      + cw * cells_per_chip)
+        return tiles, tile_costs, chip_costs, owner_tile
+
+    def load_balance(self) -> bool:
+        """Propose a new tile->chip assignment and adopt it when the
+        efficiency gain beats algo.load_balance_efficiency_ratio_threshold
+        (the doLoadBalance test, WarpXRegrid.cpp:119-124).  Adoption
+        repacks every species' slot segments to the assigned chips and
+        switches the step to balanced mode (all-gathered gather fields +
+        one J psum), the TPU trade for the reference's RemakeLevel +
+        Redistribute.  Returns True when adopted."""
+        import math
+
+        from ..parallel.distribute import pack_by_owner
+        from ..parallel.load_balance import (
+            assignment_efficiency, knapsack_assignment, morton_order,
+            sfc_assignment,
+        )
+
+        cfg = self.cfg
+        geom = cfg.geometry
+        n_chips = self.smesh.total_shards
+        tiles, tile_costs, chip_costs, owner_tile = self.measure_costs()
+        cur_eff = float(chip_costs.mean() / chip_costs.max()) \
+            if chip_costs.max() > 0 else 1.0
+        if cfg.load_balance_with_sfc:
+            order = morton_order(tiles)
+            assign = sfc_assignment(tile_costs, order, n_chips)
+        else:
+            nmax = int(math.ceil(
+                len(tile_costs) / n_chips * cfg.load_balance_knapsack_factor
+            ))
+            assign = knapsack_assignment(tile_costs, n_chips, nmax)
+        cw = cfg.costs_heuristic_cells_wt
+        cells_per_chip = float(np.prod(geom.n_cell)) / n_chips
+        loads = np.bincount(assign, weights=tile_costs, minlength=n_chips)
+        loads = loads + cw * cells_per_chip
+        new_eff = float(loads.mean() / loads.max()) if loads.max() > 0 else 1.0
+
+        aux = dict(self.state.aux)
+        adopt = new_eff > cur_eff * cfg.load_balance_efficiency_ratio_threshold
+        if adopt:
+            species = {}
+            for sp_cfg in cfg.species:
+                sp = self.state.species[sp_cfg.name]
+                if sp.capacity == 0:
+                    species[sp_cfg.name] = sp
+                    continue
+                owner = np.where(
+                    owner_tile[sp_cfg.name] >= 0,
+                    assign[owner_tile[sp_cfg.name]], -1,
+                )
+                species[sp_cfg.name] = pack_by_owner(
+                    sp, owner, n_chips, sp.capacity // n_chips, geom
+                )
+            psh = self.smesh.particle_sharding()
+            species = {
+                nm: jax.tree_util.tree_map(
+                    lambda a: jax.device_put(a, psh), sp)
+                for nm, sp in species.items()
+            }
+            aux["lb_efficiency"] = jnp.asarray(new_eff, self.dtype)
+            self.state = self.state.replace(species=species, aux=aux)
+            self._enter_balanced_mode()
+        else:
+            aux["lb_efficiency"] = jnp.asarray(cur_eff, self.dtype)
+            self.state = self.state.replace(aux=aux)
+        if cfg.verbose:
+            print(
+                f"load balance @step {int(self.state.step)}: efficiency "
+                f"{cur_eff:.3f} -> {new_eff:.3f} "
+                f"({'adopted' if adopt else 'kept'})"
+            )
+        return adopt
+
+    def _enter_balanced_mode(self) -> None:
+        """Swap to the balanced step: particles ride their assigned chip,
+        gather reads all-gathered fields, deposit psums J to slab owners."""
+        if self._balanced:
+            return
+        from .sharded_step import make_balanced_half_push, make_balanced_step
+
+        self._step = make_balanced_step(
+            self.cfg, self.staggering, self.smesh
+        )
+        self._step_main = self._step
+        bal_push = make_balanced_half_push(
+            self.cfg, self.staggering, self.smesh
+        )
+        self._half_push = lambda state, dt_half: bal_push(
+            state, jnp.asarray(dt_half, self.dtype)
+        )
+        self._balanced = True

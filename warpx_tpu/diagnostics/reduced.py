@@ -156,15 +156,13 @@ def rho_maximum(state: SimState, cfg: SimConfig, staggering) -> Dict[str, float]
 
 
 def load_balance_efficiency(state, cfg, staggering) -> Dict[str, float]:
-    """Static-shard placeholder: per-shard particle-count balance
-    (the reference's cost-based metric, WarpXRegrid.cpp:104-124)."""
-    counts = []
-    for sp_cfg in cfg.species:
-        sp = state.species[sp_cfg.name]
-        if sp.capacity:
-            counts.append(float(jnp.sum(sp.alive)))
-    total = sum(counts) or 1.0
-    return {"lev0_efficiency()": 1.0 if total else 1.0}
+    """Average-over-max per-chip cost of the CURRENT distribution mapping
+    (amrex ComputeDistributionMappingEfficiency semantics, reported by
+    LoadBalanceEfficiency.cpp:44).  Multi-chip runs keep the live value in
+    aux['lb_efficiency'] (written by DistSimulation.load_balance); a
+    single-chip run is trivially balanced."""
+    eff = state.aux.get("lb_efficiency")
+    return {"lev0_efficiency()": float(eff) if eff is not None else 1.0}
 
 
 class ReducedDiagWriter:

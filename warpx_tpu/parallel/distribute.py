@@ -16,7 +16,7 @@ from ..core.grid import Geometry
 from ..core.state import ParticleState, SimState
 from .topology import SpatialMesh
 
-__all__ = ["distribute_state", "shard_capacity"]
+__all__ = ["distribute_state", "shard_capacity", "pack_by_owner"]
 
 
 def shard_capacity(count_max: int, headroom: float = 1.5, multiple: int = 8) -> int:
@@ -37,22 +37,27 @@ def _owner_index(pos_active: np.ndarray, geom: Geometry, smesh: SpatialMesh):
     return idx
 
 
-def distribute_particles(
-    ps: ParticleState, geom: Geometry, smesh: SpatialMesh, headroom: float = 1.5
+def pack_by_owner(
+    ps: ParticleState, owner: np.ndarray, n_shards: int, cap: int,
+    geom: Geometry,
 ) -> ParticleState:
+    """Repack particles into per-shard segments of width ``cap`` by the
+    given owner index (-1 = dead slot, dropped).  Host-side analog of a
+    Redistribute after a new DistributionMapping is adopted
+    (reference: WarpXRegrid.cpp:146 RemakeLevel -> Redistribute)."""
     ndim = geom.ndim
-    n_shards = smesh.total_shards
-    pos = np.stack([np.asarray(p) for p in ps.positions(ndim)], axis=-1)
-    alive = np.asarray(ps.alive)
-    owner = _owner_index(pos, geom, smesh)
-    owner = np.where(alive, owner, -1)
-
     counts = np.bincount(owner[owner >= 0], minlength=n_shards)
-    cap = shard_capacity(int(counts.max()) if counts.size else 0, headroom)
+    if counts.size and int(counts.max()) > cap:
+        raise RuntimeError(
+            f"load-balance repack overflow: a chip was assigned "
+            f"{int(counts.max())} particles > segment capacity {cap}; "
+            "increase headroom"
+        )
+    pos = np.stack([np.asarray(p) for p in ps.positions(ndim)], axis=-1)
 
     def pack(arr, fill=0.0):
         arr = np.asarray(arr)
-        out = np.full(n_shards * cap, fill, dtype=arr.dtype)
+        out = np.full((n_shards * cap,) + arr.shape[1:], fill, dtype=arr.dtype)
         for s in range(n_shards):
             sel = np.nonzero(owner == s)[0]
             out[s * cap : s * cap + sel.size] = arr[sel]
@@ -68,6 +73,7 @@ def distribute_particles(
         uy=pack(ps.uy),
         uz=pack(ps.uz),
         alive=new_alive,
+        extra={k: pack(v) for k, v in ps.extra.items()},
     )
     pos_names = {1: ["z"], 2: ["x", "z"], 3: ["x", "y", "z"]}[ndim]
     # park dead slots mid-domain; the sharded step re-parks per-block anyway
@@ -75,6 +81,21 @@ def distribute_particles(
         center = 0.5 * (geom.prob_lo[d] + geom.prob_hi[d])
         kw[nm] = pack(pos[:, d], fill=center)
     return ParticleState(**kw)
+
+
+def distribute_particles(
+    ps: ParticleState, geom: Geometry, smesh: SpatialMesh, headroom: float = 1.5
+) -> ParticleState:
+    ndim = geom.ndim
+    n_shards = smesh.total_shards
+    pos = np.stack([np.asarray(p) for p in ps.positions(ndim)], axis=-1)
+    alive = np.asarray(ps.alive)
+    owner = _owner_index(pos, geom, smesh)
+    owner = np.where(alive, owner, -1)
+
+    counts = np.bincount(owner[owner >= 0], minlength=n_shards)
+    cap = shard_capacity(int(counts.max()) if counts.size else 0, headroom)
+    return pack_by_owner(ps, owner, n_shards, cap, geom)
 
 
 def distribute_state(
