@@ -1162,7 +1162,12 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
         key = f"inject_pos:{sp_cfg.name}"
         cur_pos = state.aux[key]
         dz = dxs[wdir]
-        new_pos = cur_pos + jnp.floor((new_hi[wdir] - cur_pos) / dz) * dz
+        # (new_hi - cur_pos) is a whole number of cells for an at-rest
+        # plasma (both move in dz quanta) — nudge the floor so float
+        # accumulation error can't drop the newest column for a step
+        new_pos = cur_pos + jnp.floor(
+            (new_hi[wdir] - cur_pos) / dz + 1e-9
+        ) * dz
 
         # injected band size: with the tile-binned step, injection is
         # batched to pre-rebin steps (the window edge outruns anything

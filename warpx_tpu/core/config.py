@@ -213,6 +213,9 @@ class SpeciesConfig:
     resampling_delta_u: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # extra particle capacity headroom factor for continuous injection
     capacity_factor: float = 1.0
+    # RZ: random per-cell theta offset at injection (reference default true,
+    # PhysicalParticleContainer.cpp:300 <species>.random_theta)
+    random_theta: bool = True
     # ADK field ionization (reference: PhysicalParticleContainer ionization)
     do_field_ionization: bool = False
     physical_element: str = ""

@@ -120,6 +120,7 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
         do_not_deposit=bool(deck.get_int(f"{name}.do_not_deposit", 0)),
         user_constants=tuple(sorted(deck.my_constants.items())),
         do_continuous_injection=bool(deck.get_int(f"{name}.do_continuous_injection", 0)),
+        random_theta=deck.get_bool(f"{name}.random_theta", True),
         single_particle_pos=tuple(
             deck.get_reals(f"{name}.single_particle_pos", (0.0, 0.0, 0.0))
         ),
@@ -1040,13 +1041,17 @@ def _rz_config_from_deck(deck: Deck) -> SimConfig:
     field_hi = [b.lower() for b in deck.get_strings(
         "boundary.field_hi", ["none", "periodic"])]
     periodic = (False, field_lo[1] == "periodic" and field_hi[1] == "periodic")
-    if not periodic[1]:
-        raise NotImplementedError("RZ supports periodic z only for now")
     if field_hi[0] == "pml":
         raise NotImplementedError("RZ radial PML (PML_RZ)")
     solver = (deck.get_string("algo.maxwell_solver", "yee") or "yee").lower()
     if solver not in ("yee", "psatd"):
         raise NotImplementedError(f"RZ maxwell solver {solver}")
+    if not periodic[1]:
+        if solver == "psatd":
+            raise NotImplementedError("RZ PSATD with bounded z (PML_RZ)")
+        for b in (field_lo[1], field_hi[1]):
+            if b not in ("pec", "none"):
+                raise NotImplementedError(f"RZ z boundary '{b}'")
     geom = Geometry(
         ndim=2, n_cell=n_cell, prob_lo=prob_lo, prob_hi=prob_hi,
         periodic=periodic, rz=True,
@@ -1110,6 +1115,31 @@ def _rz_config_from_deck(deck: Deck) -> SimConfig:
                     "psatd.v_galilean", (0.0, 0.0, 0.0))
             ),
         )
+    # moving window (z only in RZ: WarpX.cpp asserts moving_window_dir == z)
+    do_window = deck.get_bool("warpx.do_moving_window", False)
+    window_kw = {}
+    if do_window:
+        wdir = (deck.get_string("warpx.moving_window_dir", "z") or "z").lower()
+        if wdir != "z":
+            raise NotImplementedError("RZ moving window must be along z")
+        if periodic[1]:
+            raise ValueError("moving window requires bounded z")
+        window_kw = dict(
+            do_moving_window=True,
+            moving_window_dir=1,
+            moving_window_v=deck.get_real("warpx.moving_window_v", 1.0),
+        )
+    # laser antennas (LaserParticleContainer RZ: radial spokes layout)
+    lasers = tuple(
+        _laser_from_deck(deck, nm)
+        for nm in deck.get_strings("lasers.names", [])
+    )
+    laser_species = tuple(
+        SpeciesConfig(
+            name=l.name, charge=1.0, mass=0.0, injection_style="laser",
+        )
+        for l in lasers
+    )
     return SimConfig(
         geometry=geom,
         max_step=deck.get_int("max_step", deck.get_int("warpx.max_step", 0)),
@@ -1125,14 +1155,19 @@ def _rz_config_from_deck(deck: Deck) -> SimConfig:
         grid_type=(
             deck.get_string("warpx.grid_type", "staggered") or "staggered"
         ).lower(),
-        species=species,
         cfl=cfl,
         n_rz_modes=n_modes,
         do_dive_cleaning=dive_cleaning,
         field_bc_lo=tuple(field_lo),
         field_bc_hi=tuple(field_hi),
+        filter_npass_each_dir=tuple(
+            deck.get_ints("warpx.filter_npass_each_dir", (1, 1))
+        ),
+        lasers=lasers,
+        species=species + laser_species,
         user_constants=tuple(sorted(deck.my_constants.items())),
         tiled_particles="off",
+        **window_kw,
         **psatd_kw,
     )
 

@@ -646,22 +646,39 @@ class Simulation:
         rng = np.random.default_rng(seed if seed is not None else cfg.seed)
 
         if geom.rz:
-            from ..rz.core import rz_inject_species, rz_zero_fields
+            from ..rz.core import (
+                rz_antenna_particles, rz_inject_species, rz_zero_fields,
+            )
 
-            species = {
-                sp_cfg.name: jax.tree_util.tree_map(
-                    jnp.asarray,
-                    rz_inject_species(sp_cfg, cfg, np_dtype, rng),
+            species = {}
+            aux = {}
+            for sp_cfg in cfg.species:
+                if sp_cfg.injection_style == "laser":
+                    laser = next(
+                        l for l in cfg.lasers if l.name == sp_cfg.name
+                    )
+                    ps, _ = rz_antenna_particles(laser, cfg, np_dtype)
+                else:
+                    ps = rz_inject_species(sp_cfg, cfg, np_dtype, rng)
+                species[sp_cfg.name] = jax.tree_util.tree_map(
+                    jnp.asarray, ps
                 )
-                for sp_cfg in cfg.species
-            }
+                if sp_cfg.do_continuous_injection and cfg.do_moving_window:
+                    aux[f"inject_pos:{sp_cfg.name}"] = jnp.asarray(
+                        geom.prob_hi[1] if cfg.moving_window_v > 0
+                        else geom.prob_lo[1],
+                        self.dtype,
+                    )
+            if cfg.do_moving_window:
+                aux["window_x"] = jnp.asarray(geom.prob_lo[1], self.dtype)
+                aux["window_lo"] = jnp.asarray(geom.prob_lo[1], self.dtype)
             self.state = SimState(
                 fields=rz_zero_fields(cfg, self.dtype),
                 species=species,
                 step=jnp.zeros((), jnp.int32),
                 time=jnp.zeros((), self.dtype),
                 rng=jax.random.PRNGKey(cfg.seed),
-                aux={},
+                aux=aux,
             )
             self.is_synchronized = True
             return self.state

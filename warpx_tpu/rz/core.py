@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import constants
 from ..constants import c as _c, ep0 as _ep0, mu0 as _mu0
 from ..core.state import FieldState, ParticleState, SimState
 from ..ops.push import PUSHERS
@@ -85,10 +86,61 @@ def _shape(cfg):
     return geom.n_cell[0], geom.n_cell[1], 2 * cfg.n_rz_modes - 1
 
 
+def _z_bcs(cfg):
+    """(periodic, bc_lo, bc_hi) for the z dimension."""
+    per = cfg.geometry.periodic[1]
+    bc_lo = (tuple(cfg.field_bc_lo or ()) + ("none", "periodic"))[1]
+    bc_hi = (tuple(cfg.field_bc_hi or ()) + ("none", "periodic"))[1]
+    return per, bc_lo, bc_hi
+
+
 def field_shape(cfg, name):
+    """(C, NR(+1), NZ(+1)) array shape: AMReX-faithful nodal layout — a
+    component NODAL in bounded z stores nz+1 valid values (both walls)."""
     nr, nz, ncomp = _shape(cfg)
-    fr = rz_stagger(cfg, name)[0]
-    return (ncomp, nr + 1 if fr else nr, nz)
+    fr, fz = rz_stagger(cfg, name)
+    nzv = nz + (1 if (fz and not cfg.geometry.periodic[1]) else 0)
+    return (ncomp, nr + 1 if fr else nr, nzv)
+
+
+# component tangential to a z-wall (r/theta components); z/scalars normal
+_Z_TANG = {"Er": True, "Et": True, "Br": True, "Bt": True,
+           "Ez": False, "Bz": False}
+
+
+def _extend_z(arr, name, cfg, ng):
+    """Pad ``ng`` z-guard layers filled per the z BCs: periodic wrap, or the
+    PEC mirror rules (WarpX_PEC.cpp SetEfieldOnPEC/SetBfieldOnPEC — E
+    tangential odd + wall zero, E normal even; B tangential even, B normal
+    odd + wall zero).  Used by the gather and the wall-adjacent curls."""
+    per, bc_lo, bc_hi = _z_bcs(cfg)
+    if per:
+        return jnp.concatenate(
+            [arr[..., -ng:], arr, arr[..., :ng]], axis=-1
+        )
+    from ..core.boundaries import fill_guards_pec
+
+    nz = cfg.geometry.n_cell[1]
+    nodal = rz_stagger(cfg, name)[1] == 1
+    zshape = arr.shape[:-1] + (ng,)
+    out = jnp.concatenate(
+        [jnp.zeros(zshape, arr.dtype), arr, jnp.zeros(zshape, arr.dtype)],
+        axis=-1,
+    )
+    tang = _Z_TANG[name]
+    if name[0] == "E":
+        mirror_neg = tang
+        zero_wall = tang and nodal
+    else:
+        mirror_neg = not tang
+        zero_wall = (not tang) and nodal
+    for side, bc in (("lo", bc_lo), ("hi", bc_hi)):
+        if bc == "pec":
+            out = fill_guards_pec(
+                out, out.ndim - 1, ng, nz, nodal, mirror_neg, side,
+                zero_wall,
+            )
+    return out
 
 
 def rz_zero_fields(cfg, dtype) -> FieldState:
@@ -103,12 +155,69 @@ def rz_zero_fields(cfg, dtype) -> FieldState:
 
 
 # --------------------------------------------------------------- injection
+def _rz_attributes(sp_cfg, x, y, z, u3, np_dtype, t=0.0):
+    """Runtime attributes evaluated at injection (addRealAttributes)."""
+    extra = {}
+    if sp_cfg.attributes:
+        from ..utils.expression import compile_expression
+
+        for (aname, expr, is_int) in sp_cfg.attributes:
+            fn = compile_expression(
+                expr, ["x", "y", "z", "ux", "uy", "uz", "t"],
+                dict(sp_cfg.user_constants),
+            )
+            val = np.broadcast_to(
+                np.asarray(fn(x, y, z, u3[0], u3[1], u3[2], t)), x.shape
+            )
+            extra[aname] = (np.round(val).astype(np.int32) if is_int
+                            else val.astype(np_dtype))
+    return extra
+
+
+def rz_inject_gaussian_beam(sp_cfg, cfg, np_dtype, rng):
+    """AddGaussianBeam in RZ (PhysicalParticleContainer.cpp:503-680): full
+    3D Cartesian normal positions, weight q_tot/(q*npart)."""
+    n = sp_cfg.npart
+    x = rng.normal(sp_cfg.x_m, sp_cfg.x_rms, n)
+    y = rng.normal(sp_cfg.y_m, sp_cfg.y_rms, n)
+    z = rng.normal(sp_cfg.z_m, sp_cfg.z_rms, n)
+    keep = np.abs(z - sp_cfg.z_m) <= sp_cfg.z_cut * (
+        sp_cfg.z_rms if sp_cfg.z_rms else np.inf
+    )
+    if sp_cfg.momentum_distribution == "gaussian":
+        u3 = [
+            rng.normal(m, th or 0.0, n) * _c
+            for m, th in ((sp_cfg.ux, sp_cfg.ux_th),
+                          (sp_cfg.uy, sp_cfg.uy_th),
+                          (sp_cfg.uz, sp_cfg.uz_th))
+        ]
+    elif sp_cfg.momentum_distribution == "constant":
+        u3 = [np.full(n, v * _c) for v in (sp_cfg.ux, sp_cfg.uy, sp_cfg.uz)]
+    else:
+        u3 = [np.zeros(n)] * 3
+    w = np.where(
+        keep, sp_cfg.q_tot / (sp_cfg.charge * n), 0.0
+    ).astype(np_dtype)
+    extra = _rz_attributes(sp_cfg, x, y, z, u3, np_dtype)
+    extra["theta"] = np.arctan2(y, x).astype(np_dtype)
+    return ParticleState(
+        w=w, ux=u3[0].astype(np_dtype), uy=u3[1].astype(np_dtype),
+        uz=u3[2].astype(np_dtype), alive=keep,
+        x=x.astype(np_dtype), y=y.astype(np_dtype), z=z.astype(np_dtype),
+        extra=extra,
+    )
+
+
 def rz_inject_species(sp_cfg, cfg, np_dtype, rng):
     """NUniformPerCell in RZ (PhysicalParticleContainer.cpp:1120-1305):
-    per cell (ir, iz) place (n_r x n_theta x n_z) particles; theta is
-    deterministic 2*pi*(it+0.5)/n_theta (random_theta is an RNG detail of
-    the reference; physics gates do not depend on it); weight =
-    density * (dr*dz/ppc) * 2*pi*r (radially weighted)."""
+    per cell (ir, iz) place (n_r x n_theta x n_z) particles; theta =
+    2*pi*(it+0.5)/n_theta + a per-cell random offset when <species>.
+    random_theta (reference default, :1124-1125, 1168-1170); weight =
+    density * (dr*dz/ppc) * 2*pi*r (radially weighted).  The raw injection
+    theta is stored as the `theta` attribute (PIdx::theta) — the push
+    overwrites it with atan2(y, x), matching SetParticlePosition."""
+    if sp_cfg.injection_style == "gaussian_beam":
+        return rz_inject_gaussian_beam(sp_cfg, cfg, np_dtype, rng)
     geom = cfg.geometry
     nr, nz = geom.n_cell
     dr, dz = geom.dx
@@ -124,6 +233,9 @@ def rz_inject_species(sp_cfg, cfg, np_dtype, rng):
     r = rmin + (ir + (a + 0.5) / n_r) * dr
     z = zmin + (iz + (b + 0.5) / n_z) * dz
     theta = 2.0 * np.pi * (t + 0.5) / n_t
+    if sp_cfg.random_theta:
+        theta = theta + rng.uniform(0.0, 2.0 * np.pi, (nr, nz, 1, 1, 1))
+    theta = np.broadcast_to(theta, r.shape)
     r, z, theta = [q.ravel().astype(np_dtype) for q in (r, z, theta)]
     x = r * np.cos(theta)
     y = r * np.sin(theta)
@@ -139,14 +251,35 @@ def rz_inject_species(sp_cfg, cfg, np_dtype, rng):
     w = np.where(
         alive, dens * (dr * dz / ppc_tot) * 2.0 * np.pi * r, 0.0
     ).astype(np_dtype)
-    return ParticleState(
+    extra = _rz_attributes(sp_cfg, x, y, z, u3, np_dtype)
+    extra["theta"] = theta.astype(np_dtype)
+    ps = ParticleState(
         w=w,
         ux=np.where(alive, u3[0], 0.0).astype(np_dtype),
         uy=np.where(alive, u3[1], 0.0).astype(np_dtype),
         uz=np.where(alive, u3[2], 0.0).astype(np_dtype),
         alive=alive,
         x=x, y=y, z=z,
+        extra=extra,
     )
+    if sp_cfg.do_continuous_injection and cfg.do_moving_window:
+        # headroom for the whole run's window motion, in whole columns
+        v = abs(cfg.moving_window_v) * _c
+        cols = int(math.ceil(v * cfg.dt * max(cfg.max_step, 1) / dz)) + 2
+        pad = cols * nr * ppc_tot
+
+        def _pad(arr, fill=0.0):
+            return np.concatenate(
+                [arr, np.full(pad, fill, arr.dtype)]
+            )
+
+        ps = ps.replace(
+            w=_pad(ps.w), ux=_pad(ps.ux), uy=_pad(ps.uy), uz=_pad(ps.uz),
+            alive=np.concatenate([ps.alive, np.zeros(pad, bool)]),
+            x=_pad(ps.x), y=_pad(ps.y), z=_pad(ps.z),
+            extra={k: _pad(v_) for k, v_ in ps.extra.items()},
+        )
+    return ps
 
 
 def _density_at(sp_cfg, x, y, z, np_dtype):
@@ -192,6 +325,74 @@ def _momentum_at(sp_cfg, x, y, z, np_dtype, rng):
     else:
         raise NotImplementedError(f"RZ momentum distribution {md}")
     return [u * _c for u in u3]
+
+
+# ---------------------------------------------------------- laser antenna
+def rz_antenna_particles(laser, cfg, np_dtype):
+    """RZ laser antenna layout (LaserParticleContainer.cpp:524-537): a
+    radial lattice r_i = position_r + dr*(i+0.5) fanned into n_spokes =
+    (n_modes-1)*min_particles_per_mode theta spokes, two particles (+/- w)
+    per point with ring weight w = (ep0/mobility)*dr * 2*pi*r/n_spokes.
+
+    Returns (ParticleState, mobility)."""
+    geom = cfg.geometry
+    dr = geom.dx[0]
+    mobility = 0.05 / laser.e_max
+    w0 = constants.ep0 / mobility * dr
+    n_spokes = max(1, (cfg.n_rz_modes - 1) * 4)
+    r0, z0 = laser.position[0], laser.position[2]
+    # radial lattice covering [prob_lo_r, prob_hi_r]
+    imin = int((geom.prob_lo[0] - r0) / dr)
+    imax = int((geom.prob_hi[0] - r0) / dr)
+    pts = []
+    for i in range(imin, imax + 1):
+        r = r0 + dr * (i + 0.5)
+        if not (geom.prob_lo[0] <= r <= geom.prob_hi[0]):
+            continue
+        if not (geom.prob_lo[1] <= z0 <= geom.prob_hi[1]):
+            continue
+        for s in range(n_spokes):
+            phase = 2.0 * np.pi * s / n_spokes
+            rw = w0 * 2.0 * np.pi * r / n_spokes
+            pts.append((r * np.cos(phase), r * np.sin(phase), z0, rw))
+            pts.append((r * np.cos(phase), r * np.sin(phase), z0, -rw))
+    n = len(pts)
+    arr = np.array(pts, dtype=np_dtype).reshape(n, 4)
+    zeros = np.zeros(n, dtype=np_dtype)
+    return ParticleState(
+        w=arr[:, 3].copy(), ux=zeros.copy(), uy=zeros.copy(),
+        uz=zeros.copy(), alive=np.ones(n, dtype=bool),
+        x=arr[:, 0].copy(), y=arr[:, 1].copy(), z=arr[:, 2].copy(),
+    ), mobility
+
+
+def update_antenna_rz(sp, laser, mobility, t, dt):
+    """Prescribed antenna motion in RZ (update_laser_particle with the 3D
+    plane vectors u_X = p_X, u_Y = n x p_X, LaserParticleContainer.cpp:210;
+    the Gaussian profile uses the 3D diffraction prefactor)."""
+    from ..core.laser import fill_amplitude, polarization_p_x
+
+    nvec = np.array(laser.direction, float)
+    nvec = nvec / np.linalg.norm(nvec)
+    p_X = polarization_p_x(laser)
+    u_Y = np.cross(nvec, p_X)
+    Xp = (p_X[0] * (sp.x - laser.position[0])
+          + p_X[1] * (sp.y - laser.position[1])
+          + p_X[2] * (sp.z - laser.position[2]))
+    Yp = (u_Y[0] * (sp.x - laser.position[0])
+          + u_Y[1] * (sp.y - laser.position[1])
+          + u_Y[2] * (sp.z - laser.position[2]))
+    amplitude = fill_amplitude(laser, 3, Xp, Yp, t)
+    sign_charge = jnp.where(sp.w > 0, -1.0, 1.0)
+    v_over_c = sign_charge * mobility * amplitude
+    vx = _c * v_over_c * p_X[0]
+    vy = _c * v_over_c * p_X[1]
+    vz = _c * v_over_c * p_X[2]
+    gamma = 1.0 / jnp.sqrt(1.0 - v_over_c * v_over_c)
+    return sp.replace(
+        ux=gamma * vx, uy=gamma * vy, uz=gamma * vz,
+        x=sp.x + vx * dt, y=sp.y + vy * dt, z=sp.z + vz * dt,
+    )
 
 
 # ------------------------------------------------------------------ gather
@@ -253,11 +454,14 @@ def gather_rz(pos3, farr: Dict[str, jnp.ndarray], cfg, order, ng,
         pc, ps = phases[-1]
         phases.append((pc * cost - ps * sint, pc * sint + ps * cost))
 
+    bounded_z = not geom.periodic[1]
     out = {}
     for name in ("Er", "Et", "Ez", "Br", "Bt", "Bz"):
         fr, fz = rz_stagger(cfg, name)
         arr = _extend_axis(farr[name], name, ng, farr[name].shape[1],
                            nodal_r=(fr == 1))
+        if bounded_z:
+            arr = _extend_z(arr, name, cfg, ng)
         o_r = order - 1 if (cfg.galerkin and "r" in _GALERKIN_R[name]) \
             else order
         o_z = order - 1 if (cfg.galerkin and "z" in _GALERKIN_R[name]) \
@@ -270,7 +474,8 @@ def gather_rz(pos3, farr: Dict[str, jnp.ndarray], cfg, order, ng,
         for a, wa in enumerate(wr):
             ridx = jnp.clip(i0 + a + ng, 0, arr.shape[1] - 1)
             for b, wb in enumerate(wz):
-                zidx = jnp.mod(k0 + b, nz)
+                zidx = (jnp.clip(k0 + b + ng, 0, arr.shape[2] - 1)
+                        if bounded_z else jnp.mod(k0 + b, nz))
                 vals = arr[:, ridx, zidx]  # (C, np)
                 contrib = vals[0]
                 for m in range(1, nmodes):
@@ -348,13 +553,21 @@ def _fold_and_scale(ext, name, cfg, ng, kind, mode_sign=1.0):
     return arr * scale[:, None]
 
 
-def deposit_rho_rz(pos3, w, q, cfg, order, ng, dtype):
+def deposit_rho_rz(pos3, w, q, cfg, order, ng, dtype, z_origin=None):
     """Nodal rho, all azimuthal modes (ChargeDeposition.H RZ: factor
-    2 e^{i m theta} per mode) with ring-volume scaling."""
+    2 e^{i m theta} per mode) with ring-volume scaling.  z_origin overrides
+    the z grid origin (moving window).  Bounded z scatters into z guards
+    that are then dropped (the reference's explicit-path SumBoundary folds
+    only periodic directions)."""
     geom = cfg.geometry
     dr, dz = geom.dx
     rmin, zmin = geom.prob_lo
+    if z_origin is not None:
+        zmin = z_origin
     nr, nz = geom.n_cell
+    bounded_z = not geom.periodic[1]
+    nzv = nz + (1 if bounded_z else 0)  # rho is z-nodal
+    ngz = ng if bounded_z else 0
     nmodes = cfg.n_rz_modes
     ncomp = 2 * nmodes - 1
     x, y, z = pos3
@@ -371,12 +584,13 @@ def deposit_rho_rz(pos3, w, q, cfg, order, ng, dtype):
     zg = (z - zmin) / dz
     i0, wr = shape_weights(rg, order)
     k0, wz = shape_weights(zg, order)
-    ext = jnp.zeros((ncomp, nr + 1 + 2 * ng, nz), dtype)
+    ext = jnp.zeros((ncomp, nr + 1 + 2 * ng, nzv + 2 * ngz), dtype)
     wq = (q / (dr * dz)) * w
     for a, wa in enumerate(wr):
         ridx = jnp.clip(i0 + a + ng, 0, ext.shape[1] - 1)
         for b, wb in enumerate(wz):
-            zidx = jnp.mod(k0 + b, nz)
+            zidx = (jnp.clip(k0 + b + ngz, 0, ext.shape[2] - 1)
+                    if bounded_z else jnp.mod(k0 + b, nz))
             val = wq * wa * wb
             ext = ext.at[0].set(_scatter_rz(ext[0], ridx, zidx, val))
             for m in range(1, nmodes):
@@ -385,11 +599,13 @@ def deposit_rho_rz(pos3, w, q, cfg, order, ng, dtype):
                     ext[2 * m - 1], ridx, zidx, 2.0 * val * pc))
                 ext = ext.at[2 * m].set(_scatter_rz(
                     ext[2 * m], ridx, zidx, 2.0 * val * ps))
+    if bounded_z:
+        ext = ext[..., ngz:ngz + nzv]
     return _fold_and_scale_modes(ext, "rho", cfg, ng, "rho")
 
 
 def deposit_current_rz(pos_new3, ux, uy, uz, w, q, cfg, dt, order, ng,
-                       dtype):
+                       dtype, z_origin=None):
     """Esirkepov RZ current deposition, all azimuthal modes
     (CurrentDeposition.H:826-890 RZ branch).
 
@@ -406,7 +622,12 @@ def deposit_current_rz(pos_new3, ux, uy, uz, w, q, cfg, dt, order, ng,
     geom = cfg.geometry
     dr, dz = geom.dx
     rmin, zmin = geom.prob_lo
+    if z_origin is not None:
+        zmin = z_origin
     nr, nz = geom.n_cell
+    bounded_z = not geom.periodic[1]
+    ngz = ng if bounded_z else 0
+    nz_nod = nz + (1 if bounded_z else 0)  # jr/jt are z-nodal
     nmodes = cfg.n_rz_modes
     ncomp = 2 * nmodes - 1
     inv_c2 = 1.0 / (_c * _c)
@@ -458,9 +679,9 @@ def deposit_current_rz(pos_new3, ux, uy, uz, w, q, cfg, dt, order, ng,
     invvol = 1.0 / (dr * dz)
     third, sixth = 1.0 / 3.0, 1.0 / 6.0
 
-    ext_r = jnp.zeros((ncomp, nr + 2 * ng, nz), dtype)
-    ext_t = jnp.zeros((ncomp, nr + 1 + 2 * ng, nz), dtype)
-    ext_z = jnp.zeros((ncomp, nr + 1 + 2 * ng, nz), dtype)
+    ext_r = jnp.zeros((ncomp, nr + 2 * ng, nz_nod + 2 * ngz), dtype)
+    ext_t = jnp.zeros((ncomp, nr + 1 + 2 * ng, nz_nod + 2 * ngz), dtype)
+    ext_z = jnp.zeros((ncomp, nr + 1 + 2 * ng, nz + 2 * ngz), dtype)
 
     cum_r = []
     acc = 0.0
@@ -480,7 +701,11 @@ def deposit_current_rz(pos_new3, ux, uy, uz, w, q, cfg, dt, order, ng,
         # (i_new-1+i + xyzmin.x*dinv.x) factor)
         r_tap = (i0 + a).astype(dtype) + rmin / dr
         for b in range(T):
-            zidx = jnp.mod(k0 + b, nz)
+            if bounded_z:
+                zidx = jnp.clip(k0 + b + ngz, 0, ext_r.shape[2] - 1)
+                zidx_cc = jnp.clip(k0 + b + ngz, 0, ext_z.shape[2] - 1)
+            else:
+                zidx = zidx_cc = jnp.mod(k0 + b, nz)
             # jr: cumulative in r, averaged z shapes
             val_r = (wq * invdtd_r) * cum_r[a] * 0.5 * (sz_n[b] + sz_o[b])
             ext_r = ext_r.at[0].set(_scatter_rz(ext_r[0], ridx_r, zidx, val_r))
@@ -519,6 +744,11 @@ def deposit_current_rz(pos_new3, ux, uy, uz, w, q, cfg, dt, order, ng,
                 ext_t = ext_t.at[2 * m].set(_scatter_rz(
                     ext_t[2 * m], ridx_tz, zidx, -K * p_re))
 
+    if bounded_z:
+        # drop z guard scatters (only periodic dirs fold, SumBoundary)
+        ext_r = ext_r[..., ngz:ngz + nz_nod]
+        ext_t = ext_t[..., ngz:ngz + nz_nod]
+        ext_z = ext_z[..., ngz:ngz + nz]
     jr = _fold_and_scale_modes(ext_r, "jr", cfg, ng, "r")
     jt = _fold_and_scale_modes(ext_t, "jt", cfg, ng, "t")
     jz = _fold_and_scale_modes(ext_z, "jz", cfg, ng, "z")
@@ -562,6 +792,28 @@ def _dz_dn(a):
     return a - jnp.roll(a, 1, axis=-1)
 
 
+def _dz_nod_to_cc(a, cfg):
+    """d/dz of a z-nodal array evaluated at the nz cell centers.
+
+    Periodic storage keeps nz entries (wrap); bounded storage keeps nz+1
+    entries so the derivative needs no guards."""
+    if cfg.geometry.periodic[1]:
+        return _dz_up(a)
+    return a[..., 1:] - a[..., :-1]
+
+
+def _dz_cc_to_nod(a, name, cfg):
+    """d/dz of a z-cc array evaluated at the nodal z points.
+
+    Bounded z pads one PEC/zero guard per side (tangential B and normal E
+    mirror symmetrically, so the wall derivative vanishes — overwritten by
+    the wall enforcement anyway)."""
+    if cfg.geometry.periodic[1]:
+        return _dz_dn(a)
+    p = _extend_z(a, name, cfg, 1)
+    return p[..., 1:] - p[..., :-1]
+
+
 def evolve_b_rz(fields: FieldState, cfg, dt) -> FieldState:
     """EvolveBCylindrical (EvolveB.cpp), mode 0 + higher modes."""
     geom = cfg.geometry
@@ -575,12 +827,12 @@ def evolve_b_rz(fields: FieldState, cfg, dt) -> FieldState:
     on_axis = geom.prob_lo[0] == 0.0
 
     # Br (nodal r, cc z): dBr/dt = dEt/dz (m=0) [+ m terms]
-    br = Br + dt * _dz_up(Et) * inv_dz
+    br = Br + dt * _dz_nod_to_cc(Et, cfg) * inv_dz
     if on_axis:
         br = br.at[0, 0, :].set(0.0)
         for m in range(1, cfg.n_rz_modes):
             if m == 1:
-                dEtz = _dz_up(Et) * inv_dz
+                dEtz = _dz_nod_to_cc(Et, cfg) * inv_dz
                 br = br.at[2 * m - 1, 0, :].set(
                     Br[2 * m - 1, 0, :]
                     + dt * (dEtz[2 * m - 1, 0, :] - m * Ez[2 * m, 1, :] / dr)
@@ -606,7 +858,8 @@ def evolve_b_rz(fields: FieldState, cfg, dt) -> FieldState:
 
     # Bt (cc r, cc z): dBt/dt = dEz/dr - dEr/dz
     bt = Bt + dt * (
-        (Ez[:, 1:, :] - Ez[:, :-1, :]) * inv_dr - _dz_up(Er) * inv_dz
+        (Ez[:, 1:, :] - Ez[:, :-1, :]) * inv_dr
+        - _dz_nod_to_cc(Er, cfg) * inv_dz
     )
 
     # Bz (cc r, nodal z): dBz/dt = -(1/r) d(r Et)/dr [+ m Er/r terms]
@@ -635,7 +888,7 @@ def evolve_e_rz(fields: FieldState, cfg, dt, F=None) -> FieldState:
     nmodes = cfg.n_rz_modes
 
     # Er (cc r, nodal z): dEr/dt = c^2(-dBt/dz - mu0 jr) [+ m Bz/r]
-    er = Er + c2 * dt * (-_dz_dn(Bt) * inv_dz - _mu0 * jr)
+    er = Er + c2 * dt * (-_dz_cc_to_nod(Bt, "Bt", cfg) * inv_dz - _mu0 * jr)
     for m in range(1, nmodes):
         er = er.at[2 * m - 1].add(c2 * dt * m * Bz[2 * m]
                                   / r_cc[None, :, None][0])
@@ -647,7 +900,8 @@ def evolve_e_rz(fields: FieldState, cfg, dt, F=None) -> FieldState:
     zero_r = jnp.zeros_like(Bz[:, :1, :])
     bz_ext = jnp.concatenate([zero_r, Bz, zero_r], axis=1)  # cc rows -1..nr
     dBz_dr = (bz_ext[:, 1:, :] - bz_ext[:, :-1, :]) * inv_dr  # at nodal rows
-    et = Et + c2 * dt * (-dBz_dr + _dz_dn(Br) * inv_dz - _mu0 * jt)
+    et = Et + c2 * dt * (-dBz_dr + _dz_cc_to_nod(Br, "Br", cfg) * inv_dz
+                         - _mu0 * jt)
     if on_axis:
         et = et.at[0, 0, :].set(0.0)
         for m in range(1, nmodes):
@@ -689,7 +943,7 @@ def evolve_e_rz(fields: FieldState, cfg, dt, F=None) -> FieldState:
     if F is not None:
         # E += c^2 dt grad F (EvolveE.cpp Ffield block)
         er = er + c2 * dt * (F[:, 1:, :] - F[:, :-1, :]) * inv_dr
-        ez = ez + c2 * dt * _dz_up(F) * inv_dz
+        ez = ez + c2 * dt * _dz_nod_to_cc(F, cfg) * inv_dz
         for m in range(1, nmodes):
             rr = jnp.where(r_nod == 0.0, 1.0, r_nod)[None, :, None][0]
             et = et.at[2 * m - 1].add(c2 * dt * m * F[2 * m] / rr)
@@ -713,12 +967,13 @@ def evolve_f_rz(F, fields: FieldState, rho, cfg, dt):
     )
     dr_rer = (rer_ext[:, 1:, :] - rer_ext[:, :-1, :]) * inv_dr
     r_div = jnp.where(r_nod == 0.0, 1.0, r_nod)[None, :, None]
-    newF = F + dt * (-rho / _ep0 + dr_rer / r_div + _dz_dn(Ez) * inv_dz)
+    newF = F + dt * (-rho / _ep0 + dr_rer / r_div
+                     + _dz_cc_to_nod(Ez, "Ez", cfg) * inv_dz)
     if on_axis:
         newF = newF.at[0, 0, :].set(
             F[0, 0, :] + dt * (
                 -rho[0, 0, :] / _ep0 + 4.0 * Er[0, 0, :] / dr
-                + (_dz_dn(Ez) * inv_dz)[0, 0, :]
+                + (_dz_cc_to_nod(Ez, "Ez", cfg) * inv_dz)[0, 0, :]
             )
         )
         for m in range(1, cfg.n_rz_modes):
@@ -727,23 +982,249 @@ def evolve_f_rz(F, fields: FieldState, rho, cfg, dt):
     return newF
 
 
+def enforce_walls_rz(fields: FieldState, cfg) -> FieldState:
+    """Zero tangential-E / normal-B wall values at PEC faces (the RZ analog
+    of SetEfieldOnPEC/SetBfieldOnPEC wall rules, WarpX_PEC.cpp:118-340).
+
+    z walls (nodal index 0 / nz): Er, Et (tangential E) and Bz (normal B).
+    r=rmax wall (nodal row nr): Et, Ez (tangential E) and Br (normal B)."""
+    per, bc_lo, bc_hi = _z_bcs(cfg)
+    upd = {}
+    Er, Et, Ez = fields.Ex, fields.Ey, fields.Ez
+    Br, Bt, Bz = fields.Bx, fields.By, fields.Bz
+    if not per:
+        if bc_lo == "pec":
+            Er = Er.at[..., 0].set(0.0)
+            Et = Et.at[..., 0].set(0.0)
+            Bz = Bz.at[..., 0].set(0.0)
+        if bc_hi == "pec":
+            Er = Er.at[..., -1].set(0.0)
+            Et = Et.at[..., -1].set(0.0)
+            Bz = Bz.at[..., -1].set(0.0)
+    bc_r_hi = (tuple(cfg.field_bc_hi or ()) + ("none", "periodic"))[0]
+    if bc_r_hi == "pec":
+        Et = Et.at[:, -1, :].set(0.0)
+        Ez = Ez.at[:, -1, :].set(0.0)
+        Br = Br.at[:, -1, :].set(0.0)
+    upd.update(Ex=Er, Ey=Et, Ez=Ez, Bx=Br, By=Bt, Bz=Bz)
+    return fields.replace(**upd)
+
+
 # -------------------------------------------------------------------- step
 def make_rz_step_fns(cfg, dtype):
-    """(step, half_push) jitted functions for the RZ explicit EM loop."""
+    """(step, half_push) jitted functions for the RZ explicit EM loop.
+
+    Handles bounded z (PEC walls), the moving window along z with
+    continuous plasma injection (WarpXMovingWindow.cpp analog: fields roll
+    by whole cells, the z origin rides in ``aux['window_lo']``) and laser
+    antennas (prescribed spoke particles depositing J alongside)."""
     geom = cfg.geometry
     dt = cfg.dt
     order = cfg.particle_shape
     ng = order + 2
+    nr, nz = geom.n_cell
+    dr, dz = geom.dx
+    per_z = geom.periodic[1]
+    lasers = {l.name: l for l in cfg.lasers}
+    is_laser = {sp.name: sp.injection_style == "laser" for sp in cfg.species}
+    zext = geom.prob_hi[1] - geom.prob_lo[1]
+    max_shift = (
+        int(math.ceil(abs(cfg.moving_window_v) * _c * dt / dz)) + 1
+        if cfg.do_moving_window else 0
+    )
 
-    def gather_all(state, pos3):
+    def z_origin_of(state):
+        if cfg.do_moving_window:
+            return state.aux["window_lo"]
+        return None
+
+    def gather_all(state, pos3, z0):
         farr = {
             "Er": state.fields.Ex, "Et": state.fields.Ey,
             "Ez": state.fields.Ez, "Br": state.fields.Bx,
             "Bt": state.fields.By, "Bz": state.fields.Bz,
         }
-        return gather_rz(pos3, farr, cfg, order, ng)
+        return gather_rz(pos3, farr, cfg, order, ng, z_origin=z0)
+
+    def shift_z(arr, num_shift):
+        n_val = arr.shape[-1]
+        rolled = jnp.roll(arr, -num_shift, axis=-1)
+        idx = jax.lax.broadcasted_iota(jnp.int32, arr.shape, arr.ndim - 1)
+        return jnp.where(idx >= n_val - num_shift, 0.0, rolled)
+
+    def continuous_injection(state, sp_cfg, sp, window_lo):
+        """Inject plasma into newly uncovered whole cells at the window top
+        (ContinuousInjection analog of rz_inject_species; random per-cell
+        theta offsets fold the step into the RNG key)."""
+        key = f"inject_pos:{sp_cfg.name}"
+        cur_pos = state.aux[key]
+        window_hi = window_lo + zext
+        # (window_hi - cur_pos) is a whole number of cells for an at-rest
+        # plasma (both move in dz quanta) — nudge the floor so float
+        # accumulation error can't drop the newest column for a step
+        new_pos = cur_pos + jnp.floor(
+            (window_hi - cur_pos) / dz + 1e-9
+        ) * dz
+
+        ppc = sp_cfg.num_particles_per_cell_each_dim or (1, 1, 1)
+        n_r, n_t, n_z = (tuple(ppc) + (1, 1, 1))[:3]
+        ppc_tot = n_r * n_t * n_z
+        K = max(2 * max_shift, 4)
+        # candidate band: the top K z columns of the current window
+        col = jnp.arange(nz - K, nz)
+        zcol = window_lo + col.astype(dtype) * dz
+        ir, icol, a, t, b = jnp.meshgrid(
+            jnp.arange(nr), jnp.arange(K), jnp.arange(n_r),
+            jnp.arange(n_t), jnp.arange(n_z), indexing="ij",
+        )
+        r = (geom.prob_lo[0] + (ir + (a + 0.5) / n_r) * dr).astype(dtype)
+        z = zcol[icol] + ((b + 0.5) / n_z) * dz
+        theta = 2.0 * jnp.pi * (t + 0.5) / n_t
+        if sp_cfg.random_theta:
+            key_th = jax.random.fold_in(
+                jax.random.fold_in(state.rng, state.step),
+                abs(hash(sp_cfg.name + ":theta")) % (2**31),
+            )
+            off = jax.random.uniform(
+                key_th, (nr, K, 1, 1, 1), dtype,
+                maxval=2.0 * jnp.pi,
+            )
+            theta = theta + off
+        theta = jnp.broadcast_to(theta, r.shape)
+        npart = nr * K * ppc_tot
+        r, z, theta = (q.reshape(npart) for q in (r, z, theta))
+        x = r * jnp.cos(theta)
+        y = r * jnp.sin(theta)
+
+        sel = (z > cur_pos) & (z < new_pos)
+        lo = sp_cfg.bounds_lo or (-np.inf, -np.inf)
+        hi = sp_cfg.bounds_hi or (np.inf, np.inf)
+        sel &= (r >= lo[0]) & (r <= hi[0]) & (z >= lo[1]) & (z <= hi[1])
+
+        if sp_cfg.profile == "constant":
+            dens = jnp.full(npart, sp_cfg.density, dtype)
+        else:
+            from ..utils.expression import compile_expression
+
+            fn = compile_expression(
+                sp_cfg.density_expr, ["x", "y", "z"],
+                dict(sp_cfg.user_constants),
+            )
+            dens = jnp.asarray(fn(x, y, z), dtype)
+        w_new = jnp.where(
+            sel, dens * (dr * dz / ppc_tot) * 2.0 * jnp.pi * r, 0.0
+        )
+        sel &= w_new > 0
+
+        md = sp_cfg.momentum_distribution
+        if md in ("at_rest", "none"):
+            u_new = [jnp.zeros(npart, dtype)] * 3
+        elif md == "constant":
+            u_new = [jnp.full(npart, v * _c, dtype)
+                     for v in (sp_cfg.ux, sp_cfg.uy, sp_cfg.uz)]
+        elif md == "gaussian":
+            key_u = jax.random.fold_in(
+                jax.random.fold_in(state.rng, state.step),
+                abs(hash(sp_cfg.name + ":u")) % (2**31),
+            )
+            ks = jax.random.split(key_u, 3)
+            u_new = [
+                (mu + (th or 0.0) * jax.random.normal(k, (npart,), dtype))
+                * _c
+                for mu, th, k in zip(
+                    (sp_cfg.ux, sp_cfg.uy, sp_cfg.uz),
+                    (sp_cfg.ux_th, sp_cfg.uy_th, sp_cfg.uz_th), ks)
+            ]
+        else:
+            raise NotImplementedError(
+                f"RZ continuous injection with {md}"
+            )
+
+        extra_new = {"theta": theta}
+        if sp_cfg.attributes:
+            from ..utils.expression import compile_expression
+
+            for (aname, expr, is_int) in sp_cfg.attributes:
+                fn = compile_expression(
+                    expr, ["x", "y", "z", "ux", "uy", "uz", "t"],
+                    dict(sp_cfg.user_constants),
+                )
+                val = jnp.broadcast_to(
+                    jnp.asarray(
+                        fn(x, y, z, u_new[0], u_new[1], u_new[2],
+                           state.time), dtype
+                    ), (npart,)
+                )
+                extra_new[aname] = (
+                    jnp.round(val).astype(jnp.int32) if is_int else val
+                )
+
+        cap = sp.capacity
+        free_idx = jnp.nonzero(~sp.alive, size=npart, fill_value=cap)[0]
+        rank = jnp.cumsum(sel) - 1
+        slot = free_idx[jnp.clip(rank, 0, npart - 1)]
+        placeable = sel & (slot < cap)
+        tgt = jnp.where(placeable, slot, cap)
+
+        def put(arr, vals):
+            return arr.at[tgt].set(jnp.asarray(vals, arr.dtype),
+                                   mode="drop")
+
+        sp = sp.replace(
+            w=put(sp.w, w_new),
+            ux=put(sp.ux, u_new[0]),
+            uy=put(sp.uy, u_new[1]),
+            uz=put(sp.uz, u_new[2]),
+            alive=sp.alive.at[tgt].set(True, mode="drop"),
+            x=put(sp.x, x), y=put(sp.y, y), z=put(sp.z, z),
+        )
+        extra = dict(sp.extra)
+        for aname, vals in extra_new.items():
+            if aname in extra:
+                extra[aname] = put(extra[aname], vals)
+        sp = sp.replace(extra=extra)
+        aux = dict(state.aux)
+        aux[key] = new_pos
+        return state.replace(aux=aux), sp
+
+    def step_window(state: SimState) -> SimState:
+        if not cfg.do_moving_window:
+            return state
+        aux = dict(state.aux)
+        v = cfg.moving_window_v * _c
+        window_x = aux["window_x"] + v * dt
+        num_shift = jnp.floor(
+            (window_x - aux["window_lo"]) / dz
+        ).astype(jnp.int32)
+        num_shift = jnp.clip(num_shift, 0, max_shift)
+        aux["window_x"] = window_x
+        shift_len = num_shift.astype(dtype) * dz
+        aux["window_lo"] = aux["window_lo"] + shift_len
+
+        f = state.fields
+        upd = {
+            nm: shift_z(getattr(f, nm), num_shift)
+            for nm in ("Ex", "Ey", "Ez", "Bx", "By", "Bz")
+        }
+        if f.F is not None:
+            upd["F"] = shift_z(f.F, num_shift)
+        state = state.replace(fields=f.replace(**upd), aux=aux)
+
+        new_species = dict(state.species)
+        for sp_cfg in cfg.species:
+            if not sp_cfg.do_continuous_injection or is_laser[sp_cfg.name]:
+                continue
+            state, sp = continuous_injection(
+                state, sp_cfg, new_species[sp_cfg.name],
+                state.aux["window_lo"],
+            )
+            new_species[sp_cfg.name] = sp
+        return state.replace(species=new_species)
 
     def step(state: SimState) -> SimState:
+        z0 = z_origin_of(state)
+        zlo = z0 if z0 is not None else geom.prob_lo[1]
+        zhi = zlo + zext
         need_rho = cfg.do_dive_cleaning
         rho_old = rho_new = None
         if need_rho:
@@ -755,45 +1236,68 @@ def make_rz_step_fns(cfg, dtype):
             sp = state.species[sp_cfg.name]
             pos3 = (sp.x, sp.y, sp.z)
             w_eff = jnp.where(sp.alive, sp.w, 0.0)
-            if need_rho and not sp_cfg.do_not_deposit:
+            if (need_rho and not sp_cfg.do_not_deposit
+                    and not is_laser[sp_cfg.name]):
                 rho_old = rho_old + deposit_rho_rz(
-                    pos3, w_eff, sp_cfg.charge, cfg, order, ng, dtype
+                    pos3, w_eff, sp_cfg.charge, cfg, order, ng, dtype,
+                    z_origin=z0,
                 )
-            e6 = gather_all(state, pos3)
-            pusher = PUSHERS[sp_cfg.pusher]
-            ux, uy, uz = pusher(
-                sp.ux, sp.uy, sp.uz, *e6, sp_cfg.charge, sp_cfg.mass, dt
-            )
-            gi = 1.0 / jnp.sqrt(
-                1.0 + (ux * ux + uy * uy + uz * uz) / (_c * _c)
-            )
-            xn = sp.x + ux * gi * dt
-            yn = sp.y + uy * gi * dt
-            zn = sp.z + uz * gi * dt
-            # z periodic wrap; r boundary: absorb beyond rmax
-            zlo, zhi = geom.prob_lo[1], geom.prob_hi[1]
-            zn = zlo + jnp.mod(zn - zlo, zhi - zlo)
+            if is_laser[sp_cfg.name]:
+                laser = lasers[sp_cfg.name]
+                sp_new = update_antenna_rz(
+                    sp, laser, 0.05 / laser.e_max, state.time, dt
+                )
+                ux, uy, uz = sp_new.ux, sp_new.uy, sp_new.uz
+                xn, yn, zn = sp_new.x, sp_new.y, sp_new.z
+            else:
+                e6 = gather_all(state, pos3, z0)
+                pusher = PUSHERS[sp_cfg.pusher]
+                ux, uy, uz = pusher(
+                    sp.ux, sp.uy, sp.uz, *e6, sp_cfg.charge, sp_cfg.mass,
+                    dt,
+                )
+                gi = 1.0 / jnp.sqrt(
+                    1.0 + (ux * ux + uy * uy + uz * uz) / (_c * _c)
+                )
+                xn = sp.x + ux * gi * dt
+                yn = sp.y + uy * gi * dt
+                zn = sp.z + uz * gi * dt
+            if per_z:
+                zn = zlo + jnp.mod(zn - zlo, zext)
+                in_z = True
+            else:
+                in_z = (zn > zlo) & (zn < zhi)
             rnew = jnp.sqrt(xn * xn + yn * yn)
-            alive = sp.alive & (rnew < geom.prob_hi[0])
+            alive = sp.alive & (rnew < geom.prob_hi[0]) & in_z
             w_dep = jnp.where(sp.alive, sp.w, 0.0)
             if not sp_cfg.do_not_deposit:
                 jr, jt, jz = deposit_current_rz(
                     (xn, yn, zn), ux, uy, uz, w_dep, sp_cfg.charge, cfg,
-                    dt, order, ng, dtype,
+                    dt, order, ng, dtype, z_origin=z0,
                 )
                 j3 = (jr, jt, jz) if j3 is None else (
                     j3[0] + jr, j3[1] + jt, j3[2] + jz
                 )
-            if need_rho and not sp_cfg.do_not_deposit:
+            if (need_rho and not sp_cfg.do_not_deposit
+                    and not is_laser[sp_cfg.name]):
                 w_al = jnp.where(alive, sp.w, 0.0)
                 rho_new = rho_new + deposit_rho_rz(
                     (xn, yn, zn), w_al, sp_cfg.charge, cfg, order, ng,
-                    dtype,
+                    dtype, z_origin=z0,
                 )
-            new_species[sp_cfg.name] = sp.replace(
+            sp_out = sp.replace(
                 x=xn, y=yn, z=zn, ux=ux, uy=uy, uz=uz, alive=alive,
                 w=jnp.where(alive, sp.w, 0.0),
             )
+            if "theta" in sp.extra and not is_laser[sp_cfg.name]:
+                # SetParticlePosition stores theta = atan2(y, x) after
+                # every push (GetAndSetPosition.H:213)
+                extra = dict(sp_out.extra)
+                extra["theta"] = jnp.where(
+                    sp.alive, jnp.arctan2(yn, xn), extra["theta"]
+                )
+                sp_out = sp_out.replace(extra=extra)
+            new_species[sp_cfg.name] = sp_out
         if j3 is None:
             j3 = (
                 jnp.zeros(field_shape(cfg, "jr"), dtype),
@@ -803,14 +1307,16 @@ def make_rz_step_fns(cfg, dtype):
         if cfg.use_filter:
             from .spectral import bilinear_filter_rz
 
-            npass = max(cfg.filter_npass_each_dir or (1,))
+            npe = tuple(cfg.filter_npass_each_dir or (1, 1))
             j3 = tuple(
-                bilinear_filter_rz(a, nm, cfg, npass)
+                bilinear_filter_rz(a, nm, cfg, npass_each=npe)
                 for a, nm in zip(j3, ("jr", "jt", "jz"))
             )
             if need_rho:
-                rho_old = bilinear_filter_rz(rho_old, "rho", cfg, npass)
-                rho_new = bilinear_filter_rz(rho_new, "rho", cfg, npass)
+                rho_old = bilinear_filter_rz(rho_old, "rho", cfg,
+                                             npass_each=npe)
+                rho_new = bilinear_filter_rz(rho_new, "rho", cfg,
+                                             npass_each=npe)
         fields = state.fields.replace(jx=j3[0], jy=j3[1], jz=j3[2])
         F = fields.F
         if need_rho:
@@ -821,16 +1327,23 @@ def make_rz_step_fns(cfg, dtype):
             F = evolve_f_rz(F, fields, rho_new, cfg, 0.5 * dt)
         fields = evolve_b_rz(fields, cfg, 0.5 * dt)
         fields = fields.replace(F=F)
-        return state.replace(
+        if not per_z:
+            fields = enforce_walls_rz(fields, cfg)
+        state = state.replace(
             fields=fields, species=new_species, step=state.step + 1,
             time=state.time + dt,
         )
+        return step_window(state)
 
     def half_push(state: SimState, dt_half) -> SimState:
         new_species = {}
+        z0 = z_origin_of(state)
         for sp_cfg in cfg.species:
             sp = state.species[sp_cfg.name]
-            e6 = gather_all(state, (sp.x, sp.y, sp.z))
+            if is_laser[sp_cfg.name] or sp_cfg.mass == 0.0:
+                new_species[sp_cfg.name] = sp
+                continue
+            e6 = gather_all(state, (sp.x, sp.y, sp.z), z0)
             pusher = PUSHERS[sp_cfg.pusher]
             ux, uy, uz = pusher(
                 sp.ux, sp.uy, sp.uz, *e6, sp_cfg.charge, sp_cfg.mass,
@@ -843,24 +1356,69 @@ def make_rz_step_fns(cfg, dtype):
 
 
 # ------------------------------------------------------------- diagnostics
+_RZ_MODE_BASE = {"Er": "Er", "Et": "Etheta", "Ez": "Ez",
+                 "Br": "Br", "Bt": "Btheta", "Bz": "Bz",
+                 "jr": "Jr", "jt": "Jtheta", "jz": "Jz", "rho": "rho"}
+
+
+def _rz_center(a, name, cfg):
+    """Average a (nr?, nz?) mode slice to cell centers."""
+    fr, fz = rz_stagger(cfg, name)
+    if fr == 1:
+        a = 0.5 * (a[1:, :] + a[:-1, :])
+    if fz == 1:
+        if cfg.geometry.periodic[1]:
+            a = 0.5 * (a + jnp.roll(a, -1, axis=1))
+        else:  # bounded: nz+1 valid nodal values
+            a = 0.5 * (a[:, 1:] + a[:, :-1])
+    return a
+
+
+def rz_diag_rho(state: SimState, cfg, ng=None) -> jnp.ndarray:
+    """Mode rho deposited from the live species (the rho compute functor)."""
+    order = cfg.particle_shape
+    ng = ng if ng is not None else order + 2
+    z0 = state.aux.get("window_lo") if cfg.do_moving_window else None
+    rho = jnp.zeros(field_shape(cfg, "rho"),
+                    state.fields.Ex.dtype)
+    for sp_cfg in cfg.species:
+        # laser antennas ARE included: MultiParticleContainer holds lasers
+        # in allcontainers (MultiParticleContainer.cpp:119) so
+        # GetChargeDensity sums their +/- weight pairs (a net dipole once
+        # the prescribed motion separates the pair)
+        if sp_cfg.do_not_deposit:
+            continue
+        sp = state.species[sp_cfg.name]
+        w_eff = jnp.where(sp.alive, sp.w, 0.0)
+        rho = rho + deposit_rho_rz(
+            (sp.x, sp.y, sp.z), w_eff, sp_cfg.charge, cfg, order, ng,
+            rho.dtype, z_origin=z0,
+        )
+    return rho
+
+
 def rz_cell_centered_output(state: SimState, cfg) -> Dict[str, jnp.ndarray]:
     """Cell-centered (nr, nz) fields at theta = 0 (mode sum with e^{i m 0}),
-    mirroring the RZ plotfile layout the reference checksums read."""
+    plus per-mode real/imag components (diag dump_rz_modes naming:
+    Er_0_real, Etheta_1_imag, ...) and deposited rho, mirroring the RZ
+    plotfile layout the reference checksums read."""
     out = {}
-    for name, arr in (
+    quans = [
         ("Er", state.fields.Ex), ("Et", state.fields.Ey),
         ("Ez", state.fields.Ez), ("Br", state.fields.Bx),
         ("Bt", state.fields.By), ("Bz", state.fields.Bz),
         ("jr", state.fields.jx), ("jt", state.fields.jy),
         ("jz", state.fields.jz),
-    ):
-        fr, fz = rz_stagger(cfg, name)
+        ("rho", rz_diag_rho(state, cfg)),
+    ]
+    for name, arr in quans:
         a = arr[0] + sum(arr[2 * m - 1] for m in range(1, cfg.n_rz_modes))
-        if fr == 1:  # nodal in r -> average to cc
-            a = 0.5 * (a[1:, :] + a[:-1, :])
-        if fz == 1:  # nodal in periodic z
-            a = 0.5 * (a + jnp.roll(a, -1, axis=1))
-        out[name] = a
+        out[name] = _rz_center(a, name, cfg)
+        base = _RZ_MODE_BASE[name]
+        out[f"{base}_0_real"] = _rz_center(arr[0], name, cfg)
+        for m in range(1, cfg.n_rz_modes):
+            out[f"{base}_{m}_real"] = _rz_center(arr[2 * m - 1], name, cfg)
+            out[f"{base}_{m}_imag"] = _rz_center(arr[2 * m], name, cfg)
     if cfg.em_solver == "psatd":
         from .spectral import rz_spectral_aux_fields
 
@@ -878,11 +1436,15 @@ def rz_checksums(state: SimState, cfg) -> Dict[str, Dict[str, float]]:
     for k, v in rz_cell_centered_output(state, cfg).items():
         out["lev=0"][k] = float(jnp.sum(jnp.abs(v)))
     for sp_cfg in cfg.species:
+        if sp_cfg.injection_style == "laser":
+            continue
         sp = state.species[sp_cfg.name]
         m = sp_cfg.mass
         alive = sp.alive
         r = jnp.sqrt(sp.x**2 + sp.y**2)
-        theta = jnp.arctan2(sp.y, sp.x)
+        theta = sp.extra.get("theta")
+        if theta is None:
+            theta = jnp.arctan2(sp.y, sp.x)
         qd = {
             "particle_momentum_x": jnp.abs(m * sp.ux),
             "particle_momentum_y": jnp.abs(m * sp.uy),
@@ -892,6 +1454,9 @@ def rz_checksums(state: SimState, cfg) -> Dict[str, Dict[str, float]]:
             "particle_theta": jnp.abs(theta),
             "particle_weight": jnp.abs(sp.w),
         }
+        for aname, arr in sp.extra.items():
+            if aname != "theta":
+                qd[f"particle_{aname}"] = jnp.abs(arr)
         out[sp_cfg.name] = {
             k: float(jnp.sum(jnp.where(alive, v, 0.0))) for k, v in qd.items()
         }

@@ -443,21 +443,34 @@ def deposit_cc_rz(pos3, w, q, cfg, order, ng, dtype, vel=None, dt=None,
     return outs[0] if vel is None else tuple(outs)
 
 
-def bilinear_filter_rz(arr, name, cfg, npass=1):
-    """One-pass [1/4,1/2,1/4] bilinear filter in (r, z) on a scaled
-    (C, NR, NZ) mode array (the reference filters the volume-scaled J/rho,
-    ApplyFilterJ after ApplyInverseVolumeScaling); below-axis guard rows are
-    filled with the mode/component parity, beyond rmax with zeros."""
+def bilinear_filter_rz(arr, name, cfg, npass=1, npass_each=None):
+    """[1/4,1/2,1/4] bilinear filter in (r, z) on a scaled (C, NR, NZ) mode
+    array (the reference filters the volume-scaled J/rho, ApplyFilterJ
+    after ApplyInverseVolumeScaling); below-axis guard rows are filled with
+    the mode/component parity, beyond rmax with zeros.  ``npass_each`` =
+    (n_r_passes, n_z_passes) mirrors warpx.filter_npass_each_dir; bounded z
+    pads zero guards (the reference's filter guards hold the PEC images,
+    but J vanishes at the walls in practice)."""
     from .core import _extend_axis, rz_stagger
 
     parity_name = {"jr": "Er", "jt": "Et", "jz": "Ez"}.get(name, name)
     nodal_r = rz_stagger(cfg, name)[0] == 1
-    for _ in range(npass):
+    n_r, n_z = (npass, npass) if npass_each is None else tuple(npass_each)
+    per_z = cfg.geometry.periodic[1]
+    for _ in range(n_r):
         ext = _extend_axis(arr, parity_name, 1, arr.shape[1],
                            nodal_r=nodal_r)
-        f = 0.25 * ext[:, :-2] + 0.5 * ext[:, 1:-1] + 0.25 * ext[:, 2:]
-        arr = (0.25 * jnp.roll(f, 1, -1) + 0.5 * f
-               + 0.25 * jnp.roll(f, -1, -1))
+        arr = 0.25 * ext[:, :-2] + 0.5 * ext[:, 1:-1] + 0.25 * ext[:, 2:]
+    for _ in range(n_z):
+        if per_z:
+            arr = (0.25 * jnp.roll(arr, 1, -1) + 0.5 * arr
+                   + 0.25 * jnp.roll(arr, -1, -1))
+        else:
+            zshape = arr.shape[:-1] + (1,)
+            z = jnp.zeros(zshape, arr.dtype)
+            ext = jnp.concatenate([z, arr, z], axis=-1)
+            arr = (0.25 * ext[..., :-2] + 0.5 * ext[..., 1:-1]
+                   + 0.25 * ext[..., 2:])
     return arr
 
 
