@@ -252,7 +252,9 @@ def rz_inject_species(sp_cfg, cfg, np_dtype, rng):
         alive, dens * (dr * dz / ppc_tot) * 2.0 * np.pi * r, 0.0
     ).astype(np_dtype)
     extra = _rz_attributes(sp_cfg, x, y, z, u3, np_dtype)
-    extra["theta"] = theta.astype(np_dtype)
+    # stored theta follows the atan2 convention in (-pi, pi]
+    # (GetAndSetPosition.H SetParticlePosition recomputes it every push)
+    extra["theta"] = np.arctan2(y, x).astype(np_dtype)
     ps = ParticleState(
         w=w,
         ux=np.where(alive, u3[0], 0.0).astype(np_dtype),
@@ -1140,7 +1142,7 @@ def make_rz_step_fns(cfg, dtype):
                 f"RZ continuous injection with {md}"
             )
 
-        extra_new = {"theta": theta}
+        extra_new = {"theta": jnp.arctan2(y, x)}
         if sp_cfg.attributes:
             from ..utils.expression import compile_expression
 
@@ -1375,12 +1377,26 @@ def _rz_center(a, name, cfg):
 
 
 def rz_diag_rho(state: SimState, cfg, ng=None) -> jnp.ndarray:
-    """Mode rho deposited from the live species (the rho compute functor)."""
+    """Mode rho deposited from the live species (the rho compute functor).
+
+    PSATD stores every component cell-centered, so the diag deposit uses
+    the spectral path's cell-centered deposit; FDTD uses the (r,z)-nodal
+    deposit matching field_shape(cfg, 'rho')."""
     order = cfg.particle_shape
     ng = ng if ng is not None else order + 2
     z0 = state.aux.get("window_lo") if cfg.do_moving_window else None
     rho = jnp.zeros(field_shape(cfg, "rho"),
                     state.fields.Ex.dtype)
+    if cfg.em_solver == "psatd":
+        from .spectral import deposit_cc_rz
+
+        def _dep(pos3, w_eff, q):
+            return deposit_cc_rz(pos3, w_eff, q, cfg, order, ng,
+                                 rho.dtype, z_origin=z0)
+    else:
+        def _dep(pos3, w_eff, q):
+            return deposit_rho_rz(pos3, w_eff, q, cfg, order, ng,
+                                  rho.dtype, z_origin=z0)
     for sp_cfg in cfg.species:
         # laser antennas ARE included: MultiParticleContainer holds lasers
         # in allcontainers (MultiParticleContainer.cpp:119) so
@@ -1390,10 +1406,7 @@ def rz_diag_rho(state: SimState, cfg, ng=None) -> jnp.ndarray:
             continue
         sp = state.species[sp_cfg.name]
         w_eff = jnp.where(sp.alive, sp.w, 0.0)
-        rho = rho + deposit_rho_rz(
-            (sp.x, sp.y, sp.z), w_eff, sp_cfg.charge, cfg, order, ng,
-            rho.dtype, z_origin=z0,
-        )
+        rho = rho + _dep((sp.x, sp.y, sp.z), w_eff, sp_cfg.charge)
     return rho
 
 

@@ -551,10 +551,19 @@ def make_rz_spectral_step(cfg, dtype):
                     (xn, yn, zn), w_al, sp_cfg.charge, cfg, order, ng,
                     dtype, z_origin=zo_n,
                 )
-            new_species[sp_cfg.name] = sp.replace(
+            sp_out = sp.replace(
                 x=xn, y=yn, z=zn, ux=ux, uy=uy, uz=uz, alive=alive,
                 w=jnp.where(alive, sp.w, 0.0),
             )
+            if "theta" in sp.extra:
+                # SetParticlePosition stores theta = atan2(y, x) after
+                # every push (GetAndSetPosition.H:213)
+                extra = dict(sp_out.extra)
+                extra["theta"] = jnp.where(
+                    sp.alive, jnp.arctan2(yn, xn), extra["theta"]
+                )
+                sp_out = sp_out.replace(extra=extra)
+            new_species[sp_cfg.name] = sp_out
         if j3 is None:
             j3 = tuple(
                 jnp.zeros(field_shape(cfg, nm), dtype)
