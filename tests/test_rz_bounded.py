@@ -79,7 +79,9 @@ def test_rz_laser_acceleration_golden():
                 tol = 1e-10
             else:
                 tol = 1.0  # RNG-dominated wake/beam statistics
-            if not np.isfinite(cv) or rel > tol:
+            # rel==1.0 exactly means cv == 0: a dead code path (quantity
+            # never deposited/updated) must not pass the sanity envelope
+            if not np.isfinite(cv) or rel > tol or (rv != 0.0 and cv == 0.0):
                 failures.append(
                     f"{group}/{key}: rel {rel:.3e} > {tol} "
                     f"(comp {cv:.6e} gold {rv:.6e})"

@@ -146,6 +146,12 @@ class SpeciesConfig:
     # MultipleParticles injection: per-particle (x, y, z, ux, uy, uz, w)
     # columns (PhysicalParticleContainer.cpp multiple_particles_* keys)
     multiple_particles: Tuple[Tuple[float, ...], ...] = ()
+    # external_file injection (PlasmaInjector::setupExternalFile,
+    # AddPlasmaFromFile PhysicalParticleContainer.cpp:680): openPMD file
+    # holding one species; charge/mass come from the file unless the deck
+    # specifies them; z_shift translates the loaded z positions
+    injection_file: Optional[str] = None
+    z_shift: float = 0.0
     # boundary scraping: faces whose absorbed particles are recorded
     # (reference: <species>.save_particles_at_xlo/... ->
     # ParticleBoundaryBuffer); face names like "xlo", "zhi"

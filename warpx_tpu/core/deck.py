@@ -92,11 +92,33 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
         if found:
             attributes.append((attr, found[0], True))
 
+    charge = g("charge", type_q if type_q is not None else 0.0)
+    mass = g("mass", type_m if type_m is not None else 0.0)
+    injection_file = None
+    if style == "external_file":
+        # PlasmaInjector::setupExternalFile: charge/mass come from the file
+        # records unless the deck (<species>.charge/mass or species_type)
+        # specifies them, which takes precedence
+        injection_file = (gs("injection_file", "") or "").strip('"')
+        if not injection_file:
+            raise ValueError(f"{name}.injection_file is required")
+        from ..io.openpmd import read_openpmd_particles
+
+        meta = read_openpmd_particles(injection_file)
+        has_q = type_q is not None or g("charge", None) is not None
+        has_m = type_m is not None or g("mass", None) is not None
+        if not has_q and meta["charge"] is not None:
+            charge = meta["charge"]
+        if not has_m and meta["mass"] is not None:
+            mass = meta["mass"]
+
     return SpeciesConfig(
         name=name,
-        charge=g("charge", type_q if type_q is not None else 0.0),
-        mass=g("mass", type_m if type_m is not None else 0.0),
+        charge=charge,
+        mass=mass,
         injection_style=style,
+        injection_file=injection_file,
+        z_shift=g("z_shift", 0.0),
         num_particles_per_cell_each_dim=ppc_each,
         num_particles_per_cell=ppc,
         profile=profile,
@@ -333,8 +355,6 @@ def _gate_unimplemented(deck: Deck) -> None:
         style = (
             deck.get_string(f"{sp}.injection_style", "none") or "none"
         ).lower().replace('"', "")
-        if style == "external_file":
-            raise NotImplementedError("particle injection from openPMD file")
     for nm in deck.get_strings("collisions.collision_names", []):
         kind = (deck.get_string(f"{nm}.type", "pairwisecoulomb")
                 or "pairwisecoulomb").lower()
@@ -830,6 +850,15 @@ def config_from_deck(deck: Deck) -> SimConfig:
                 )
                 exprs.append(found[0] if found else "0")
             return ("parse", tuple(exprs))
+        if style == "read_from_file":
+            # WarpX::ReadExternalFieldFromFile (WarpXInitData.cpp:1503):
+            # per-component multilinear interpolation from the openPMD
+            # mesh onto the staggered grid positions
+            path = (deck.get_string("warpx.read_fields_from_path", "")
+                    or "").strip('"')
+            if not path:
+                raise ValueError("warpx.read_fields_from_path is required")
+            return ("file", (path,))
         return None
 
     lasers = tuple(

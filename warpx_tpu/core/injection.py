@@ -117,6 +117,48 @@ def inject_species(
         )
         pos_cols = (px, py, pz)
         return ps.with_positions(ndim, [fill(pos_cols[a]) for a in axes])
+    if sp.injection_style == "external_file":
+        # openPMD from-file injection (AddPlasmaFromFile,
+        # PhysicalParticleContainer.cpp:680-800): positions are
+        # position + positionOffset (+ z_shift on z), u = momentum / mass
+        # (proper gamma*v in m/s), weights straight from the file; only
+        # particles inside the species bounds are kept
+        from ..io.openpmd import read_openpmd_particles
+
+        data = read_openpmd_particles(sp.injection_file)
+        x = data["x"].astype(dtype)
+        y = data["y"].astype(dtype)
+        z = (data["z"] + sp.z_shift).astype(dtype)
+        keep = np.ones(x.shape[0], bool)
+        axes = {1: (2,), 2: (0, 2), 3: (0, 1, 2)}[ndim]
+        pos_all = (x, y, z)
+        if sp.bounds_lo:
+            for d, a in enumerate(axes):
+                keep &= (pos_all[a] >= sp.bounds_lo[d]) & (
+                    pos_all[a] <= sp.bounds_hi[d]
+                )
+        n = x.shape[0]
+        cap = capacity or n
+
+        def fill(col, masked=True):
+            out = np.zeros(cap, dtype=dtype)
+            out[:n] = np.where(keep, col, 0.0) if masked else col
+            return out
+
+        inv_m = 1.0 / sp.mass
+        alive = np.zeros(cap, bool)
+        alive[:n] = keep
+        ps = ParticleState(
+            w=fill(data["w"].astype(dtype)),
+            ux=fill((data["px"] * inv_m).astype(dtype), masked=False),
+            uy=fill((data["py"] * inv_m).astype(dtype), masked=False),
+            uz=fill((data["pz"] * inv_m).astype(dtype), masked=False),
+            alive=alive,
+            extra={},
+        )
+        return ps.with_positions(
+            ndim, [fill(pos_all[a], masked=False) for a in axes]
+        )
     if sp.injection_style not in ("nuniformpercell", "nrandompercell"):
         # empty container
         cap = capacity or 0

@@ -27,6 +27,55 @@ from .step import pic_step, push_momenta_half
 __all__ = ["Simulation"]
 
 
+def _interp_file_field(mesh, shape, flags, geom, origin):
+    """Multilinear interpolation of an openPMD mesh component onto the
+    staggered grid positions (WarpX::ReadExternalFieldFromFile,
+    WarpXInitData.cpp:1503-1672: the file data lives on the node lattice
+    offset + i*spacing; each target point interpolates from its enclosing
+    file cell)."""
+    data = np.asarray(mesh["data"], np.float64)
+    if data.ndim == geom.ndim + 1:
+        # thetaMode layout (m-components, r, z): mode-0 real part
+        data = data[0]
+    if data.ndim != geom.ndim:
+        raise ValueError(
+            f"external field file has rank {data.ndim}, expected {geom.ndim}"
+        )
+    spacing = np.asarray(mesh["spacing"], np.float64)
+    offset = np.asarray(mesh["offset"], np.float64)
+    coords = []
+    for d in range(geom.ndim):
+        off = 0.0 if flags[d] == 1 else 0.5
+        coords.append(origin[d] + (np.arange(shape[d]) + off) * geom.dx[d])
+    pts = np.meshgrid(*coords, indexing="ij")
+    # fractional file-grid index per axis, clipped to the valid cell range
+    idx_f = [
+        np.clip((p - offset[d]) / spacing[d], 0.0, data.shape[d] - 1.0)
+        for d, p in enumerate(pts)
+    ]
+    i0 = [np.minimum(np.floor(f).astype(np.int64), data.shape[d] - 2)
+          if data.shape[d] > 1 else np.zeros_like(f, np.int64)
+          for d, f in enumerate(idx_f)]
+    frac = [f - i for f, i in zip(idx_f, i0)]
+    out = np.zeros(shape, np.float64)
+    ndim = geom.ndim
+    import itertools
+
+    for corner in itertools.product((0, 1), repeat=ndim):
+        w = np.ones(shape, np.float64)
+        idx = []
+        for d, c in enumerate(corner):
+            if data.shape[d] > 1:
+                w = w * (frac[d] if c else (1.0 - frac[d]))
+                idx.append(np.minimum(i0[d] + c, data.shape[d] - 1))
+            else:
+                if c:
+                    w = w * 0.0
+                idx.append(i0[d])
+        out += w * data[tuple(idx)]
+    return out
+
+
 class Simulation:
     def __init__(self, cfg: SimConfig, dtype=None):
         self.cfg = cfg
@@ -618,6 +667,20 @@ class Simulation:
                 shape = shapes[comp]
                 if style == "constant":
                     upd[comp] = jnp.full(shape, vals[ci], self.dtype)
+                    continue
+                if style == "file":
+                    from ..io.openpmd import read_openpmd_mesh
+
+                    mesh = read_openpmd_mesh(
+                        vals[0], comps[0][0], "xyz"[ci]
+                    )
+                    upd[comp] = jnp.asarray(
+                        _interp_file_field(
+                            mesh, shape, self.staggering[comp], geom,
+                            origin,
+                        ),
+                        self.dtype,
+                    )
                     continue
                 flags = self.staggering[comp]
                 coords = []

@@ -252,9 +252,11 @@ def rz_inject_species(sp_cfg, cfg, np_dtype, rng):
         alive, dens * (dr * dz / ppc_tot) * 2.0 * np.pi * r, 0.0
     ).astype(np_dtype)
     extra = _rz_attributes(sp_cfg, x, y, z, u3, np_dtype)
-    # stored theta follows the atan2 convention in (-pi, pi]
-    # (GetAndSetPosition.H SetParticlePosition recomputes it every push)
-    extra["theta"] = np.arctan2(y, x).astype(np_dtype)
+    # the RAW injection theta is stored (PhysicalParticleContainer.cpp:1301
+    # pa[PIdx::theta] = theta); the push rewrites it to atan2(y, x) in
+    # (-pi, pi] (GetAndSetPosition.H SetParticlePosition), so only
+    # never-pushed particles (e.g. last-step MoveWindow injectees) keep it
+    extra["theta"] = theta
     ps = ParticleState(
         w=w,
         ux=np.where(alive, u3[0], 0.0).astype(np_dtype),
@@ -1142,7 +1144,9 @@ def make_rz_step_fns(cfg, dtype):
                 f"RZ continuous injection with {md}"
             )
 
-        extra_new = {"theta": jnp.arctan2(y, x)}
+        # raw injection theta, as at initial injection
+        # (PhysicalParticleContainer.cpp:1301); the push rewrites to atan2
+        extra_new = {"theta": theta}
         if sp_cfg.attributes:
             from ..utils.expression import compile_expression
 
@@ -1291,9 +1295,11 @@ def make_rz_step_fns(cfg, dtype):
                 x=xn, y=yn, z=zn, ux=ux, uy=uy, uz=uz, alive=alive,
                 w=jnp.where(alive, sp.w, 0.0),
             )
-            if "theta" in sp.extra and not is_laser[sp_cfg.name]:
+            if "theta" in sp.extra:
                 # SetParticlePosition stores theta = atan2(y, x) after
-                # every push (GetAndSetPosition.H:213)
+                # every push (GetAndSetPosition.H:213) — laser antenna
+                # particles included (LaserParticleContainer uses the same
+                # SetParticlePosition path)
                 extra = dict(sp_out.extra)
                 extra["theta"] = jnp.where(
                     sp.alive, jnp.arctan2(yn, xn), extra["theta"]
@@ -1407,6 +1413,15 @@ def rz_diag_rho(state: SimState, cfg, ng=None) -> jnp.ndarray:
         sp = state.species[sp_cfg.name]
         w_eff = jnp.where(sp.alive, sp.w, 0.0)
         rho = rho + _dep((sp.x, sp.y, sp.z), w_eff, sp_cfg.charge)
+    if cfg.use_filter:
+        # RhoFunctor filters the diag rho like the deposition path does:
+        # ApplyFilterandSumBoundaryRho (bilinear) and, under RZ PSATD, the
+        # k-space binomial filter (RhoFunctor.cpp:61-74) — realized here by
+        # the same binomial filter the J deposit uses
+        from .spectral import bilinear_filter_rz
+
+        npass = max(cfg.filter_npass_each_dir or (1,))
+        rho = bilinear_filter_rz(rho, "rho", cfg, npass)
     return rho
 
 
