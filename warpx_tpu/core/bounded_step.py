@@ -450,6 +450,36 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
             # evolve where NOT covered (phi <= 0: regular or boundary)
             eb_mask[nm] = jnp.asarray(phi <= 0.0)
 
+        # --- ECT conformal solver (EvolveBCartesianECT): cut-cell B update
+        # with area borrowing; E keeps the standard Yee curl, frozen only
+        # on fully covered edges (EvolveE.cpp "lx <= 0")
+        is_ect = cfg.em_solver == "ect"
+        ect_evolve_b = None
+        if is_ect:
+            bad_bc = [
+                b for b in tuple(bc_lo) + tuple(bc_hi)
+                if b not in ("pec", "periodic", "none")
+            ]
+            if bad_bc:
+                raise NotImplementedError(f"ECT with {bad_bc[0]} boundaries")
+            if cfg.do_dive_cleaning or cfg.do_divb_cleaning:
+                raise NotImplementedError("ECT with F/G div cleaning")
+            from ..solvers.ect import cached_ect_geometry, make_ect_evolve_b
+
+            geo_ect = cached_ect_geometry(
+                cfg.eb_implicit_function, tuple(cfg.user_constants or ()),
+                geom, tuple(geom.prob_lo),
+            )
+            for nm in ("Ex", "Ey", "Ez"):
+                eb_mask[nm] = jnp.asarray(geo_ect["edges"][nm] > 0.0)
+            # conformally-updated B faces must not be staircase-frozen
+            for nm in (("Bx", "By", "Bz") if ndim == 3 else ("By",)):
+                eb_mask.pop(nm, None)
+            ect_evolve_b = make_ect_evolve_b(geo_ect, dtype)
+    else:
+        is_ect = False
+        ect_evolve_b = None
+
     def _shard_key(k):
         """Decorrelate per-shard random draws under particle decomposition
         (each shard holds different particles, so identical keys would
@@ -1079,6 +1109,26 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
         divb = cfg.do_divb_cleaning
         e_comps = ("Ex", "Ey", "Ez")
         b_comps = ("Bx", "By", "Bz")
+
+        def advance_b(fields, dth):
+            """Faraday half step: ECT conformal faces when enabled
+            (EvolveBCartesianECT), standard curls otherwise; in 2D XZ only
+            By is conformal and the in-plane Bx/Bz keep the staircase
+            path."""
+            if not is_ect:
+                return advance(
+                    fields, b_comps, _B_TERMS, e_comps, 1.0, dth,
+                    extra=_GRADG_TERMS if divb else None,
+                )
+            B3 = ect_evolve_b(
+                fields.Ex, fields.Ey, fields.Ez,
+                (fields.Bx, fields.By, fields.Bz), dth,
+            )
+            if ndim == 2:
+                f2 = advance(fields, ("Bx", "Bz"), _B_TERMS, e_comps,
+                             1.0, dth)
+                return fields.replace(Bx=f2.Bx, By=B3[1], Bz=f2.Bz)
+            return fields.replace(Bx=B3[0], By=B3[1], Bz=B3[2])
         if dive:
             fields = advance(
                 fields, ("F",), _F_TERMS, e_comps, 1.0, 0.5 * dt,
@@ -1086,10 +1136,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
             )
         if divb:
             fields = advance(fields, ("G",), _G_TERMS, b_comps, _c2, 0.5 * dt)
-        fields = advance(
-            fields, b_comps, _B_TERMS, e_comps, 1.0, 0.5 * dt,
-            extra=_GRADG_TERMS if divb else None,
-        )
+        fields = advance_b(fields, 0.5 * dt)
         if any_sm:
             fields = apply_silver_mueller(fields)
         fields = advance(
@@ -1103,10 +1150,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
             )
         if divb:
             fields = advance(fields, ("G",), _G_TERMS, b_comps, _c2, 0.5 * dt)
-        fields = advance(
-            fields, b_comps, _B_TERMS, e_comps, 1.0, 0.5 * dt,
-            extra=_GRADG_TERMS if divb else None,
-        )
+        fields = advance_b(fields, 0.5 * dt)
 
         if has_pml:
             # DampPML: damp each split along its own direction, refresh totals

@@ -346,10 +346,9 @@ def _gate_unimplemented(deck: Deck) -> None:
     if _eb2_fn or deck.get_string("warpx.eb_implicit_function", ""):
         solver_eb = (deck.get_string("algo.maxwell_solver", "yee")
                      or "yee").lower()
-        if solver_eb in ("ect", "psatd"):
+        if solver_eb == "psatd":
             raise NotImplementedError(
-                f"embedded boundaries with the {solver_eb} solver "
-                "(ECT conformal / spectral EB)"
+                "embedded boundaries with the psatd solver (spectral EB)"
             )
     for sp in deck.get_strings("particles.species_names", []):
         style = (
@@ -580,11 +579,7 @@ def config_from_deck(deck: Deck) -> SimConfig:
     es_solver = es_map.get(es_solver, es_solver)
     if solver == "none":
         em_solver = "none"
-    elif solver == "ect":
-        raise NotImplementedError(
-            "ECT (enlarged-cell) conformal FDTD solver"
-        )
-    elif solver in ("yee", "ckc", "psatd", "hybrid"):
+    elif solver in ("yee", "ckc", "psatd", "hybrid", "ect"):
         em_solver = solver
     else:
         raise NotImplementedError(f"maxwell solver {solver}")

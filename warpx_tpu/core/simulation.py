@@ -697,6 +697,30 @@ class Simulation:
                 upd[comp] = jnp.broadcast_to(
                     jnp.asarray(fn(*xyz), self.dtype), shape
                 )
+        if cfg.eb_implicit_function and cfg.em_solver == "ect":
+            # the reference's parser fill SKIPS covered edges/faces so they
+            # stay exactly 0 (WarpXInitData.cpp:1131-1180 'e'/'f' topology
+            # guards) — the rotated-cube analyses rely on sim==0 marking
+            # covered faces
+            from ..solvers.ect import cached_ect_geometry
+
+            geo = cached_ect_geometry(
+                cfg.eb_implicit_function, tuple(cfg.user_constants or ()),
+                geom, tuple(geom.prob_lo),
+            )
+            comp_dim = {"Bx": 0, "By": 1, "Bz": 2}
+            for comp in list(upd):
+                if comp.startswith("E") and comp in (
+                        "Ex", "Ey", "Ez"):
+                    upd[comp] = jnp.where(
+                        jnp.asarray(geo["edges"][comp] > 0.0),
+                        upd[comp], 0.0,
+                    )
+                elif comp in comp_dim and comp_dim[comp] in geo["S"]:
+                    upd[comp] = jnp.where(
+                        jnp.asarray(geo["S"][comp_dim[comp]] > 0.0),
+                        upd[comp], 0.0,
+                    )
         return fields.replace(**upd)
 
     def init(self, seed: int | None = None) -> SimState:

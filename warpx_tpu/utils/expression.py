@@ -107,7 +107,40 @@ def compile_expression(
 
     Comparison operators produce jnp boolean arrays; &,|,~ work on those natively.
     The result is coerced to a float array.
+
+    Supports the AMReX parser's assignment-statement form
+    ``a = expr1; b = expr2; final_expr`` (amrex::Parser local symbols, used
+    e.g. by the rotated-cube EB decks): each assignment introduces a local
+    symbol visible to the following segments.
     """
+    if ";" in expr:
+        segments = [s.strip() for s in expr.split(";") if s.strip()]
+        assigns = []
+        names = list(variables)
+        import re as _re
+
+        for seg in segments[:-1]:
+            m = _re.match(r"^([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$", seg)
+            if not m:
+                raise ValueError(
+                    f"expected 'name = expr' segment, got {seg!r}"
+                )
+            nm, rhs = m.group(1), m.group(2)
+            assigns.append(
+                (nm, compile_expression(rhs, tuple(names), user_constants))
+            )
+            names.append(nm)
+        final = compile_expression(
+            segments[-1], tuple(names), user_constants
+        )
+
+        def chained(*args):
+            vals = list(args)
+            for _, fn in assigns:
+                vals.append(fn(*vals))
+            return final(*vals)
+
+        return chained
     src = _translate(expr)
     if "__" in expr:
         # physics expressions never need dunders; blocking them keeps the
