@@ -172,3 +172,8 @@ def evolve(nsteps: int = -1):
 def finalize():
     global _sim
     _sim = None
+
+
+# `from pywarpx import picmi` compatibility: reference PICMI scripts run
+# unchanged once `pywarpx` is aliased to this module (picmi.py:2976 path)
+from . import picmi  # noqa: E402,F401
