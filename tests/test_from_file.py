@@ -188,3 +188,106 @@ def test_external_grid_field_from_file(tmp_path):
         ]
         X, Y, Z = np.meshgrid(*coords, indexing="ij")
         np.testing.assert_allclose(arr, fn(ci, X, Y, Z), rtol=0, atol=1e-12)
+
+
+def test_parsed_theta_beta_uniform_injectors():
+    """theta/beta parser profiles, uniform cuboid and gaussian-parser
+    momentum distributions (InjectorMomentum.H uniform/parser branches;
+    exercised by inputs_test_3d_initial_distribution)."""
+    import numpy as np
+
+    from warpx_tpu.core.deck import config_from_deck
+    from warpx_tpu.core.injection import inject_species
+    from warpx_tpu.utils.parser import Deck
+
+    deck = Deck.from_string("""
+max_step = 1
+amr.n_cell = 8 8 8
+geometry.dims = 3
+geometry.prob_lo = -1. -1. -1.
+geometry.prob_hi = 1. 1. 1.
+boundary.field_lo = periodic periodic periodic
+boundary.field_hi = periodic periodic periodic
+warpx.cfl = 0.9
+algo.particle_shape = 1
+particles.species_names = mj vp un gp
+mj.charge = -q_e
+mj.mass = m_e
+mj.injection_style = NRandomPerCell
+mj.num_particles_per_cell = 2
+mj.profile = constant
+mj.density = 1.0e21
+mj.momentum_distribution_type = maxwell_juttner
+mj.theta_distribution_type = parser
+mj.theta_function(x,y,z) = "1.0 + heaviside(x,0)"
+vp.charge = -q_e
+vp.mass = m_e
+vp.injection_style = NRandomPerCell
+vp.num_particles_per_cell = 2
+vp.profile = constant
+vp.density = 1.0e21
+vp.momentum_distribution_type = maxwell_boltzmann
+vp.theta = 1e-9
+vp.beta_distribution_type = parser
+vp.beta_function(x,y,z) = "-0.2 + 0.4 * heaviside(z,0)"
+vp.bulk_vel_dir = -y
+un.charge = q_e
+un.mass = m_e
+un.injection_style = NRandomPerCell
+un.num_particles_per_cell = 2
+un.profile = constant
+un.density = 1.0e21
+un.momentum_distribution_type = uniform
+un.ux_min = -0.2
+un.ux_max = 0.3
+un.uz_min = 10.
+un.uz_max = 11.
+gp.charge = -q_e
+gp.mass = m_e
+gp.injection_style = NRandomPerCell
+gp.num_particles_per_cell = 2
+gp.profile = constant
+gp.density = 1.0e21
+gp.momentum_distribution_type = gaussian_parse_momentum_function
+gp.momentum_function_ux_m(x,y,z) = 0.1*z
+gp.momentum_function_ux_th(x,y,z) = 0.0
+""")
+    cfg = config_from_deck(deck)
+    rng = np.random.default_rng(3)
+    c = 299792458.0
+    sps = {s.name: s for s in cfg.species}
+    # theta parser: <u^2> larger on the x>0 side (theta 2 vs 1)
+    ps = inject_species(sps["mj"], cfg.geometry, np.float64, rng)
+    x = np.asarray(ps.x)
+    u2 = (np.asarray(ps.ux)**2 + np.asarray(ps.uy)**2
+          + np.asarray(ps.uz)**2) / c**2
+    assert u2[x > 0].mean() > 1.5 * u2[x < 0].mean()
+    # beta parser along -y: mean uy has opposite signs across z=0
+    # (beta -0.2 -> bulk_vel_dir -y gives +0.2c drift along y)
+    ps = inject_species(sps["vp"], cfg.geometry, np.float64, rng)
+    z = np.asarray(ps.z)
+    uy = np.asarray(ps.uy) / c
+    assert uy[z < 0].mean() > 0.15 and uy[z > 0].mean() < -0.15
+    # uniform cuboid
+    ps = inject_species(sps["un"], cfg.geometry, np.float64, rng)
+    ux = np.asarray(ps.ux) / c
+    uz = np.asarray(ps.uz) / c
+    assert -0.2 <= ux.min() and ux.max() <= 0.3
+    assert 10.0 <= uz.min() and uz.max() <= 11.0
+    # gaussian parser: ux == 0.1*z*c exactly (zero spread)
+    ps = inject_species(sps["gp"], cfg.geometry, np.float64, rng)
+    np.testing.assert_allclose(
+        np.asarray(ps.ux), 0.1 * np.asarray(ps.z) * c, rtol=1e-12
+    )
+
+
+def test_juttner_low_theta_aborts():
+    """theta < 0.1 aborts like the reference (InjectorMomentum.H:313)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from warpx_tpu.core.injection import _sample_juttner
+
+    rng = np.random.default_rng(0)
+    with _pytest.raises(ValueError, match="Maxwell-Juttner"):
+        _sample_juttner(rng, 10, 0.01, 0.0, 0, np.float64)

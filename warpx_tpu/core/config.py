@@ -139,6 +139,17 @@ class SpeciesConfig:
     theta: float = 0.0
     beta_bulk: float = 0.0
     bulk_vel_dir: str = "x"
+    # spatially-varying temperature / bulk velocity
+    # (<sp>.theta_distribution_type = parser + theta_function(x,y,z),
+    #  beta_distribution_type = parser + beta_function(x,y,z))
+    theta_expr: Optional[str] = None
+    beta_expr: Optional[str] = None
+    # momentum_distribution_type = uniform: cuboid in u-space
+    # (InjectorMomentum.H uniform branch, ux_min..uz_max)
+    u_min: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    u_max: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # gaussian_parse_momentum_function: per-position mean/spread expressions
+    momentum_th_exprs: Optional[Tuple[str, str, str]] = None
     # SingleParticle injection
     single_particle_pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     single_particle_u: Tuple[float, float, float] = (0.0, 0.0, 0.0)

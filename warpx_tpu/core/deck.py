@@ -63,12 +63,33 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
             density_expr = f"({n0})*(1+({inv})*(x*x+y*y))*{lon}"
             profile = "parse_density_function"
     momentum_exprs = None
+    momentum_th_exprs = None
     if mom == "parse_momentum_function":
         exprs = []
         for comp in ("ux", "uy", "uz"):
             found = deck.get_expr_string(name, f"momentum_function_{comp}")
             exprs.append(found[0] if found else "0")
         momentum_exprs = tuple(exprs)
+    elif mom == "gaussian_parse_momentum_function":
+        # per-position mean/spread parsers (InjectorMomentumGaussianParser)
+        m_exprs, th_exprs = [], []
+        for comp in ("ux", "uy", "uz"):
+            fm = deck.get_expr_string(name, f"momentum_function_{comp}_m")
+            ft = deck.get_expr_string(name, f"momentum_function_{comp}_th")
+            m_exprs.append(fm[0] if fm else "0")
+            th_exprs.append(ft[0] if ft else "0")
+        momentum_exprs = tuple(m_exprs)
+        momentum_th_exprs = tuple(th_exprs)
+    # parsed temperature / bulk velocity (theta_distribution_type = parser)
+    theta_expr = beta_expr = None
+    if (gs("theta_distribution_type", "constant")
+            or "constant").strip('"').lower() == "parser":
+        found = deck.get_expr_string(name, "theta_function")
+        theta_expr = found[0] if found else None
+    if (gs("beta_distribution_type", "constant")
+            or "constant").strip('"').lower() == "parser":
+        found = deck.get_expr_string(name, "beta_function")
+        beta_expr = found[0] if found else None
 
     inf = math.inf
     full_lo = (
@@ -134,7 +155,12 @@ def _species_from_deck(deck: Deck, name: str, ndim: int) -> SpeciesConfig:
         theta=g("theta", 0.0),
         beta_bulk=g("beta", 0.0),
         bulk_vel_dir=(gs("bulk_vel_dir", "x") or "x").lower(),
+        theta_expr=theta_expr,
+        beta_expr=beta_expr,
+        u_min=(g("ux_min", 0.0), g("uy_min", 0.0), g("uz_min", 0.0)),
+        u_max=(g("ux_max", 0.0), g("uy_max", 0.0), g("uz_max", 0.0)),
         momentum_exprs=momentum_exprs,
+        momentum_th_exprs=momentum_th_exprs,
         bounds_lo=bounds_lo,
         bounds_hi=bounds_hi,
         do_not_push=bool(deck.get_int(f"{name}.do_not_push", 0)),

@@ -263,10 +263,45 @@ def inject_species(
             if sp.momentum_distribution == "maxwell_boltzmann"
             else _sample_juttner
         )
-        beta_signed = sp.beta_bulk * (
-            -1.0 if sp.bulk_vel_dir.startswith("-") else 1.0
-        )
-        ux, uy, uz = sampler(rng, n, sp.theta, beta_signed, bdir, dtype)
+        sign = -1.0 if sp.bulk_vel_dir.startswith("-") else 1.0
+        # parsed theta(x,y,z) / beta(x,y,z) profiles
+        # (TemperatureProperties/VelocityProperties parser types)
+        theta = sp.theta
+        if sp.theta_expr:
+            fn = compile_expression(
+                sp.theta_expr, ["x", "y", "z"], dict(sp.user_constants)
+            )
+            theta = np.asarray(fn(xyz[:, 0], xyz[:, 1], xyz[:, 2]),
+                               np.float64)
+        beta_signed = sp.beta_bulk * sign
+        if sp.beta_expr:
+            fn = compile_expression(
+                sp.beta_expr, ["x", "y", "z"], dict(sp.user_constants)
+            )
+            beta_signed = sign * np.asarray(
+                fn(xyz[:, 0], xyz[:, 1], xyz[:, 2]), np.float64
+            )
+        ux, uy, uz = sampler(rng, n, theta, beta_signed, bdir, dtype)
+    elif sp.momentum_distribution == "uniform":
+        # cuboid in u-space (InjectorMomentumUniform)
+        ux = rng.uniform(sp.u_min[0], sp.u_max[0], n).astype(dtype)
+        uy = rng.uniform(sp.u_min[1], sp.u_max[1], n).astype(dtype)
+        uz = rng.uniform(sp.u_min[2], sp.u_max[2], n).astype(dtype)
+    elif sp.momentum_distribution == "gaussian_parse_momentum_function":
+        cols = []
+        for me, te in zip(sp.momentum_exprs, sp.momentum_th_exprs):
+            fm = compile_expression(me, ["x", "y", "z"],
+                                    dict(sp.user_constants))
+            ft = compile_expression(te, ["x", "y", "z"],
+                                    dict(sp.user_constants))
+            mu = np.asarray(fm(xyz[:, 0], xyz[:, 1], xyz[:, 2]), np.float64)
+            th = np.asarray(ft(xyz[:, 0], xyz[:, 1], xyz[:, 2]), np.float64)
+            cols.append(
+                (np.broadcast_to(mu, (n,))
+                 + np.broadcast_to(th, (n,)) * rng.standard_normal(n)
+                 ).astype(dtype)
+            )
+        ux, uy, uz = cols
     elif sp.momentum_distribution == "parse_momentum_function":
         fns = [
             compile_expression(e, ["x", "y", "z"], dict(sp.user_constants))
@@ -427,10 +462,15 @@ def inject_gaussian_beam(
 
 def _sample_boltzmann(rng, n, theta, beta, bdir, dtype):
     """Maxwell-Boltzmann momenta with drift (InjectorMomentum.H:202-245:
-    u ~ N(0, sqrt(theta)) per comp, Zenitani flipping, boost along bdir)."""
-    u = rng.normal(0.0, np.sqrt(theta), (3, n))
+    u ~ N(0, sqrt(theta)) per comp, Zenitani flipping, boost along bdir).
+
+    ``theta``/``beta`` may be scalars or per-particle arrays (parsed
+    temperature/velocity profiles)."""
+    theta = np.broadcast_to(np.asarray(theta, np.float64), (n,))
+    beta = np.broadcast_to(np.asarray(beta, np.float64), (n,))
+    u = rng.standard_normal((3, n)) * np.sqrt(theta)
     gamma = np.sqrt(1.0 + (u * u).sum(axis=0))
-    if beta != 0.0:
+    if np.any(beta != 0.0):
         flip = -beta * u[bdir] / gamma > rng.random(n)
         u[bdir] = np.where(flip, -u[bdir], u[bdir])
         u[bdir] = (u[bdir] + gamma * beta) / np.sqrt(1.0 - beta * beta)
@@ -439,17 +479,29 @@ def _sample_boltzmann(rng, n, theta, beta, bdir, dtype):
 
 def _sample_juttner(rng, n, theta, beta, bdir, dtype):
     """Maxwell-Juttner momenta via the Sobol method with Zenitani flipping
-    (InjectorMomentum.H:296-360)."""
+    (InjectorMomentum.H:296-360); per-particle theta/beta supported.
+
+    The Sobol rejection acceptance vanishes like exp(-1/theta): the
+    reference ABORTS below theta = 0.1 (InjectorMomentum.H:313) and so do
+    we — otherwise the loop effectively never terminates."""
+    theta = np.broadcast_to(np.asarray(theta, np.float64), (n,))
+    beta = np.broadcast_to(np.asarray(beta, np.float64), (n,))
+    if n and float(theta.min()) < 0.1:
+        raise ValueError(
+            "Temperature parameter theta is less than minimum 0.1 allowed "
+            "for Maxwell-Juttner (Sobol sampling; InjectorMomentum.H:313)"
+        )
     um = np.zeros(n)
     todo = np.ones(n, bool)
     while todo.any():
-        m = int(todo.sum())
-        cand = -theta * np.log(
+        idx = np.nonzero(todo)[0]
+        m = idx.size
+        th = theta[idx]
+        cand = -th * np.log(
             rng.random(m) * rng.random(m) * rng.random(m)
         )
         gam = np.sqrt(1.0 + cand * cand)
-        acc = cand - gam > theta * np.log(rng.random(m))
-        idx = np.nonzero(todo)[0]
+        acc = cand - gam > th * np.log(rng.random(m))
         um[idx[acc]] = cand[acc]
         todo[idx[acc]] = False
     x1 = rng.random(n)
@@ -460,7 +512,7 @@ def _sample_juttner(rng, n, theta, beta, bdir, dtype):
     u[(bdir + 2) % 3] = s_perp * np.cos(2.0 * np.pi * x2)
     u[bdir] = um * (2.0 * x1 - 1.0)
     gamma = np.sqrt(1.0 + (u * u).sum(axis=0))
-    if beta != 0.0:
+    if np.any(beta != 0.0):
         flip = -beta * u[bdir] / gamma > rng.random(n)
         u[bdir] = np.where(flip, -u[bdir], u[bdir])
         u[bdir] = (u[bdir] + gamma * beta) / np.sqrt(1.0 - beta * beta)
