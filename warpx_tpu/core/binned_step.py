@@ -226,6 +226,7 @@ def binned_pic_step(
     for pusher_name, sps in groups.items():
         n_pin = 7 if ndim == 3 else 6
         cols = [[] for _ in range(n_pin)]
+        cnts = []
         for sp_cfg in sps:
             sp = species[sp_cfg.name]
             w_eff = jnp.where(sp.alive, sp.w, jnp.zeros((), f))
@@ -236,16 +237,20 @@ def binned_pic_step(
             )
             for ci, a in enumerate(arrs):
                 cols[ci].append(a.reshape(nt, pmax))
+            cnts.append(
+                sp.alive.reshape(nt, pmax).sum(axis=1).astype(jnp.int32)
+            )
         parts7 = tuple(
             c[0] if len(c) == 1 else jnp.concatenate(c, axis=0)
             for c in cols
         )
+        counts = cnts[0] if len(cnts) == 1 else jnp.concatenate(cnts)
         params = jnp.array(
             [[sp_cfg.charge, sp_cfg.mass, *cfg.e_ext_particle,
               *cfg.b_ext_particle] for sp_cfg in sps], f,
         )
         newp, jw, viol = binned_push_deposit(
-            params, fields6, parts7,
+            params, fields6, parts7, counts=counts,
             spec=spec, geom=geom, order=cfg.particle_shape,
             galerkin=cfg.galerkin, pusher_name=pusher_name, dt=dt,
             stag_items=stag_items, mxu=cfg.tile_mxu, interpret=interpret,

@@ -2011,6 +2011,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
             for pusher_name, sps in groups.items():
                 n_pin = 7 if ndim == 3 else 6
                 cols = [[] for _ in range(n_pin)]
+                cnts = []
                 for sp_cfg in sps:
                     sp = species[sp_cfg.name]
                     w_eff = jnp.where(sp.alive, sp.w, jnp.zeros((), f))
@@ -2021,9 +2022,16 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
                     )
                     for ci, a in enumerate(arrs):
                         cols[ci].append(a.reshape(nt, pmax))
+                    cnts.append(
+                        sp.alive.reshape(nt, pmax).sum(axis=1)
+                        .astype(jnp.int32)
+                    )
                 parts7 = tuple(
                     c[0] if len(c) == 1 else jnp.concatenate(c, axis=0)
                     for c in cols
+                )
+                counts = (
+                    cnts[0] if len(cnts) == 1 else jnp.concatenate(cnts)
                 )
                 params = jnp.array(
                     [[sp_cfg.charge, sp_cfg.mass, *cfg.e_ext_particle,
@@ -2031,6 +2039,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
                 )
                 newp, jw, viol = binned_push_deposit(
                     params, fields6, parts7, anchors_vec, shift,
+                    counts=counts,
                     spec=spec, geom=geom, order=order,
                     galerkin=cfg.galerkin, pusher_name=pusher_name, dt=dt,
                     stag_items=stag_items, mxu=cfg.tile_mxu, smax=smax,

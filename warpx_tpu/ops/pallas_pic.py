@@ -118,7 +118,7 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
     gprec = None if mxu in ("mixed", "bf16") else _HI
     dprec = None if mxu == "bf16" else _HI
 
-    def kernel(params, anch, shft, fex, fey, fez, fbx, fby, fbz,
+    def kernel(params, anch, shft, occnt, fex, fey, fez, fbx, fby, fbz,
                pin, pout, jxw, jyw, jzw, violr,
                slab, win2, sems):
         sid = pl.program_id(2)
@@ -189,177 +189,198 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
                 rot = pltpu.roll(slab[slot_, ci], -z0, 2)
                 for b in range(W):
                     win2[ci, :, b * W:(b + 1) * W] = rot[:, b, :W].astype(gmx)
-        # particle blocks are packed (1, 7|6, 1, P) wide-lane planes; all
-        # per-particle math below is on (1, P) vectors (bands (W, P),
-        # outers (W*W, P))
-        pos = (pin[0, 0], pin[0, 1], pin[0, 2])
-        X = [
-            (pos[d] - anch[0, d]) * inv_dx[d] - worig[d].astype(f)
-            for d in range(3)
-        ]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (W, P), 0).astype(f)
+        # ---- tile-occupancy skip: a (species, tile) with zero alive
+        # particles (the vacuum ahead of a moving window, a localized
+        # beam species) pays only a plane copy instead of the full
+        # gather/push/deposit arithmetic (~17x, tools/kernel_lab.py)
+        occ = occnt[0, 0, 0] > 0
 
-        def band(xc, o_eff):
-            """(W, P) band matrix A[i, p] = S_o(xc_p - i): each particle's
-            shape weights land on its o+1 support rows, zero elsewhere.
+        @pl.when(jnp.logical_not(occ))
+        def _skip():
+            for ci in range(6):
+                pout[0, ci] = pin[0, ci]
+            violr[0] = jnp.zeros((8, 128), jnp.int32)
 
-            Order 0 uses the half-open box [-1/2, 1/2) so a particle exactly
-            at a half-integer position lands on one row, matching the
-            reference's floor(x + 0.5) index selection (ShapeFactors.H:40)."""
-            xi = xc - rows
-            if o_eff == 0:
-                return jnp.where(
-                    (xi >= -0.5) & (xi < 0.5),
-                    jnp.ones((), f), jnp.zeros((), f),
-                )
-            return spline(xi, o_eff)
-
-        # ---- gather ------------------------------------------------------
-        acache = {}
-
-        def axis_mat(d, o_eff, stag):
-            key_ = (d, o_eff, stag)
-            if key_ not in acache:
-                acache[key_] = band(X[d] - (0.5 if stag else 0.0), o_eff)
-            return acache[key_]
-
-        bcache = {}
-
-        def yz_mat(ykey, zkey):
-            key_ = (ykey, zkey)
-            if key_ not in bcache:
-                ay = axis_mat(1, *ykey)
-                az = axis_mat(2, *zkey)
-                bcache[key_] = (
-                    ay[:, None, :] * az[None, :, :]
-                ).reshape(W * W, P).astype(gmx)
-            return bcache[key_]
-
-        # components sharing a transverse band product ride ONE contraction
-        # with their windows stacked on the M axis (Yee+galerkin: 6
-        # components -> 4 dots of M in {W, 2W})
-        comp_groups: dict = {}
-        for ci, comp in enumerate(("Ex", "Ey", "Ez", "Bx", "By", "Bz")):
-            flags = staggering[comp]
-            keys = []
-            for d in range(3):
-                reduced = galerkin and (_AXES[d] in _GALERKIN_AXES[comp])
-                o_eff = order - 1 if reduced else order
-                keys.append((o_eff, flags[d] == 0))
-            comp_groups.setdefault((keys[1], keys[2]), []).append(
-                (ci, keys[0])
-            )
-        e6 = [None] * 6
-        for (ykey, zkey), members in comp_groups.items():
-            byz = yz_mat(ykey, zkey)
-            wstk = (
-                win2[members[0][0]] if len(members) == 1
-                else jnp.concatenate([win2[ci] for ci, _ in members], axis=0)
-            )
-            # h[(c,i), p] = Ewin ((c,i),(jk)) . Byz ((jk), p): K = W^2,
-            # particle lanes stream on N
-            h = jax.lax.dot_general(
-                wstk, byz, (((1,), (0,)), ((), ())),
-                preferred_element_type=f, precision=gprec,
-            )
-            for g, (ci, xkey) in enumerate(members):
-                ax_m = axis_mat(0, *xkey)
-                e6[ci] = jnp.sum(
-                    ax_m * h[g * W:(g + 1) * W], axis=0, keepdims=True
-                )
-        ex, ey, ez, bx, by, bz = e6
-        ex = ex + params[sid, 2]
-        ey = ey + params[sid, 3]
-        ez = ez + params[sid, 4]
-        bx = bx + params[sid, 5]
-        by = by + params[sid, 6]
-        bz = bz + params[sid, 7]
-
-        # ---- push ----------------------------------------------------------
-        ux, uy, uz = pusher(
-            pin[0, 3], pin[0, 4], pin[0, 5],
-            ex, ey, ez, bx, by, bz, q, m, dt,
-        )
-        gaminv = 1.0 / jnp.sqrt(1.0 + (ux * ux + uy * uy + uz * uz) * inv_c2)
-        vel = (ux * gaminv, uy * gaminv, uz * gaminv)
-        pout[0, 0] = pos[0] + vel[0] * dt
-        pout[0, 1] = pos[1] + vel[1] * dt
-        pout[0, 2] = pos[2] + vel[2] * dt
-        pout[0, 3] = ux
-        pout[0, 4] = uy
-        pout[0, 5] = uz
-
-        # ---- Esirkepov deposit ---------------------------------------------
-        # new position in window units; old = new - v*dt/dx (== X exactly)
-        wq = q * pin[0, 6]
-        sm, df, cs, bad = [], [], [], None
-        for d in range(3):
-            xn = X[d] + vel[d] * (dt * inv_dx[d])
-            nn = band(xn, order)
-            # the old-position order-``order`` unstaggered band is usually
-            # already in the gather cache
-            no = axis_mat(d, order, False)
-            sm.append(nn + no)
-            diff = no - nn
-            df.append(diff)
-            # cumulative Esirkepov difference sums: prefix over window rows
-            # (rows outside the support accumulate to exactly 0); log-step
-            # shifted adds — Mosaic has no cumsum primitive
-            acc = diff
-            s = 1
-            while s < W:
-                acc = acc + jnp.pad(acc[:-s], ((s, 0), (0, 0)))
-                s *= 2
-            cs.append(acc)
-            i0 = start_index(xn, order) - 1
-            bd = (i0 < 0) | (i0 > W - T)
-            bad = bd if bad is None else (bad | bd)
-
-        def outer(a, b):
-            return (a[:, None, :] * b[None, :, :]).reshape(W * W, P)
-
-        for d, (a, b, out_ref) in enumerate(
-            ((1, 2, jxw), (0, 2, jyw), (0, 1, jzw))
-        ):
-            # two-outer mix: 1/4 s_a s_b + 1/12 d_a d_b (module docstring);
-            # ONE streaming contraction over the particle lanes (K = P)
-            lhs = cs[d] * (wq * invdtd[d])
-            dims = (((1,), (1,)), ((), ()))
-            if dprec is not None:
-                # multi-pass modes: the scalars commute into the rhs, so the
-                # two outer-product contractions collapse to ONE dot against
-                # their scaled sum — a (W*W, P) VPU add replaces a whole
-                # MXU pass group
-                rhs = (0.25 * outer(sm[a], sm[b])
-                       + (1.0 / 12.0) * outer(df[a], df[b]))
-                jd = jax.lax.dot_general(
-                    lhs, rhs, dims,
-                    preferred_element_type=f, precision=dprec,
-                )
-            else:
-                # bf16: single MXU passes are cheaper than an f32 combine —
-                # keep two dots on pre-cast operands
-                jd = jax.lax.dot_general(
-                    (0.25 * lhs).astype(dmx),
-                    outer(sm[a], sm[b]).astype(dmx), dims,
-                    preferred_element_type=f,
-                ) + jax.lax.dot_general(
-                    ((1.0 / 12.0) * lhs).astype(dmx),
-                    outer(df[a], df[b]).astype(dmx), dims,
-                    preferred_element_type=f,
-                )
-            # species accumulate into the same VMEM window (grid dim 2)
             @pl.when(sid == 0)
-            def _init(jd=jd, out_ref=out_ref):
-                out_ref[0] = jd
+            def _zero_j():
+                jxw[0] = jnp.zeros((W, W * W), f)
+                jyw[0] = jnp.zeros((W, W * W), f)
+                jzw[0] = jnp.zeros((W, W * W), f)
 
-            @pl.when(sid > 0)
-            def _acc(jd=jd, out_ref=out_ref):
-                out_ref[0] = out_ref[0] + jd
+        @pl.when(occ)
+        def _compute():
+            # particle blocks are packed (1, 7|6, 1, P) wide-lane planes; all
+            # per-particle math below is on (1, P) vectors (bands (W, P),
+            # outers (W*W, P))
+            pos = (pin[0, 0], pin[0, 1], pin[0, 2])
+            X = [
+                (pos[d] - anch[0, d]) * inv_dx[d] - worig[d].astype(f)
+                for d in range(3)
+            ]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (W, P), 0).astype(f)
 
-        alive = pin[0, 6] > 0
-        cnt = jnp.sum((bad & alive).astype(jnp.int32))
-        violr[0] = jnp.broadcast_to(cnt, (8, 128))
+            def band(xc, o_eff):
+                """(W, P) band matrix A[i, p] = S_o(xc_p - i): each particle's
+                shape weights land on its o+1 support rows, zero elsewhere.
+
+                Order 0 uses the half-open box [-1/2, 1/2) so a particle exactly
+                at a half-integer position lands on one row, matching the
+                reference's floor(x + 0.5) index selection (ShapeFactors.H:40)."""
+                xi = xc - rows
+                if o_eff == 0:
+                    return jnp.where(
+                        (xi >= -0.5) & (xi < 0.5),
+                        jnp.ones((), f), jnp.zeros((), f),
+                    )
+                return spline(xi, o_eff)
+
+            # ---- gather ------------------------------------------------------
+            acache = {}
+
+            def axis_mat(d, o_eff, stag):
+                key_ = (d, o_eff, stag)
+                if key_ not in acache:
+                    acache[key_] = band(X[d] - (0.5 if stag else 0.0), o_eff)
+                return acache[key_]
+
+            bcache = {}
+
+            def yz_mat(ykey, zkey):
+                key_ = (ykey, zkey)
+                if key_ not in bcache:
+                    ay = axis_mat(1, *ykey)
+                    az = axis_mat(2, *zkey)
+                    bcache[key_] = (
+                        ay[:, None, :] * az[None, :, :]
+                    ).reshape(W * W, P).astype(gmx)
+                return bcache[key_]
+
+            # components sharing a transverse band product ride ONE contraction
+            # with their windows stacked on the M axis (Yee+galerkin: 6
+            # components -> 4 dots of M in {W, 2W})
+            comp_groups: dict = {}
+            for ci, comp in enumerate(("Ex", "Ey", "Ez", "Bx", "By", "Bz")):
+                flags = staggering[comp]
+                keys = []
+                for d in range(3):
+                    reduced = galerkin and (_AXES[d] in _GALERKIN_AXES[comp])
+                    o_eff = order - 1 if reduced else order
+                    keys.append((o_eff, flags[d] == 0))
+                comp_groups.setdefault((keys[1], keys[2]), []).append(
+                    (ci, keys[0])
+                )
+            e6 = [None] * 6
+            for (ykey, zkey), members in comp_groups.items():
+                byz = yz_mat(ykey, zkey)
+                wstk = (
+                    win2[members[0][0]] if len(members) == 1
+                    else jnp.concatenate([win2[ci] for ci, _ in members], axis=0)
+                )
+                # h[(c,i), p] = Ewin ((c,i),(jk)) . Byz ((jk), p): K = W^2,
+                # particle lanes stream on N
+                h = jax.lax.dot_general(
+                    wstk, byz, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f, precision=gprec,
+                )
+                for g, (ci, xkey) in enumerate(members):
+                    ax_m = axis_mat(0, *xkey)
+                    e6[ci] = jnp.sum(
+                        ax_m * h[g * W:(g + 1) * W], axis=0, keepdims=True
+                    )
+            ex, ey, ez, bx, by, bz = e6
+            ex = ex + params[sid, 2]
+            ey = ey + params[sid, 3]
+            ez = ez + params[sid, 4]
+            bx = bx + params[sid, 5]
+            by = by + params[sid, 6]
+            bz = bz + params[sid, 7]
+
+            # ---- push ----------------------------------------------------------
+            ux, uy, uz = pusher(
+                pin[0, 3], pin[0, 4], pin[0, 5],
+                ex, ey, ez, bx, by, bz, q, m, dt,
+            )
+            gaminv = 1.0 / jnp.sqrt(1.0 + (ux * ux + uy * uy + uz * uz) * inv_c2)
+            vel = (ux * gaminv, uy * gaminv, uz * gaminv)
+            pout[0, 0] = pos[0] + vel[0] * dt
+            pout[0, 1] = pos[1] + vel[1] * dt
+            pout[0, 2] = pos[2] + vel[2] * dt
+            pout[0, 3] = ux
+            pout[0, 4] = uy
+            pout[0, 5] = uz
+
+            # ---- Esirkepov deposit ---------------------------------------------
+            # new position in window units; old = new - v*dt/dx (== X exactly)
+            wq = q * pin[0, 6]
+            sm, df, cs, bad = [], [], [], None
+            for d in range(3):
+                xn = X[d] + vel[d] * (dt * inv_dx[d])
+                nn = band(xn, order)
+                # the old-position order-``order`` unstaggered band is usually
+                # already in the gather cache
+                no = axis_mat(d, order, False)
+                sm.append(nn + no)
+                diff = no - nn
+                df.append(diff)
+                # cumulative Esirkepov difference sums: prefix over window rows
+                # (rows outside the support accumulate to exactly 0); log-step
+                # shifted adds — Mosaic has no cumsum primitive
+                acc = diff
+                s = 1
+                while s < W:
+                    acc = acc + jnp.pad(acc[:-s], ((s, 0), (0, 0)))
+                    s *= 2
+                cs.append(acc)
+                i0 = start_index(xn, order) - 1
+                bd = (i0 < 0) | (i0 > W - T)
+                bad = bd if bad is None else (bad | bd)
+
+            def outer(a, b):
+                return (a[:, None, :] * b[None, :, :]).reshape(W * W, P)
+
+            for d, (a, b, out_ref) in enumerate(
+                ((1, 2, jxw), (0, 2, jyw), (0, 1, jzw))
+            ):
+                # two-outer mix: 1/4 s_a s_b + 1/12 d_a d_b (module docstring);
+                # ONE streaming contraction over the particle lanes (K = P)
+                lhs = cs[d] * (wq * invdtd[d])
+                dims = (((1,), (1,)), ((), ()))
+                if dprec is not None:
+                    # multi-pass modes: the scalars commute into the rhs, so the
+                    # two outer-product contractions collapse to ONE dot against
+                    # their scaled sum — a (W*W, P) VPU add replaces a whole
+                    # MXU pass group
+                    rhs = (0.25 * outer(sm[a], sm[b])
+                           + (1.0 / 12.0) * outer(df[a], df[b]))
+                    jd = jax.lax.dot_general(
+                        lhs, rhs, dims,
+                        preferred_element_type=f, precision=dprec,
+                    )
+                else:
+                    # bf16: single MXU passes are cheaper than an f32 combine —
+                    # keep two dots on pre-cast operands
+                    jd = jax.lax.dot_general(
+                        (0.25 * lhs).astype(dmx),
+                        outer(sm[a], sm[b]).astype(dmx), dims,
+                        preferred_element_type=f,
+                    ) + jax.lax.dot_general(
+                        ((1.0 / 12.0) * lhs).astype(dmx),
+                        outer(df[a], df[b]).astype(dmx), dims,
+                        preferred_element_type=f,
+                    )
+                # species accumulate into the same VMEM window (grid dim 2)
+                @pl.when(sid == 0)
+                def _init(jd=jd, out_ref=out_ref):
+                    out_ref[0] = jd
+
+                @pl.when(sid > 0)
+                def _acc(jd=jd, out_ref=out_ref):
+                    out_ref[0] = out_ref[0] + jd
+
+            alive = pin[0, 6] > 0
+            cnt = jnp.sum((bad & alive).astype(jnp.int32))
+            violr[0] = jnp.broadcast_to(cnt, (8, 128))
+
 
     return kernel
 
@@ -395,7 +416,7 @@ def _build_kernel_2d(spec, geom, staggering, order, galerkin, pusher_name,
     dprec = None if mxu == "bf16" else _HI
     axnames = ("x", "z")
 
-    def kernel(params, anch, shft, fex, fey, fez, fbx, fby, fbz,
+    def kernel(params, anch, shft, occnt, fex, fey, fez, fbx, fby, fbz,
                pin, pout, jxw, jyw, jzw, violr,
                slab, win2, sems):
         sid = pl.program_id(2)
@@ -441,141 +462,159 @@ def _build_kernel_2d(spec, geom, staggering, order, galerkin, pusher_name,
                 rot = pltpu.roll(slab[slot_, ci], -z0, 1)
                 win2[ci] = rot[:, :W].astype(gmx)
 
-        pos_act = (pin[0, 0], pin[0, 1])
-        X = [
-            (pos_act[d] - anch[0, d]) * inv_dx[d] - worig[d].astype(f)
-            for d in range(2)
-        ]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (W, P), 0).astype(f)
+        # ---- tile-occupancy skip (see the 3D kernel) ------------------
+        occ = occnt[0, 0, 0] > 0
 
-        def band(xc, o_eff):
-            xi = xc - rows
-            if o_eff == 0:
-                return jnp.where(
-                    (xi >= -0.5) & (xi < 0.5),
-                    jnp.ones((), f), jnp.zeros((), f),
-                )
-            return spline(xi, o_eff)
+        @pl.when(jnp.logical_not(occ))
+        def _skip():
+            for ci in range(5):
+                pout[0, ci] = pin[0, ci]
+            violr[0] = jnp.zeros((8, 128), jnp.int32)
 
-        # ---- gather ------------------------------------------------------
-        acache = {}
-
-        def axis_mat(d, o_eff, stag):
-            key_ = (d, o_eff, stag)
-            if key_ not in acache:
-                acache[key_] = band(X[d] - (0.5 if stag else 0.0), o_eff)
-            return acache[key_]
-
-        zcache = {}
-
-        def z_mat(zkey):
-            if zkey not in zcache:
-                zcache[zkey] = axis_mat(1, *zkey).astype(gmx)
-            return zcache[zkey]
-
-        comp_groups: dict = {}
-        for ci, comp in enumerate(("Ex", "Ey", "Ez", "Bx", "By", "Bz")):
-            flags = staggering[comp]
-            keys = []
-            for d in range(2):
-                reduced = galerkin and (
-                    axnames[d] in _GALERKIN_AXES[comp]
-                )
-                o_eff = order - 1 if reduced else order
-                keys.append((o_eff, flags[d] == 0))
-            comp_groups.setdefault(keys[1], []).append((ci, keys[0]))
-        e6 = [None] * 6
-        for zkey, members in comp_groups.items():
-            az = z_mat(zkey)
-            wstk = (
-                win2[members[0][0]] if len(members) == 1
-                else jnp.concatenate([win2[ci] for ci, _ in members], axis=0)
-            )
-            # h[(c,i), p] = Win ((c,i),j) . Az (j, p): K = W
-            h = jax.lax.dot_general(
-                wstk, az, (((1,), (0,)), ((), ())),
-                preferred_element_type=f, precision=gprec,
-            )
-            for g, (ci, xkey) in enumerate(members):
-                ax_m = axis_mat(0, *xkey)
-                e6[ci] = jnp.sum(
-                    ax_m * h[g * W:(g + 1) * W], axis=0, keepdims=True
-                )
-        ex, ey, ez, bx, by, bz = e6
-        ex = ex + params[sid, 2]
-        ey = ey + params[sid, 3]
-        ez = ez + params[sid, 4]
-        bx = bx + params[sid, 5]
-        by = by + params[sid, 6]
-        bz = bz + params[sid, 7]
-
-        # ---- push ----------------------------------------------------------
-        ux, uy, uz = pusher(
-            pin[0, 2], pin[0, 3], pin[0, 4],
-            ex, ey, ez, bx, by, bz, q, m, dt,
-        )
-        gaminv = 1.0 / jnp.sqrt(1.0 + (ux * ux + uy * uy + uz * uz) * inv_c2)
-        vel = (ux * gaminv, uy * gaminv, uz * gaminv)
-        pout[0, 0] = pos_act[0] + vel[0] * dt
-        pout[0, 1] = pos_act[1] + vel[2] * dt
-        pout[0, 2] = ux
-        pout[0, 3] = uy
-        pout[0, 4] = uz
-
-        # ---- Esirkepov deposit ---------------------------------------------
-        wq = q * pin[0, 5]
-        vel_act = (vel[0], vel[2])
-        sm, df, cs, bad = [], [], [], None
-        for d in range(2):
-            xn = X[d] + vel_act[d] * (dt * inv_dx[d])
-            nn = band(xn, order)
-            no = axis_mat(d, order, False)
-            sm.append(nn + no)
-            diff = no - nn
-            df.append(diff)
-            acc = diff
-            s = 1
-            while s < W:
-                acc = acc + jnp.pad(acc[:-s], ((s, 0), (0, 0)))
-                s *= 2
-            cs.append(acc)
-            i0 = start_index(xn, order) - 1
-            bd = (i0 < 0) | (i0 > W - T)
-            bad = bd if bad is None else (bad | bd)
-
-        # segment stack: (J_x, J_z, J_y-sum-term, J_y-diff-term); each is an
-        # (lhs_x-side, rhs_z-side) pair contracted over the particle lanes
-        wqvy = wq * (vel[1] * invvol)
-        lhs4 = jnp.stack([
-            cs[0] * (wq * invdtd[0]),
-            0.5 * sm[0],
-            (0.25 * wqvy) * sm[0],
-            ((1.0 / 12.0) * wqvy) * df[0],
-        ], axis=0).astype(dmx)
-        rhs4 = jnp.stack([
-            0.5 * sm[1],
-            cs[1] * (wq * invdtd[1]),
-            sm[1],
-            df[1],
-        ], axis=0).astype(dmx)
-        jd4 = jax.lax.dot_general(
-            lhs4, rhs4, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=f, precision=dprec,
-        )
-        for jd, out_ref in (
-            (jd4[0], jxw), (jd4[2] + jd4[3], jyw), (jd4[1], jzw)
-        ):
             @pl.when(sid == 0)
-            def _init(jd=jd, out_ref=out_ref):
-                out_ref[0] = jd
+            def _zero_j():
+                jxw[0] = jnp.zeros((W, W), f)
+                jyw[0] = jnp.zeros((W, W), f)
+                jzw[0] = jnp.zeros((W, W), f)
 
-            @pl.when(sid > 0)
-            def _acc(jd=jd, out_ref=out_ref):
-                out_ref[0] = out_ref[0] + jd
+        @pl.when(occ)
+        def _compute():
+            pos_act = (pin[0, 0], pin[0, 1])
+            X = [
+                (pos_act[d] - anch[0, d]) * inv_dx[d] - worig[d].astype(f)
+                for d in range(2)
+            ]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (W, P), 0).astype(f)
 
-        alive = pin[0, 5] > 0
-        cnt = jnp.sum((bad & alive).astype(jnp.int32))
-        violr[0] = jnp.broadcast_to(cnt, (8, 128))
+            def band(xc, o_eff):
+                xi = xc - rows
+                if o_eff == 0:
+                    return jnp.where(
+                        (xi >= -0.5) & (xi < 0.5),
+                        jnp.ones((), f), jnp.zeros((), f),
+                    )
+                return spline(xi, o_eff)
+
+            # ---- gather ------------------------------------------------------
+            acache = {}
+
+            def axis_mat(d, o_eff, stag):
+                key_ = (d, o_eff, stag)
+                if key_ not in acache:
+                    acache[key_] = band(X[d] - (0.5 if stag else 0.0), o_eff)
+                return acache[key_]
+
+            zcache = {}
+
+            def z_mat(zkey):
+                if zkey not in zcache:
+                    zcache[zkey] = axis_mat(1, *zkey).astype(gmx)
+                return zcache[zkey]
+
+            comp_groups: dict = {}
+            for ci, comp in enumerate(("Ex", "Ey", "Ez", "Bx", "By", "Bz")):
+                flags = staggering[comp]
+                keys = []
+                for d in range(2):
+                    reduced = galerkin and (
+                        axnames[d] in _GALERKIN_AXES[comp]
+                    )
+                    o_eff = order - 1 if reduced else order
+                    keys.append((o_eff, flags[d] == 0))
+                comp_groups.setdefault(keys[1], []).append((ci, keys[0]))
+            e6 = [None] * 6
+            for zkey, members in comp_groups.items():
+                az = z_mat(zkey)
+                wstk = (
+                    win2[members[0][0]] if len(members) == 1
+                    else jnp.concatenate([win2[ci] for ci, _ in members], axis=0)
+                )
+                # h[(c,i), p] = Win ((c,i),j) . Az (j, p): K = W
+                h = jax.lax.dot_general(
+                    wstk, az, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f, precision=gprec,
+                )
+                for g, (ci, xkey) in enumerate(members):
+                    ax_m = axis_mat(0, *xkey)
+                    e6[ci] = jnp.sum(
+                        ax_m * h[g * W:(g + 1) * W], axis=0, keepdims=True
+                    )
+            ex, ey, ez, bx, by, bz = e6
+            ex = ex + params[sid, 2]
+            ey = ey + params[sid, 3]
+            ez = ez + params[sid, 4]
+            bx = bx + params[sid, 5]
+            by = by + params[sid, 6]
+            bz = bz + params[sid, 7]
+
+            # ---- push ----------------------------------------------------------
+            ux, uy, uz = pusher(
+                pin[0, 2], pin[0, 3], pin[0, 4],
+                ex, ey, ez, bx, by, bz, q, m, dt,
+            )
+            gaminv = 1.0 / jnp.sqrt(1.0 + (ux * ux + uy * uy + uz * uz) * inv_c2)
+            vel = (ux * gaminv, uy * gaminv, uz * gaminv)
+            pout[0, 0] = pos_act[0] + vel[0] * dt
+            pout[0, 1] = pos_act[1] + vel[2] * dt
+            pout[0, 2] = ux
+            pout[0, 3] = uy
+            pout[0, 4] = uz
+
+            # ---- Esirkepov deposit ---------------------------------------------
+            wq = q * pin[0, 5]
+            vel_act = (vel[0], vel[2])
+            sm, df, cs, bad = [], [], [], None
+            for d in range(2):
+                xn = X[d] + vel_act[d] * (dt * inv_dx[d])
+                nn = band(xn, order)
+                no = axis_mat(d, order, False)
+                sm.append(nn + no)
+                diff = no - nn
+                df.append(diff)
+                acc = diff
+                s = 1
+                while s < W:
+                    acc = acc + jnp.pad(acc[:-s], ((s, 0), (0, 0)))
+                    s *= 2
+                cs.append(acc)
+                i0 = start_index(xn, order) - 1
+                bd = (i0 < 0) | (i0 > W - T)
+                bad = bd if bad is None else (bad | bd)
+
+            # segment stack: (J_x, J_z, J_y-sum-term, J_y-diff-term); each is an
+            # (lhs_x-side, rhs_z-side) pair contracted over the particle lanes
+            wqvy = wq * (vel[1] * invvol)
+            lhs4 = jnp.stack([
+                cs[0] * (wq * invdtd[0]),
+                0.5 * sm[0],
+                (0.25 * wqvy) * sm[0],
+                ((1.0 / 12.0) * wqvy) * df[0],
+            ], axis=0).astype(dmx)
+            rhs4 = jnp.stack([
+                0.5 * sm[1],
+                cs[1] * (wq * invdtd[1]),
+                sm[1],
+                df[1],
+            ], axis=0).astype(dmx)
+            jd4 = jax.lax.dot_general(
+                lhs4, rhs4, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f, precision=dprec,
+            )
+            for jd, out_ref in (
+                (jd4[0], jxw), (jd4[2] + jd4[3], jyw), (jd4[1], jzw)
+            ):
+                @pl.when(sid == 0)
+                def _init(jd=jd, out_ref=out_ref):
+                    out_ref[0] = jd
+
+                @pl.when(sid > 0)
+                def _acc(jd=jd, out_ref=out_ref):
+                    out_ref[0] = out_ref[0] + jd
+
+            alive = pin[0, 5] > 0
+            cnt = jnp.sum((bad & alive).astype(jnp.int32))
+            violr[0] = jnp.broadcast_to(cnt, (8, 128))
+
 
     return kernel
 
@@ -623,6 +662,7 @@ def binned_push_deposit(
     parts7,
     anchors=None,
     zshift=None,
+    counts=None,
     *,
     spec,
     geom,
@@ -669,6 +709,16 @@ def binned_push_deposit(
     if zshift is None:
         zshift = jnp.zeros((), jnp.int32)
     zshift = jnp.asarray(zshift, jnp.int32).reshape(1, 1)
+    # per-(species, tile) alive counts gate the whole compute body: tiles
+    # in vacuum (or species localized elsewhere) cost a plane copy only.
+    # Mosaic only accepts whole-array SMEM blocks, so the counts ride VMEM
+    # as (n, 1, 128) lane-broadcast rows sliced one row per grid step.
+    if counts is None:
+        counts = jnp.ones((parts7[0].shape[0],), jnp.int32)
+    counts = jnp.broadcast_to(
+        jnp.asarray(counts, jnp.int32)[:, None, None],
+        (parts7[0].shape[0], 1, 128),
+    )
     if P % 128:
         raise ValueError("p_max must be a multiple of 128")
     gmx = jnp.bfloat16 if mxu in ("mixed", "bf16") else fields6[0].dtype
@@ -717,6 +767,10 @@ def binned_push_deposit(
             pl.BlockSpec(
                 (1, 1), lambda i, k, s: (0, 0), memory_space=pltpu.SMEM
             ),
+            pl.BlockSpec(
+                (1, 1, 128), lambda i, k, s: (s * nt + i * ntz + k, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ]
         + [field_spec] * 6
         + [pin_spec],
@@ -744,7 +798,7 @@ def binned_push_deposit(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(params, anchors, zshift, *fields6, parts_packed)
+    )(params, anchors, zshift, counts, *fields6, parts_packed)
     return (
         tuple(outs[0][:, i, 0] for i in range(n_pout)),
         tuple(outs[1:4]),
