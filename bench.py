@@ -234,7 +234,11 @@ def run_lwfa(nx, nz, ppc, steps):
     from warpx_tpu.core.simulation import Simulation
     from warpx_tpu.utils.parser import Deck
 
-    interval = int(os.environ.get("BENCH_LWFA_SORT_INTERVAL", 4))
+    # sort interval 16: the rebin is the dominant LWFA cost at interval 4
+    # (tools/profile_lwfa.py: 123.6 -> 64.6 ms/step); the margin grows with
+    # the interval (space-anchored tiles pay only physical drift) but the
+    # kernel's W-cost grows slower than the amortized rebin shrinks
+    interval = int(os.environ.get("BENCH_LWFA_SORT_INTERVAL", 16))
     # bounded horizon: continuous-injection slot capacity scales with
     # max_step, so give the run a finite but generous budget
     budget = 2 * interval + 64 * max(steps, interval)

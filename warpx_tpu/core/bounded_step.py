@@ -710,6 +710,97 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
         return out
 
     # ------------------------------------------------------------- step_main
+    # ------------------------------------------------ bounded mesh refinement
+    # Two-level MR inside the bounded stack (PML level-0 walls + moving
+    # window + lasers): the fine/coarse PATCH machinery is the periodic MR
+    # module's (core/mr.py — patch advances with their own PML ring,
+    # staggering-aware average-down, 2-pt aux interpolation, buffer-mask
+    # particle ownership); level-0 runs through the closures here.  The
+    # refined box is FIXED in level-0 index space, so it rides the moving
+    # window: MoveWindow shifts the patch arrays along (shiftMF at every
+    # level, WarpXMovingWindow.cpp:139-479) and the patch's PHYSICAL bounds
+    # gain the accumulated window offset for particle masks and patch-frame
+    # gather/deposit origins.
+    has_mr = cfg.max_level > 0
+    if has_mr:
+        from .mr import (
+            MRLayout, coarsen_field, compute_aux1, make_patch_advance,
+        )
+
+        if is_psatd:
+            raise NotImplementedError("bounded MR with PSATD")
+        if cfg.do_subcycling:
+            raise NotImplementedError("bounded MR with subcycling")
+        if is_galilean or is_es or cfg.evolve_scheme != "explicit":
+            raise NotImplementedError("bounded MR outside explicit EM")
+        if mc_gather:
+            raise NotImplementedError(
+                "bounded MR with momentum-conserving gathering"
+            )
+        if cfg.use_nci_corr:
+            raise NotImplementedError(
+                "bounded MR with the NCI corrector (periodic MR covers it)"
+            )
+        mrl = MRLayout(cfg, staggering)
+        _mr_bf, _mr_ef = make_patch_advance(
+            mrl, staggering, cfg.em_solver, 0.5 * dt, dt, True, dtype
+        )
+        _mr_bc, _mr_ec = make_patch_advance(
+            mrl, staggering, cfg.em_solver, 0.5 * dt, dt, False, dtype
+        )
+        _mr_comps = ("Ex", "Ey", "Ez", "Bx", "By", "Bz")
+        _mr_jnames = ("jx", "jy", "jz")
+
+        def _mr_adv(parts, j3, fine):
+            b, e = (_mr_bf, _mr_ef) if fine else (_mr_bc, _mr_ec)
+            return b(e(b(parts), j3))
+
+        def _mr_wshift(state):
+            """Physical window offset the (index-fixed) patch has ridden."""
+            if not cfg.do_moving_window:
+                return 0.0
+            return state.aux["window_lo"] - geom.prob_lo[wdir]
+
+        def _mr_origin_f(state):
+            o = list(mrl.geom_f_ext.prob_lo)
+            if cfg.do_moving_window:
+                o[wdir] = o[wdir] + _mr_wshift(state)
+            return o
+
+        def _mr_mask(state, positions, nbuf):
+            """fine_mask with the window-ridden patch bounds."""
+            ws = _mr_wshift(state)
+            ok = None
+            for d in range(ndim):
+                lo = mrl.patch_lo[d] + (
+                    ws if (cfg.do_moving_window and d == wdir) else 0.0
+                )
+                idx = jnp.floor(
+                    (positions[d] - lo) / mrl.dxf[d]
+                ).astype(jnp.int32)
+                in_d = (idx >= nbuf) & (idx <= mrl.nf[d] - 1 - nbuf)
+                ok = in_d if ok is None else ok & in_d
+            return ok
+
+        def _mr_crop0(state):
+            """Level-0 components cropped to the plain (n_cell) domain frame
+            the MR window tables index (drop PML strips + nodal top)."""
+            out = {}
+            for nm in _mr_comps:
+                arr = getattr(state.fields, nm)
+                sl = tuple(
+                    slice(ext_lo[d], ext_lo[d] + n_cell[d])
+                    for d in range(ndim)
+                )
+                out[nm] = arr[sl]
+            return out
+
+        def _mr_patch_parts(aux, prefix):
+            tag = f"mr:{prefix}:"
+            return {
+                k[len(tag):]: v for k, v in aux.items() if k.startswith(tag)
+            }
+
     def step_main(state: SimState) -> SimState:
         origin = gal_origin_at(origin_of(state), state, 0.0)
         use_avg = (
@@ -771,6 +862,16 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
         rho_old_pad = rho_new_pad = None
         new_species = {}
         aux_updates = {}
+        if has_mr:
+            # aux(1) = fp + I(aux(0) - cp) gather fields on the fine patch
+            # (UpdateAuxilaryDataSameType, WarpXComm.cpp:388)
+            mr_aux1 = compute_aux1(
+                _mr_crop0(state), state.aux, mrl, staggering
+            )
+            mr_jf = tuple(
+                jnp.zeros(mrl.n_fext, state.fields.Ex.dtype)
+                for _ in range(3)
+            )
         for sp_cfg in cfg.species:
             sp = state.species[sp_cfg.name]
             if sp.capacity == 0:
@@ -795,12 +896,25 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
                 else:
                     from .step import _add_ext
 
+                    e6 = gather_eb(
+                        pos, farr_pad, gather_stag, geom, order,
+                        cfg.galerkin, origin=origin, wrap=False, offset=ng,
+                    )
+                    if has_mr:
+                        # particles deep inside the patch gather from the
+                        # fine aux instead (buffer-mask ownership)
+                        mask_g = _mr_mask(state, pos, mrl.gather_buf)
+                        e6f = gather_eb(
+                            pos, mr_aux1, gather_stag, mrl.geom_f_ext,
+                            order, cfg.galerkin,
+                            origin=_mr_origin_f(state), wrap=False,
+                        )
+                        e6 = tuple(
+                            jnp.where(mask_g, f, c)
+                            for f, c in zip(e6f, e6)
+                        )
                     e6 = _add_ext(
-                        gather_eb(
-                            pos, farr_pad, gather_stag, geom, order,
-                            cfg.galerkin, origin=origin, wrap=False, offset=ng,
-                        ),
-                        cfg, pos=pos, u3=(sp.ux, sp.uy, sp.uz),
+                        e6, cfg, pos=pos, u3=(sp.ux, sp.uy, sp.uz)
                     )
                 if sp_cfg.do_not_push:
                     ux, uy, uz = sp.ux, sp.uy, sp.uz
@@ -874,6 +988,23 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
                 )
             if not sp_cfg.do_not_deposit and not is_es:
                 w_eff = jnp.where(sp.alive, sp_new.w, 0.0)
+                if has_mr and not is_laser[sp_cfg.name]:
+                    # deposition buffer split: deep-patch particles deposit
+                    # on the fine grid, the rest (incl. the buffer ring) on
+                    # level 0 (PartitionParticlesInBuffers)
+                    mask_d = _mr_mask(state, new_pos, mrl.dep_buf)
+                    w_fine = jnp.where(mask_d, w_eff, 0.0)
+                    w_eff = jnp.where(mask_d, 0.0, w_eff)
+                    jf_sp = deposit_current_esirkepov(
+                        new_pos, ux, uy, uz, w_fine, q_eff,
+                        mrl.geom_f_ext, dt, order,
+                        origin=_mr_origin_f(state), wrap=False,
+                        out_shape=mrl.n_fext,
+                        chunk_size=cfg.deposit_chunk_size,
+                    )
+                    mr_jf = tuple(
+                        a + b for a, b in zip(mr_jf, jf_sp)
+                    )
                 origin_j = gal_origin_at(origin_of(state), state, 0.5)
                 if cfg.current_deposition == "esirkepov":
                     jx, jy, jz = deposit_current_esirkepov(
@@ -915,6 +1046,52 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
                 aux={**state.aux, **aux_updates} if aux_updates
                 else state.aux,
             )
+
+        if has_mr:
+            # SyncCurrent: average-down the fine J and add it into level-0
+            # over the (index-static) patch box; big-frame index = domain
+            # cell + ext_lo + ng (the deposition block's kbase convention)
+            jcp = tuple(
+                coarsen_field(a, staggering[nm], mrl)
+                for a, nm in zip(mr_jf, _mr_jnames)
+            )
+            if j_total is None:
+                j_total = tuple(
+                    jnp.zeros(big_shape, state.fields.Ex.dtype)
+                    for _ in range(3)
+                )
+            j0s = []
+            for a, b, nm in zip(j_total, jcp, _mr_jnames):
+                dst, src = mrl.patch_slices(staggering[nm], "c")
+                dst = tuple(
+                    slice(s.start + ext_lo[d] + ng, s.stop + ext_lo[d] + ng)
+                    for d, s in enumerate(dst)
+                )
+                j0s.append(a.at[dst].add(b[src]))
+            j_total = tuple(j0s)
+
+            jf_adv = mr_jf
+            if cfg.use_filter:
+                from ..solvers.filter import bilinear_filter
+
+                npass = cfg.filter_npass_each_dir or (1,) * ndim
+                jf_adv = tuple(bilinear_filter(a, npass) for a in jf_adv)
+            parts_f = _mr_adv(
+                _mr_patch_parts(state.aux, "f"), jf_adv, True
+            )
+            parts_c = _mr_adv(
+                _mr_patch_parts(state.aux, "c"),
+                tuple(
+                    bilinear_filter(a, npass) for a in jcp
+                ) if cfg.use_filter else jcp,
+                False,
+            )
+            for k, v in parts_f.items():
+                aux_updates[f"mr:f:{k}"] = v
+            for k, v in parts_c.items():
+                aux_updates[f"mr:c:{k}"] = v
+            for nm, arr in zip(_mr_jnames, jf_adv):
+                aux_updates[f"mr:j:{nm}"] = arr
 
         return _field_tail(
             state, new_species, j_total, rho_old_pad, rho_new_pad,
@@ -1251,6 +1428,57 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
             cell_lo[:, None, :]
             + jnp.asarray(unit_active, dtype) * jnp.asarray(dxs, dtype)
         ).reshape(npart, ndim)
+        scale_vec = jnp.full(npart, geom.cell_volume / ppc_tot, dtype)
+        refine = (
+            has_mr and cfg.refine_plasma and sp_cfg.do_continuous_injection
+        )
+        if refine:
+            # warpx.refine_plasma (findRefinedInjectionBox,
+            # PhysicalParticleContainer.cpp:3260): cells whose TRANSVERSE
+            # coarse index falls in the refined box's footprint (the box
+            # extends to +/- infinity along the window direction) inject on
+            # the FINE lattice instead — r-times more streams at 1/prod(r)
+            # the weight
+            def _in_footprint(p):
+                m = jnp.ones(p.shape[0], bool)
+                for d in range(ndim):
+                    if d == wdir:
+                        continue
+                    ci = jnp.floor(
+                        (p[:, d] - geom.prob_lo[d]) / dxs[d]
+                    ).astype(jnp.int32)
+                    m &= (ci >= mrl.i0[d]) & (ci < mrl.i1[d])
+                return m
+
+            rv = mrl.rv
+            R = int(np.prod(rv))
+            dxf_vec = jnp.asarray(
+                [dxs[d] / rv[d] for d in range(ndim)], dtype
+            )
+            subs = jnp.meshgrid(
+                *[
+                    jnp.arange(rv[d]).astype(dtype) * (dxs[d] / rv[d])
+                    for d in range(ndim)
+                ],
+                indexing="ij",
+            )
+            sub = jnp.stack([s.reshape(-1) for s in subs], axis=-1)
+            pos_f = (
+                cell_lo[:, None, None, :]
+                + sub[None, :, None, :]
+                + jnp.asarray(unit_active, dtype) * dxf_vec
+            ).reshape(-1, ndim)
+            n_f = pos_f.shape[0]
+            in_c = _in_footprint(pos)
+            in_f = _in_footprint(pos_f)
+            scale_vec = jnp.concatenate([
+                jnp.where(in_c, 0.0, scale_vec),
+                jnp.where(
+                    in_f, geom.cell_volume / (R * ppc_tot), 0.0
+                ).astype(dtype),
+            ])
+            pos = jnp.concatenate([pos, pos_f], axis=0)
+            npart = npart + n_f
 
         pz = pos[:, wdir]
         sel = (pz > cur_pos) & (pz < new_pos)
@@ -1298,7 +1526,6 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
                     coord <= sp_cfg.bounds_hi[d]
                 )
 
-        scale_fac = geom.cell_volume / ppc_tot
         if sp_cfg.profile == "constant":
             dens = jnp.full(npart, sp_cfg.density, dtype)
         else:
@@ -1307,7 +1534,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
                 dict(sp_cfg.user_constants),
             )
             dens = jnp.asarray(fn(*xyz), dtype)
-        w_new = jnp.where(sel, dens * scale_fac, 0.0)
+        w_new = jnp.where(sel, dens * scale_vec, 0.0)
         sel &= w_new > 0
 
         if sp_cfg.momentum_distribution in ("at_rest", "none"):
@@ -1454,6 +1681,15 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
             }
             for key in list(aux):
                 if key.startswith("pml:"):
+                    aux[key] = shift_field(aux[key], num_shift)
+                elif key.startswith(("mr:f:", "mr:j:")):
+                    # the refined box is index-fixed: fine patch data
+                    # shifts by ref_ratio fine cells per coarse cell
+                    # (shiftMF on every level, WarpXMovingWindow.cpp:479)
+                    aux[key] = shift_field(
+                        aux[key], num_shift * mrl.rv[wdir]
+                    )
+                elif key.startswith("mr:c:"):
                     aux[key] = shift_field(aux[key], num_shift)
             jx, jy, jz = jax.lax.cond(
                 move_j,
@@ -1661,13 +1897,23 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
                 pos = tuple(pos)
             from .step import _add_ext
 
-            e6 = _add_ext(
-                gather_eb(
-                    pos, farr_pad, gather_stag, geom, order,
-                    cfg.galerkin, origin=origin, wrap=False, offset=ng,
-                ),
-                cfg, pos=pos, u3=(sp.ux, sp.uy, sp.uz),
+            e6 = gather_eb(
+                pos, farr_pad, gather_stag, geom, order,
+                cfg.galerkin, origin=origin, wrap=False, offset=ng,
             )
+            if has_mr:
+                mask_g = _mr_mask(state, pos, mrl.gather_buf)
+                aux1 = compute_aux1(
+                    _mr_crop0(state), state.aux, mrl, staggering
+                )
+                e6f = gather_eb(
+                    pos, aux1, gather_stag, mrl.geom_f_ext, order,
+                    cfg.galerkin, origin=_mr_origin_f(state), wrap=False,
+                )
+                e6 = tuple(
+                    jnp.where(mask_g, f, c) for f, c in zip(e6f, e6)
+                )
+            e6 = _add_ext(e6, cfg, pos=pos, u3=(sp.ux, sp.uy, sp.uz))
             pusher = PUSHERS[sp_cfg.pusher]
             ux, uy, uz = pusher(
                 sp.ux, sp.uy, sp.uz, *e6, sp_cfg.charge, sp_cfg.mass, dt_half

@@ -332,6 +332,15 @@ class SimConfig:
     ref_ratio: Tuple[int, ...] = ()
     fine_tag_lo: Tuple[float, ...] = ()
     fine_tag_hi: Tuple[float, ...] = ()
+    # the refined box is the tag box GROWN to amr.blocking_factor multiples
+    # in fine cells (AMReX BoxArray blocking; ParticleBoxArray(1)
+    # minimalBox is what refined injection and diagnostics actually see)
+    blocking_factor: int = 8
+    # inject r-times finer particle streams where the transverse footprint
+    # of the refined box covers the cell (warpx.refine_plasma;
+    # PhysicalParticleContainer::findRefinedInjectionBox — the box extends
+    # to +/- infinity along the moving-window direction)
+    refine_plasma: bool = False
     # particles within this many FINE cells of the patch edge gather from /
     # deposit to the coarse level (reference: WarpX::BuildBufferMasks)
     n_field_gather_buffer: int = 3

@@ -349,17 +349,6 @@ def _gate_unimplemented(deck: Deck) -> None:
         if (deck.get_string("warpx.grid_type", "staggered")
                 or "staggered").lower() != "staggered":
             raise NotImplementedError("MR requires a staggered grid")
-        _mr_bcs = deck.get_strings(
-            "boundary.field_lo", []) + deck.get_strings(
-            "boundary.field_hi", [])
-        if any(b != "periodic" for b in _mr_bcs):
-            raise NotImplementedError(
-                "MR with non-periodic level-0 boundaries"
-            )
-        if deck.get_bool("warpx.do_moving_window", False):
-            raise NotImplementedError("MR with a moving window")
-        if deck.get_strings("lasers.names", []):
-            raise NotImplementedError("MR with laser antennas")
         if deck.get_strings("collisions.collision_names", []):
             raise NotImplementedError("MR with collisions")
         _mr_dep = (deck.get_string(
@@ -1003,6 +992,8 @@ def config_from_deck(deck: Deck) -> SimConfig:
         do_subcycling=deck.get_bool("warpx.do_subcycling", False),
         fine_tag_lo=tuple(deck.get_reals("warpx.fine_tag_lo", ())),
         fine_tag_hi=tuple(deck.get_reals("warpx.fine_tag_hi", ())),
+        blocking_factor=deck.get_int("amr.blocking_factor", 8),
+        refine_plasma=deck.get_bool("warpx.refine_plasma", False),
         n_field_gather_buffer=deck.get_int(
             "warpx.n_field_gather_buffer", 3),
         n_current_deposition_buffer=deck.get_int(

@@ -69,7 +69,12 @@ def inject_species(
     rng: np.random.Generator,
     capacity: int | None = None,
     gamma_boost: float = 1.0,
+    refine_spec=None,
 ) -> ParticleState:
+    """``refine_spec`` = (i0, i1, rv, wdir): warpx.refine_plasma — cells
+    whose transverse coarse index falls inside [i0, i1) of the refined box
+    inject on the fine lattice (r-times more streams at 1/prod(r) weight;
+    findRefinedInjectionBox, PhysicalParticleContainer.cpp:3260)."""
     ndim = geom.ndim
     if sp.injection_style == "singleparticle":
         # reference: SingleParticle injection (one macroparticle at the given
@@ -198,6 +203,39 @@ def inject_species(
     dx = np.array(geom.dx)
     pos = cell_lo[:, None, :] + unit_active[None, :, :] * dx[None, None, :]
     pos = pos.reshape(-1, ndim).astype(dtype)
+    scale_vec = np.full(pos.shape[0], geom.cell_volume / ppc_tot, dtype)
+    if refine_spec is not None:
+        i0_r, i1_r, rv_r, wdir_r = refine_spec
+
+        def _in_fp(p):
+            m = np.ones(p.shape[0], bool)
+            for d in range(ndim):
+                if d == wdir_r:
+                    continue
+                ci = np.floor(
+                    (p[:, d] - geom.prob_lo[d]) / geom.dx[d]
+                ).astype(np.int64)
+                m &= (ci >= i0_r[d]) & (ci < i1_r[d])
+            return m
+
+        R = int(np.prod(rv_r))
+        dxf = dx / np.asarray(rv_r)
+        subs = np.meshgrid(
+            *[np.arange(rv_r[d]) * dxf[d] for d in range(ndim)],
+            indexing="ij",
+        )
+        sub = np.stack([s.reshape(-1) for s in subs], axis=-1)
+        pos_f = (
+            cell_lo[:, None, None, :] + sub[None, :, None, :]
+            + unit_active[None, None, :, :] * dxf[None, None, None, :]
+        ).reshape(-1, ndim).astype(dtype)
+        scale_vec = np.concatenate([
+            np.where(_in_fp(pos), 0.0, scale_vec),
+            np.where(
+                _in_fp(pos_f), geom.cell_volume / (R * ppc_tot), 0.0
+            ).astype(dtype),
+        ])
+        pos = np.concatenate([pos, pos_f], axis=0)
 
     # full xyz coordinates for profile evaluation (inactive axes = 0)
     xyz = np.zeros((pos.shape[0], 3), dtype=dtype)
@@ -229,7 +267,6 @@ def inject_species(
             mask &= (coord >= sp.bounds_lo[d]) & (coord <= sp.bounds_hi[d])
 
     # --- density -> weight
-    scale_fac = geom.cell_volume / ppc_tot
     if sp.profile == "constant":
         dens = np.full(pos.shape[0], sp.density, dtype=dtype)
     elif sp.profile in ("parse", "parse_density_function"):
@@ -239,7 +276,7 @@ def inject_species(
         dens = np.asarray(fn(xyz[:, 0], xyz[:, 1], xyz[:, 2]), dtype=dtype)
     else:
         raise NotImplementedError(f"density profile {sp.profile}")
-    w = np.where(mask, dens * scale_fac, 0.0).astype(dtype)
+    w = np.where(mask, dens * scale_vec, 0.0).astype(dtype)
     mask &= w > 0
 
     # --- momentum (units of gamma*beta; stored as u = c * value, m/s)

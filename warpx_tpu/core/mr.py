@@ -99,8 +99,10 @@ class MRLayout:
         if isinstance(rv, int):
             rv = (rv,) * ndim
         rv = tuple(int(r) for r in rv)
-        if any(r % 2 != 0 for r in rv):
-            raise NotImplementedError("amr.ref_ratio must be even")
+        if any(r != 1 and r % 2 != 0 for r in rv):
+            # odd ratios > 1 break the nodal average-down (r/2 taps);
+            # r == 1 (no refinement along the axis) is the identity
+            raise NotImplementedError("amr.ref_ratio must be even (or 1)")
         self.ndim = ndim
         self.rv = rv
         dxc = geom.dx
@@ -116,6 +118,22 @@ class MRLayout:
         self.i1 = tuple(
             int(round((hi[d] - geom.prob_lo[d]) / dxc[d])) for d in range(ndim)
         )
+        # AMReX blocking: the actual refined BoxArray snaps the tag box out
+        # to amr.blocking_factor multiples in FINE cells (this is the box
+        # refined injection and level-1 diagnostics see; a no-op when the
+        # tag box is already aligned).  Snapped edges clamp to the domain
+        # and stay coarse-aligned (bf is a power of two >= ref_ratio).
+        bf = int(getattr(cfg, "blocking_factor", 8) or 8)
+        i0b, i1b = [], []
+        for d in range(ndim):
+            r = rv[d]
+            step = max(bf // r, 1)  # blocking in coarse units
+            lo_c = (self.i0[d] // step) * step
+            hi_c = -((-self.i1[d]) // step) * step
+            i0b.append(max(0, lo_c))
+            i1b.append(min(geom.n_cell[d], hi_c))
+        self.i0 = tuple(i0b)
+        self.i1 = tuple(i1b)
         self.nc = tuple(self.i1[d] - self.i0[d] for d in range(ndim))
         if any(n <= 0 for n in self.nc):
             raise ValueError("empty fine_tag box")
@@ -248,9 +266,13 @@ class MRLayout:
             n_out = self.n_cext[d]
             cg = np.arange(n_out) + self.c_off[d]  # global coarse index
             if flags[d] == 1:
-                taps = np.arange(-r // 2, r // 2 + 1)
-                w = np.full(len(taps), 1.0 / r)
-                w[0] = w[-1] = 0.5 / r
+                if r == 1:
+                    taps = np.array([0])
+                    w = np.array([1.0])
+                else:
+                    taps = np.arange(-r // 2, r // 2 + 1)
+                    w = np.full(len(taps), 1.0 / r)
+                    w[0] = w[-1] = 0.5 / r
                 fidx = cg[:, None] * r + taps[None, :] - self.f_off[d]
             else:
                 taps = np.arange(r)
@@ -910,7 +932,8 @@ def make_mr_step(cfg, staggering):
     return (mr_step_sub if sub else mr_step), mr_half_push, layout
 
 
-def mr_output_fields(state, cfg, staggering, layout: MRLayout):
+def mr_output_fields(state, cfg, staggering, layout: MRLayout,
+                     farr0=None):
     """lev=1 diagnostics matching the reference checksum convention: the
     golden sums are over a yt ``covering_grid(level=1, left_edge=patch_lo,
     dims=domain_dimensions)`` (Regression/Checksum/checksum.py:110) — a
@@ -921,7 +944,24 @@ def mr_output_fields(state, cfg, staggering, layout: MRLayout):
     from ..diagnostics.fields import cell_center
     from .step import _field_dict
 
-    farr0 = _field_dict(state.fields)
+    if farr0 is None:
+        farr0 = _field_dict(state.fields)
+        farr0.update(
+            jx=state.fields.jx, jy=state.fields.jy, jz=state.fields.jz
+        )
+        if farr0["Ex"].shape[0] != layout.n0[0]:
+            # bounded level-0 arrays carry PML strips + nodal tops: crop
+            # to the plain domain frame the covering-grid tables index
+            from .domain import DomainLayout
+
+            lay = DomainLayout.from_config(cfg)
+            farr0 = {
+                nm: arr[tuple(
+                    slice(lay.ext_lo(d), lay.ext_lo(d) + layout.n0[d])
+                    for d in range(layout.ndim)
+                )]
+                for nm, arr in farr0.items()
+            }
     aux1 = compute_aux1(farr0, state.aux, layout, staggering)
     ndim = layout.ndim
     n0 = layout.n0
@@ -958,8 +998,48 @@ def mr_output_fields(state, cfg, staggering, layout: MRLayout):
         fine_cc = np.asarray(
             cell_center(state.aux[f"mr:j:{nm}"][src], flags, nf)
         )
-        coarse_cc = np.asarray(
-            cell_center(getattr(state.fields, nm), flags, n0)
-        )
+        coarse_cc = np.asarray(cell_center(farr0[nm], flags, n0))
         out[nm] = covering(fine_cc, coarse_cc)
+
+    # rho: fine-level deposit from the deep-patch particles (the fine
+    # level's own particles in the reference's per-level RhoFunctor),
+    # covering-filled with the level-0 diag rho beyond the patch
+    import jax.numpy as jnp
+
+    from ..diagnostics.fields import deposit_total_rho
+    from ..ops.deposit import deposit_rho as _dep_rho
+
+    origin_f = list(layout.geom_f_ext.prob_lo)
+    patch_lo_dyn = list(layout.patch_lo)
+    if cfg.do_moving_window and "window_lo" in state.aux:
+        wd = cfg.moving_window_dir
+        ws = state.aux["window_lo"] - cfg.geometry.prob_lo[wd]
+        origin_f[wd] = origin_f[wd] + ws
+        patch_lo_dyn[wd] = patch_lo_dyn[wd] + ws
+    rho_f = jnp.zeros(layout.n_fext, state.fields.Ex.dtype)
+    for sp_cfg in cfg.species:
+        sp = state.species[sp_cfg.name]
+        if sp.capacity == 0 or sp_cfg.do_not_deposit:
+            continue
+        pos = sp.positions(ndim)
+        mask = None
+        for d in range(ndim):
+            idx = jnp.floor(
+                (pos[d] - patch_lo_dyn[d]) / layout.dxf[d]
+            ).astype(jnp.int32)
+            in_d = (idx >= layout.dep_buf) & (
+                idx <= layout.nf[d] - 1 - layout.dep_buf
+            )
+            mask = in_d if mask is None else mask & in_d
+        w_eff = jnp.where(sp.alive & mask, sp.w, 0.0)
+        rho_f = _dep_rho(
+            pos, w_eff, sp_cfg.charge, layout.geom_f_ext,
+            cfg.particle_shape, out=rho_f, origin=origin_f,
+        )
+    nodal = (1,) * ndim
+    _dst, src = layout.patch_slices(nodal, "f")
+    fine_cc = np.asarray(cell_center(rho_f[src], nodal, nf))
+    rho0 = np.asarray(deposit_total_rho(state, cfg))
+    coarse_cc = np.asarray(cell_center(rho0, nodal, n0))
+    out["rho"] = covering(fine_cc, coarse_cc)
     return out

@@ -116,13 +116,24 @@ class Simulation:
             raise NotImplementedError(
                 "implicit schemes support periodic EM domains only"
             )
+        if cfg.max_level > 0 and self.is_bounded:
+            # bounded-stack MR (PML level-0 walls + moving window): the
+            # patch machinery rides inside the bounded kernels
+            from .bounded_step import make_bounded_kernels
+            from .mr import MRLayout
+
+            self.mr_layout = MRLayout(cfg, self.staggering)
+            self._want_binned_bounded = False
+            (self._step_main, self._step_window, self._half_push,
+             self._solve_es) = make_bounded_kernels(
+                cfg, self.staggering, self.dtype,
+                psum_axis=getattr(self, "_psum_axis", None),
+            )
+            self._step = None
+            return
         if cfg.max_level > 0:
             from .mr import make_mr_step
 
-            if self.is_bounded:
-                raise NotImplementedError(
-                    "mesh refinement with non-periodic level-0 boundaries"
-                )
             step, half, layout = make_mr_step(cfg, self.staggering)
             self.mr_layout = layout
             self._step = jax.jit(step)
@@ -902,6 +913,14 @@ class Simulation:
                 )
             else:
                 capacity = product_capacity.get(sp_cfg.name)
+                refine_spec = None
+                if (cfg.refine_plasma and cfg.max_level > 0
+                        and sp_cfg.do_continuous_injection
+                        and self.mr_layout is not None):
+                    refine_spec = (
+                        self.mr_layout.i0, self.mr_layout.i1,
+                        self.mr_layout.rv, wdir,
+                    )
                 if sp_cfg.do_continuous_injection and cfg.do_moving_window:
                     # headroom for window-driven injection over the whole run
                     import math as _math
@@ -917,17 +936,23 @@ class Simulation:
                             ]
                         )
                     )
+                    if refine_spec is not None:
+                        # refined streams multiply the injection cross
+                        # section by prod(ref_ratio)
+                        cross *= int(np.prod(self.mr_layout.rv))
                     dzw = geom.dx[wdir]
                     travel_cells = _math.ceil(
                         cfg.moving_window_v * 299792458.0 * cfg.dt
                         * cfg.max_step / dzw
                     ) + 4
                     ps0 = inject_species(sp_cfg, geom, np_dtype, rng,
-                                         gamma_boost=cfg.gamma_boost)
+                                         gamma_boost=cfg.gamma_boost,
+                                         refine_spec=refine_spec)
                     initial = int(ps0.alive.sum())
                     capacity = initial + travel_cells * cross * ppc_tot
                 ps = inject_species(sp_cfg, geom, np_dtype, rng, capacity,
-                                    gamma_boost=cfg.gamma_boost)
+                                    gamma_boost=cfg.gamma_boost,
+                                    refine_spec=refine_spec)
             if sp_cfg.do_field_ionization:
                 lev = np.full(
                     ps.capacity, sp_cfg.ionization_initial_level, np.int32

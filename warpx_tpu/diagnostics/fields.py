@@ -65,6 +65,38 @@ def deposit_total_rho(
     origin = current_origin(state, cfg)
     bc_lo = cfg.field_bc_lo or ("periodic",) * ndim
     all_periodic = all(bc == "periodic" for bc in bc_lo)
+
+    # MR: particles deep inside the fine patch live on level 1 (reference:
+    # per-level particle storage), so the level-0 diag rho EXCLUDES them
+    # (GetChargeDensity(0) deposits level-0 particles only); the lev=1
+    # covering-grid rho picks them up (core/mr.py mr_output_fields)
+    patch_excl = None
+    if cfg.max_level > 0 and not getattr(cfg.geometry, "rz", False):
+        from ..core.grid import collocated_staggering, yee_staggering
+        from ..core.mr import MRLayout
+
+        stag = (collocated_staggering(ndim)
+                if cfg.grid_type == "collocated" else yee_staggering(ndim))
+        lay = MRLayout(cfg, stag)
+        if not lay.full_domain:
+            patch_lo_dyn = list(lay.patch_lo)
+            if cfg.do_moving_window and "window_lo" in state.aux:
+                wd = cfg.moving_window_dir
+                patch_lo_dyn[wd] = patch_lo_dyn[wd] + (
+                    state.aux["window_lo"] - geom.prob_lo[wd]
+                )
+
+            def patch_excl(pos):
+                m = None
+                for d in range(ndim):
+                    idx = jnp.floor(
+                        (pos[d] - patch_lo_dyn[d]) / lay.dxf[d]
+                    ).astype(jnp.int32)
+                    in_d = (idx >= lay.dep_buf) & (
+                        idx <= lay.nf[d] - 1 - lay.dep_buf
+                    )
+                    m = in_d if m is None else m & in_d
+                return m
     fluid_rho_tot = None
     if cfg.fluids and (only is None):
         from ..solvers.fluids import fluid_rho as _frho
@@ -88,6 +120,10 @@ def deposit_total_rho(
             if only is not None and sp_cfg.name not in only:
                 continue
             w_eff = jnp.where(sp.alive, sp.w, 0.0)
+            if patch_excl is not None:
+                w_eff = jnp.where(
+                    patch_excl(sp.positions(ndim)), 0.0, w_eff
+                )
             rho = deposit_rho(
                 sp.positions(ndim), w_eff, sp_cfg.charge, geom,
                 cfg.particle_shape, out=rho, origin=origin,
@@ -108,6 +144,10 @@ def deposit_total_rho(
         if only is not None and sp_cfg.name not in only:
             continue
         w_eff = jnp.where(sp.alive, sp.w, 0.0)
+        if patch_excl is not None:
+            w_eff = jnp.where(
+                patch_excl(sp.positions(ndim)), 0.0, w_eff
+            )
         rho = deposit_rho(
             sp.positions(ndim), w_eff, sp_cfg.charge, geom,
             cfg.particle_shape, out=rho, origin=origin,
