@@ -772,6 +772,8 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
             ws = _mr_wshift(state)
             ok = None
             for d in range(ndim):
+                if mrl.spanning[d]:
+                    continue  # no coarse-fine interface along this axis
                 lo = mrl.patch_lo[d] + (
                     ws if (cfg.do_moving_window and d == wdir) else 0.0
                 )
@@ -780,6 +782,8 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
                 ).astype(jnp.int32)
                 in_d = (idx >= nbuf) & (idx <= mrl.nf[d] - 1 - nbuf)
                 ok = in_d if ok is None else ok & in_d
+            if ok is None:
+                ok = jnp.ones(positions[0].shape, bool)
             return ok
 
         def _mr_crop0(state):
@@ -2339,17 +2343,61 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
                     gamma_boost=cfg.gamma_boost, z0_lab=laser.z0_lab,
                 )
                 w_eff = jnp.where(sp.alive, sp_new.w, 0.0)
-                jx, jy, jz = deposit_current_esirkepov(
+                # the antenna is a PLANE: deposit into a thin slab around
+                # its (window-dependent) index along the window axis, then
+                # add the slab into the big J frame — the full-grid scatter
+                # was ~11 ms/step of the LWFA bench (tools/profile_lwfa.py)
+                wax = wdir if cfg.do_moving_window else ndim - 1
+                nzslab = min(2 * (order + 3) + 6, big_shape[wax])
+                # the antenna plane's current coordinate along the slab
+                # axis, from the particles themselves (robust to whether
+                # the antenna rides the window)
+                alive_f = sp_new.alive.astype(state.fields.Ex.dtype)
+                zs = sp_new.positions(ndim)[wax]
+                z0_l = jnp.sum(zs * alive_f) / jnp.maximum(
+                    jnp.sum(alive_f), 1.0
+                )
+                idx_big = jnp.floor(
+                    (z0_l - origin[wax]) / dxs[wax]
+                ).astype(jnp.int32) + ng
+                base = jnp.clip(
+                    idx_big - nzslab // 2, 0, big_shape[wax] - nzslab
+                )
+                slab_shape = tuple(
+                    nzslab if d == wax else big_shape[d]
+                    for d in range(ndim)
+                )
+                # only the slab axis' origin shifts (slab row = big row -
+                # base); transverse dims keep the big frame's offset=ng so
+                # their shape weights are bitwise identical to a full-frame
+                # deposit
+                origin_slab = list(origin)
+                origin_slab[wax] = origin[wax] + base.astype(
+                    state.fields.Ex.dtype
+                ) * dxs[wax]
+                jslab = deposit_current_esirkepov(
                     sp_new.positions(ndim), sp_new.ux, sp_new.uy,
                     sp_new.uz, w_eff, 1.0, geom, dt, order,
-                    origin=origin, wrap=False, offset=ng,
-                    out_shape=big_shape,
+                    origin=origin_slab, wrap=False, offset=ng,
+                    out_shape=slab_shape,
                     chunk_size=cfg.deposit_chunk_size,
                 )
-                j_total = (
-                    (jx, jy, jz)
-                    if j_total is None
-                    else tuple(a + b for a, b in zip(j_total, (jx, jy, jz)))
+                if j_total is None:
+                    j_total = tuple(
+                        jnp.zeros(big_shape, state.fields.Ex.dtype)
+                        for _ in range(3)
+                    )
+                starts = tuple(
+                    base if d == wax else jnp.zeros((), jnp.int32)
+                    for d in range(ndim)
+                )
+                j_total = tuple(
+                    jax.lax.dynamic_update_slice(
+                        a,
+                        jax.lax.dynamic_slice(a, starts, slab_shape) + s,
+                        starts,
+                    )
+                    for a, s in zip(j_total, jslab)
                 )
                 new_species[sp_cfg.name] = sp_new
 

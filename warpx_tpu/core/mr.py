@@ -145,13 +145,21 @@ class MRLayout:
             self.i0[d] == 0 and self.i1[d] == geom.n_cell[d]
             for d in range(ndim)
         )
+        # per-axis interiority: an axis the (blocked) patch SPANS entirely
+        # carries no coarse-fine interface there — the patch edge follows
+        # the domain boundary treatment (its PML ring doubles as the
+        # domain's absorbing wall); partially-touching boxes stay gated
+        self.spanning = tuple(
+            self.i0[d] == 0 and self.i1[d] == geom.n_cell[d]
+            for d in range(ndim)
+        )
         if not self.full_domain and any(
-            self.i0[d] < 1 or self.i1[d] > geom.n_cell[d] - 1
+            (self.i0[d] < 1 or self.i1[d] > geom.n_cell[d] - 1)
+            and not self.spanning[d]
             for d in range(ndim)
         ):
             raise NotImplementedError(
-                "fine patch must be strictly interior to the level-0 "
-                "domain (or cover it entirely)"
+                "fine patch partially touching a level-0 boundary"
             )
         self.nf = tuple(n * r for n, r in zip(self.nc, rv))
         self.npml_f = 0 if self.full_domain else int(cfg.pml_ncell)
@@ -208,11 +216,15 @@ class MRLayout:
             return jnp.ones(positions[0].shape, bool)
         ok = None
         for d in range(self.ndim):
+            if self.spanning[d]:
+                continue  # no coarse-fine interface along this axis
             idx = jnp.floor(
                 (positions[d] - self.patch_lo[d]) / self.dxf[d]
             ).astype(jnp.int32)
             in_d = (idx >= nbuf) & (idx <= self.nf[d] - 1 - nbuf)
             ok = in_d if ok is None else (ok & in_d)
+        if ok is None:
+            ok = jnp.ones(positions[0].shape, bool)
         return ok
 
     # -------------------------------------------------- sigma (PML) profiles
@@ -1024,6 +1036,8 @@ def mr_output_fields(state, cfg, staggering, layout: MRLayout,
         pos = sp.positions(ndim)
         mask = None
         for d in range(ndim):
+            if layout.spanning[d]:
+                continue
             idx = jnp.floor(
                 (pos[d] - patch_lo_dyn[d]) / layout.dxf[d]
             ).astype(jnp.int32)
@@ -1031,6 +1045,8 @@ def mr_output_fields(state, cfg, staggering, layout: MRLayout,
                 idx <= layout.nf[d] - 1 - layout.dep_buf
             )
             mask = in_d if mask is None else mask & in_d
+        if mask is None:
+            mask = jnp.ones(pos[0].shape, bool)
         w_eff = jnp.where(sp.alive & mask, sp.w, 0.0)
         rho_f = _dep_rho(
             pos, w_eff, sp_cfg.charge, layout.geom_f_ext,

@@ -89,6 +89,8 @@ def deposit_total_rho(
             def patch_excl(pos):
                 m = None
                 for d in range(ndim):
+                    if lay.spanning[d]:
+                        continue
                     idx = jnp.floor(
                         (pos[d] - patch_lo_dyn[d]) / lay.dxf[d]
                     ).astype(jnp.int32)
@@ -96,6 +98,8 @@ def deposit_total_rho(
                         idx <= lay.nf[d] - 1 - lay.dep_buf
                     )
                     m = in_d if m is None else m & in_d
+                if m is None:
+                    m = jnp.ones(pos[0].shape, bool)
                 return m
     fluid_rho_tot = None
     if cfg.fluids and (only is None):
