@@ -117,3 +117,31 @@ def test_2d_plasma_acceleration_mr_golden(tmp_path):
         tolmap[f"{sp}/particle_weight"] = 1e-12
     _gate(comp, f"{GOLD}/test_2d_plasma_acceleration_mr.json",
           tolmap, default_tol=2e-2)
+
+
+@pytest.mark.slow
+def test_2d_plasma_acceleration_mr_momentum_conserving(tmp_path):
+    """Momentum-conserving MR gather (UpdateAuxilaryDataStagToNodal:
+    staggered fine aux averaged to nodal on the patch)."""
+    sim = _run(
+        f"{PA}/inputs_test_2d_plasma_acceleration_mr_momentum_conserving",
+        str(tmp_path),
+    )
+    comp = sim.checksums()
+    tolmap = {}
+    for grp in ("lev=0", "lev=1"):
+        for k in ("Ey", "jy", "Bx", "Bz"):
+            tolmap[f"{grp}/{k}"] = 1.0
+    tolmap["lev=1/Ex"] = 0.15
+    for sp in ("plasma_e", "beam", "driver"):
+        tolmap[f"{sp}/particle_momentum_y"] = 1.0
+        tolmap[f"{sp}/particle_momentum_x"] = 0.2
+        tolmap[f"{sp}/particle_position_x"] = 0.2
+        tolmap[f"{sp}/particle_momentum_z"] = 5e-2
+        tolmap[f"{sp}/particle_position_y"] = 5e-2
+        tolmap[f"{sp}/particle_weight"] = 1e-12
+    _gate(
+        comp,
+        f"{GOLD}/test_2d_plasma_acceleration_mr_momentum_conserving.json",
+        tolmap, default_tol=2e-2,
+    )

@@ -41,7 +41,7 @@ def main():
     nz = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     ppc = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     base = bench._LWFA_2D_DECK.format(
-        nx=nx, nz=nz, ppcx=ppc, ppcz=ppc, interval=4, max_step=4000,
+        nx=nx, nz=nz, ppcx=ppc, ppcz=ppc, interval=16, max_step=4000,
         mxu="mixed",
     )
     variants = [
@@ -63,9 +63,15 @@ def main():
                       "warpx.do_moving_window = 0")
              .replace("electrons.do_continuous_injection = 1",
                       "electrons.do_continuous_injection = 0")),
-        ("interval 16",
-         base.replace("warpx.sort_intervals = 4",
-                      "warpx.sort_intervals = 16")),
+        ("interval 32",
+         base.replace("warpx.sort_intervals = 16",
+                      "warpx.sort_intervals = 32")),
+        ("no beam",
+         base.replace("particles.species_names = electrons beam",
+                      "particles.species_names = electrons")),
+        ("interval 8",
+         base.replace("warpx.sort_intervals = 16",
+                      "warpx.sort_intervals = 8")),
     ]
     for name, text in variants:
         try:

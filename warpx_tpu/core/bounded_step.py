@@ -733,10 +733,6 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
             raise NotImplementedError("bounded MR with subcycling")
         if is_galilean or is_es or cfg.evolve_scheme != "explicit":
             raise NotImplementedError("bounded MR outside explicit EM")
-        if mc_gather:
-            raise NotImplementedError(
-                "bounded MR with momentum-conserving gathering"
-            )
         if cfg.use_nci_corr:
             raise NotImplementedError(
                 "bounded MR with the NCI corrector (periodic MR covers it)"
@@ -805,6 +801,18 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
                 k[len(tag):]: v for k, v in aux.items() if k.startswith(tag)
             }
 
+        def _mr_to_nodal(aux1):
+            """Momentum-conserving gather: average the staggered fine aux
+            to nodal on the patch torus (UpdateAuxilaryDataStagToNodal,
+            WarpXComm.cpp:94 — 2-point centering)."""
+            out = {}
+            for nm, a in aux1.items():
+                for d, flag in enumerate(staggering[nm]):
+                    if flag == 0:
+                        a = 0.5 * (a + jnp.roll(a, 1, axis=d))
+                out[nm] = a
+            return out
+
     def step_main(state: SimState) -> SimState:
         origin = gal_origin_at(origin_of(state), state, 0.0)
         use_avg = (
@@ -872,6 +880,8 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
             mr_aux1 = compute_aux1(
                 _mr_crop0(state), state.aux, mrl, staggering
             )
+            if mc_gather:
+                mr_aux1 = _mr_to_nodal(mr_aux1)
             mr_jf = tuple(
                 jnp.zeros(mrl.n_fext, state.fields.Ex.dtype)
                 for _ in range(3)
@@ -1910,6 +1920,8 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
                 aux1 = compute_aux1(
                     _mr_crop0(state), state.aux, mrl, staggering
                 )
+                if mc_gather:
+                    aux1 = _mr_to_nodal(aux1)
                 e6f = gather_eb(
                     pos, aux1, gather_stag, mrl.geom_f_ext, order,
                     cfg.galerkin, origin=_mr_origin_f(state), wrap=False,

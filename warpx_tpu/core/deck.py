@@ -341,11 +341,6 @@ def _gate_unimplemented(deck: Deck) -> None:
                 f"mesh refinement with solver '{_mr_solver}'/"
                 f"electrostatic '{_mr_es}' (FDTD Yee/CKC only)"
             )
-        if _mr_gather.startswith("momentum"):
-            raise NotImplementedError(
-                "MR with momentum-conserving gathering "
-                "(UpdateAuxilaryDataStagToNodal)"
-            )
         if (deck.get_string("warpx.grid_type", "staggered")
                 or "staggered").lower() != "staggered":
             raise NotImplementedError("MR requires a staggered grid")

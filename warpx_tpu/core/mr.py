@@ -517,6 +517,11 @@ def make_mr_step(cfg, staggering):
     sub = bool(cfg.do_subcycling)
     if sub and (cfg.do_dive_cleaning or cfg.do_divb_cleaning):
         raise NotImplementedError("subcycling with divergence cleaning")
+    if cfg.field_gathering == "momentum-conserving":
+        raise NotImplementedError(
+            "periodic-path MR with momentum-conserving gathering "
+            "(the bounded path implements it)"
+        )
     # fine-level timestep: dt/ref_ratio under subcycling (ComputeDt with
     # do_subcycling: dt[lev] = dt[lev+1] * refRatio), same dt otherwise
     dt_f = dt / layout.rv[0] if sub else dt
