@@ -96,7 +96,7 @@ def field_shapes(cfg, staggering) -> Dict[str, tuple]:
 
 
 def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
-                         tile_spec=None, psum_axis=None):
+                         tile_spec=None, psum_axis=None, slow_species=()):
     """Build (step_main, step_window, half_push, solve_es) jitted kernels.
 
     With ``psum_axis`` set (a mesh axis name), the kernels run under the
@@ -2230,7 +2230,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
             )
             species = dict(state.species)
             for sp_cfg in cfg.species:
-                if is_laser[sp_cfg.name]:
+                if is_laser[sp_cfg.name] or sp_cfg.name in slow_species:
                     continue
                 sp = species[sp_cfg.name]
 
@@ -2267,7 +2267,7 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
             new_species = {}
             groups: Dict[str, list] = {}
             for sp_cfg in cfg.species:
-                if is_laser[sp_cfg.name]:
+                if is_laser[sp_cfg.name] or sp_cfg.name in slow_species:
                     continue
                 groups.setdefault(sp_cfg.pusher, []).append(sp_cfg)
             for pusher_name, sps in groups.items():
@@ -2339,8 +2339,91 @@ def make_bounded_kernels(cfg: SimConfig, staggering: Dict, dtype,
                     for i in range(3)
                 )
 
-            # --- laser antennas ride the slow deposit alongside -----------
+            # --- small static species ride the slow per-particle path ----
+            # (compact layout, no rebin; deposit into a thin slab around
+            # their mean window-axis position added into the big J frame)
             origin = origin_of(state)
+            for sp_cfg in cfg.species:
+                if sp_cfg.name not in slow_species:
+                    continue
+                sp = state.species[sp_cfg.name]
+                if sp.capacity == 0:
+                    new_species[sp_cfg.name] = sp
+                    continue
+                pos = sp.positions(ndim)
+                e6 = gather_eb(
+                    pos, farr_pad, staggering, geom, order,
+                    cfg.galerkin, origin=origin, wrap=False, offset=ng,
+                )
+                from .step import _add_ext
+
+                e6 = _add_ext(e6, cfg, pos=pos, u3=(sp.ux, sp.uy, sp.uz))
+                pusher = PUSHERS[sp_cfg.pusher]
+                ux, uy, uz = pusher(
+                    sp.ux, sp.uy, sp.uz, *e6,
+                    sp_cfg.charge, sp_cfg.mass, dt,
+                )
+                new_pos = position_step(pos, ux, uy, uz, dt, ndim)
+                sp_new = sp.replace(ux=ux, uy=uy, uz=uz).with_positions(
+                    ndim, new_pos
+                )
+                new_species[sp_cfg.name] = sp_new
+                if sp_cfg.do_not_deposit:
+                    continue
+                w_eff = jnp.where(sp.alive, sp_new.w, 0.0)
+                wax = wdir if cfg.do_moving_window else ndim - 1
+                # beams have finite extent: give them a generous slab
+                # (anything outside still hard-fails via the violation
+                # counter below)
+                nzslab = min(128 + 2 * (order + 3), big_shape[wax])
+                alive_f = sp_new.alive.astype(f)
+                zc = jnp.sum(new_pos[wax] * alive_f) / jnp.maximum(
+                    jnp.sum(alive_f), 1.0
+                )
+                idx_big = jnp.floor(
+                    (zc - origin[wax]) / dxs[wax]
+                ).astype(jnp.int32) + ng
+                base = jnp.clip(
+                    idx_big - nzslab // 2, 0, big_shape[wax] - nzslab
+                )
+                slab_shape = tuple(
+                    nzslab if d == wax else big_shape[d]
+                    for d in range(ndim)
+                )
+                origin_slab = list(origin)
+                origin_slab[wax] = origin[wax] + base.astype(f) * dxs[wax]
+                # any particle outside the slab's safe interior would be
+                # silently clipped — count it as a hard violation instead
+                reach = (nzslab // 2 - (order + 3)) * dxs[wax]
+                out_of_slab = jnp.sum(
+                    ((jnp.abs(new_pos[wax] - zc) > reach) & sp_new.alive)
+                    .astype(jnp.int32)
+                )
+                violations = violations + out_of_slab
+                jslab = deposit_current_esirkepov(
+                    new_pos, ux, uy, uz, w_eff, sp_cfg.charge, geom, dt,
+                    order, origin=origin_slab, wrap=False, offset=ng,
+                    out_shape=slab_shape,
+                    chunk_size=cfg.deposit_chunk_size,
+                )
+                if j_total is None:
+                    j_total = tuple(
+                        jnp.zeros(big_shape, f) for _ in range(3)
+                    )
+                starts = tuple(
+                    base if d == wax else jnp.zeros((), jnp.int32)
+                    for d in range(ndim)
+                )
+                j_total = tuple(
+                    jax.lax.dynamic_update_slice(
+                        a,
+                        jax.lax.dynamic_slice(a, starts, slab_shape) + s,
+                        starts,
+                    )
+                    for a, s in zip(j_total, jslab)
+                )
+
+            # --- laser antennas ride the slow deposit alongside -----------
             for sp_cfg in cfg.species:
                 if not is_laser[sp_cfg.name]:
                     continue

@@ -1118,10 +1118,17 @@ class Simulation:
             is_laser_sp = {
                 s.name: s.injection_style == "laser" for s in cfg.species
             }
+            small_names = {
+                s.name
+                for s in cfg.species
+                if not is_laser_sp[s.name]
+                and not s.do_continuous_injection
+                and species[s.name].capacity <= 8192
+            }
             max_tile = 1
             max_alive = 1
             for sp_cfg in cfg.species:
-                if is_laser_sp[sp_cfg.name]:
+                if is_laser_sp[sp_cfg.name] or sp_cfg.name in small_names:
                     continue
                 ps = species[sp_cfg.name]
                 alive = np.asarray(ps.alive)
@@ -1149,6 +1156,13 @@ class Simulation:
                     max_tile = max(
                         max_tile, ppc_tot * int(np.prod(tile))
                     )
+            # species with a small static population (no continuous
+            # injection) stay in their compact layout and ride the slow
+            # per-particle path inside the binned step: expanding a
+            # 100-particle beam to n_tiles*p_max slots made its REBIN sort
+            # as expensive as the million-particle plasma's
+            # (tools/profile_lwfa.py: 'no beam' -22.8 ms/step)
+            self._binned_slow_species = small_names
             spec0 = make_tile_spec(cfg, max_alive)
             p_max = max(
                 spec0.p_max,
@@ -1194,7 +1208,10 @@ class Simulation:
                 )
 
             species = {
-                nm: (ps if is_laser_sp[nm] else _relayout(ps))
+                nm: (
+                    ps if (is_laser_sp[nm] or nm in small_names)
+                    else _relayout(ps)
+                )
                 for nm, ps in species.items()
             }
             aux["tile_overflow"] = jnp.zeros((), jnp.int32)
@@ -1206,6 +1223,7 @@ class Simulation:
             (self._step_main, self._step_window, self._half_push,
              self._solve_es) = make_bounded_kernels(
                 cfg, self.staggering, self.dtype, tile_spec=self.tile_spec,
+                slow_species=small_names,
             )
         self.state = SimState(
             fields=fields,

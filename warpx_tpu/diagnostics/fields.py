@@ -259,7 +259,35 @@ def _phys_crop(cfg, staggering):
     }
 
 
+_CC_CACHE: Dict = {}
+
+
 def cell_centered_output(
+    state: SimState, cfg: SimConfig, staggering: Dict, psatd=None
+) -> Dict[str, np.ndarray]:
+    """Jit-compiled per configuration: the diagnostic pipeline (cell
+    centering, fresh rho/J deposits, divE/divB, part_per_cell) runs as ONE
+    compiled program instead of thousands of eager dispatches — this was
+    ~2 minutes per flush on multi-million-particle decks (the QED sweep
+    TIMEOUT family) before compilation."""
+    import functools
+
+    import jax
+
+    key = (id(cfg), id(staggering), id(psatd))
+    entry = _CC_CACHE.get(key)
+    if entry is None or entry[1] is not cfg:
+        fn = jax.jit(functools.partial(
+            _cell_centered_device, cfg=cfg, staggering=staggering,
+            psatd=psatd,
+        ))
+        entry = (fn, cfg, staggering, psatd)
+        _CC_CACHE[key] = entry
+    dev = entry[0](state)
+    return {k: np.asarray(v) for k, v in dev.items()}
+
+
+def _cell_centered_device(
     state: SimState, cfg: SimConfig, staggering: Dict, psatd=None
 ) -> Dict[str, np.ndarray]:
     f = state.fields
@@ -288,12 +316,12 @@ def cell_centered_output(
             aux = {k: v[crops[k]] for k, v in aux.items()}
         nodal_flags = (1,) * geom.ndim
         for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
-            out[name] = np.asarray(
+            out[name] = (
                 cell_center(aux[name], nodal_flags, geom.n_cell)
             )
     else:
         for name in ("Ex", "Ey", "Ez", "Bx", "By", "Bz"):
-            out[name] = np.asarray(
+            out[name] = (
                 cell_center(comp(name), staggering[name], geom.n_cell)
             )
     # Vay deposition stores NODAL J (the D-derived current)
@@ -331,30 +359,30 @@ def cell_centered_output(
                 )
             j3 = tuple(a + b for a, b in zip(j3, jj))
         for name, arr in zip(("jx", "jy", "jz"), j3):
-            out[name] = np.asarray(
+            out[name] = (
                 cell_center(arr, j_flags[name], geom.n_cell)
             )
     else:
         for name in ("jx", "jy", "jz"):
-            out[name] = np.asarray(
+            out[name] = (
                 cell_center(comp(name), j_flags[name], geom.n_cell)
             )
 
     rho = deposit_total_rho(state, cfg)
-    out["rho"] = np.asarray(cell_center(rho, staggering["rho"], geom.n_cell))
+    out["rho"] = (cell_center(rho, staggering["rho"], geom.n_cell))
     if getattr(f, "phi", None) is not None:
         # nodal ES potential from the last Poisson solve (diag "phi")
-        out["phi"] = np.asarray(
+        out["phi"] = (
             cell_center(f.phi, (1,) * geom.ndim, geom.n_cell)
         )
 
     # divergence-cleaning scalars, when present
     if f.F is not None:
-        out["F"] = np.asarray(
+        out["F"] = (
             cell_center(comp("F"), staggering["F"], geom.n_cell)
         )
     if f.G is not None:
-        out["G"] = np.asarray(
+        out["G"] = (
             cell_center(comp("G"), staggering["G"], geom.n_cell)
         )
 
@@ -372,8 +400,8 @@ def cell_centered_output(
             div_e = psatd.spectral_div_e(f)
         else:
             div_e = _yee.compute_div_e(f, geom)
-        out["divE"] = np.asarray(cell_center(div_e, (1,) * geom.ndim, geom.n_cell))
-        out["divB"] = np.asarray(_yee.compute_div_b(f, geom))
+        out["divE"] = (cell_center(div_e, (1,) * geom.ndim, geom.n_cell))
+        out["divB"] = (_yee.compute_div_b(f, geom))
     elif cfg.grid_type == "staggered":
         # bounded staggered grids: exact differences on the physical region
         # (nodal dims hold n+1 wall-inclusive values); divE wall values use a
@@ -397,10 +425,10 @@ def cell_centered_output(
             else:
                 te = (e_arr - jnp.roll(e_arr, 1, axis=d)) / dxs[d]
             div_e = te if div_e is None else div_e + te
-        out["divE"] = np.asarray(
+        out["divE"] = (
             cell_center(div_e, (1,) * geom.ndim, geom.n_cell)
         )
-        out["divB"] = np.asarray(div_b)
+        out["divB"] = (div_b)
 
     origin = current_origin(state, cfg)
     ppc = jnp.zeros(geom.n_cell, dtype=f.Ex.dtype)
@@ -410,5 +438,5 @@ def cell_centered_output(
             ppc = ppc + count_particles_per_cell(
                 sp.positions(geom.ndim), sp.alive, geom, origin=origin
             )
-    out["part_per_cell"] = np.asarray(ppc)
+    out["part_per_cell"] = (ppc)
     return out
