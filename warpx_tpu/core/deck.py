@@ -360,6 +360,15 @@ def _gate_unimplemented(deck: Deck) -> None:
             raise NotImplementedError(
                 "embedded boundaries with the psatd solver (spectral EB)"
             )
+        if deck.get_expr_string("warpx", "eb_potential"):
+            # fixed potential ON the EB surface requires internal Dirichlet
+            # conditions in the Poisson solve (PoissonBoundaryHandler EB
+            # branch) — not implemented; running without it would be
+            # silently wrong physics
+            raise NotImplementedError(
+                "warpx.eb_potential (Dirichlet phi on the embedded "
+                "boundary in the Poisson solve)"
+            )
     for sp in deck.get_strings("particles.species_names", []):
         style = (
             deck.get_string(f"{sp}.injection_style", "none") or "none"

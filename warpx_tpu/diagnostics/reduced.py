@@ -604,7 +604,26 @@ def charge_on_eb(state, cfg, staggering, params) -> Dict[str, float]:
     if not cfg.eb_implicit_function:
         raise ValueError("ChargeOnEB requires an embedded boundary")
     geom = cfg.geometry
-    dive = compute_div_e(state.fields, geom)
+    bcl = cfg.field_bc_lo or ("periodic",) * geom.ndim
+    if all(b == "periodic" for b in bcl):
+        dive = compute_div_e(state.fields, geom)
+    else:
+        # bounded staggered shapes (nodal dims hold n+1 wall-inclusive
+        # values): exact one-sided differences with a zero exterior,
+        # cell-centered onto the covered-cell mask below
+        from .fields import cell_center
+
+        dive = None
+        for d, axn in enumerate(geom.axis_names):
+            e_arr = getattr(state.fields, "E" + axn)
+            if bcl[d] != "periodic":
+                pad = [(0, 0)] * geom.ndim
+                pad[d] = (1, 1)
+                te = jnp.diff(jnp.pad(e_arr, pad), axis=d) / geom.dx[d]
+            else:
+                te = (e_arr - jnp.roll(e_arr, 1, axis=d)) / geom.dx[d]
+            dive = te if dive is None else dive + te
+        dive = cell_center(dive, (1,) * geom.ndim, geom.n_cell)
     fn = compile_expression(
         cfg.eb_implicit_function, ("x", "y", "z"),
         dict(cfg.user_constants or ()),
