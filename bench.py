@@ -99,11 +99,11 @@ def _build_sim(n, ppc):
         geometry=geom, max_step=10**9, dt=compute_dt_yee(geom, 0.999),
         particle_shape=1, species=species,
         tiled_particles=os.environ.get("BENCH_TILED", "auto"),
-        sort_interval=int(os.environ.get("BENCH_SORT_INTERVAL", 40)), sort_margin=1,
+        sort_interval=int(os.environ.get("BENCH_SORT_INTERVAL", 60)), sort_margin=1,
         # quiet-start thermal plasma: per-tile counts stay within a few
         # sqrt(N) of the mean, so a slim slot buffer suffices; the
         # tile_overflow counter hard-fails the bench if it ever overflows
-        tile_headroom=float(os.environ.get("BENCH_HEADROOM", 1.25)),
+        tile_headroom=float(os.environ.get("BENCH_HEADROOM", 1.125)),
         # 'mixed' is the TPU-native operating point: gather operands ride the
         # MXU's native bf16 pass (interpolation rounding ~0.4%, far below
         # macro-particle sampling noise) while the Esirkepov deposit runs at
