@@ -145,3 +145,26 @@ def test_2d_plasma_acceleration_mr_momentum_conserving(tmp_path):
         f"{GOLD}/test_2d_plasma_acceleration_mr_momentum_conserving.json",
         tolmap, default_tol=2e-2,
     )
+
+
+@pytest.mark.slow
+def test_2d_langmuir_multi_mr_momentum_conserving(tmp_path):
+    """Periodic-path MR with momentum-conserving gathering (nodal-averaged
+    level-0 + patch aux; UpdateAuxilaryDataStagToNodal)."""
+    from tests.conftest import REFERENCE as REF
+
+    sim = _run(
+        f"{REF}/Examples/Tests/langmuir/"
+        "inputs_test_2d_langmuir_multi_mr_momentum_conserving",
+        str(tmp_path),
+    )
+    comp = sim.checksums()
+    tolmap = {
+        # out-of-plane By is a near-zero noise field in 2D langmuir
+        "lev=0/By": 1.0, "lev=1/By": 1.0,
+    }
+    _gate(
+        comp,
+        f"{GOLD}/test_2d_langmuir_multi_mr_momentum_conserving.json",
+        tolmap, default_tol=2e-2,
+    )

@@ -517,11 +517,19 @@ def make_mr_step(cfg, staggering):
     sub = bool(cfg.do_subcycling)
     if sub and (cfg.do_dive_cleaning or cfg.do_divb_cleaning):
         raise NotImplementedError("subcycling with divergence cleaning")
-    if cfg.field_gathering == "momentum-conserving":
-        raise NotImplementedError(
-            "periodic-path MR with momentum-conserving gathering "
-            "(the bounded path implements it)"
-        )
+    mc_gather = cfg.field_gathering == "momentum-conserving"
+    nodal_stag = {k: (1,) * geom.ndim for k in staggering}
+
+    def _to_nodal(farr):
+        """Average staggered fields to nodal on the periodic torus
+        (UpdateAuxilaryDataStagToNodal, WarpXComm.cpp:94)."""
+        out = {}
+        for nm, a in farr.items():
+            for d, flag in enumerate(staggering[nm]):
+                if flag == 0:
+                    a = 0.5 * (a + jnp.roll(a, 1, axis=d))
+            out[nm] = a
+        return out
     # fine-level timestep: dt/ref_ratio under subcycling (ComputeDt with
     # do_subcycling: dt[lev] = dt[lev+1] * refRatio), same dt otherwise
     dt_f = dt / layout.rv[0] if sub else dt
@@ -555,11 +563,16 @@ def make_mr_step(cfg, staggering):
         return out
 
     def gather_both(pos, farr0, aux1, mask_g):
+        gstag = staggering
+        if mc_gather:
+            farr0 = _to_nodal(farr0)
+            aux1 = _to_nodal(aux1)
+            gstag = nodal_stag
         e6c = gather_eb(
-            pos, farr0, staggering, geom, cfg.particle_shape, cfg.galerkin,
+            pos, farr0, gstag, geom, cfg.particle_shape, cfg.galerkin,
         )
         e6f = gather_eb(
-            pos, aux1, staggering, layout.geom_f_ext, cfg.particle_shape,
+            pos, aux1, gstag, layout.geom_f_ext, cfg.particle_shape,
             cfg.galerkin,
         )
         return tuple(
