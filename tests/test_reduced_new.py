@@ -92,20 +92,25 @@ def test_charge_on_eb_gauss():
     # build a linear E field E = k*x_i (div E = 3k) everywhere
     from warpx_tpu.core.state import FieldState, SimState
 
-    shapes = {"Ex": (0, 1, 1), "Ey": (1, 0, 1), "Ez": (1, 1, 0)}
+    # bounded (pec) layout: nodal dims are wall-inclusive with n+1 values
+    shapes = {"Ex": (0, 1, 1), "Ey": (1, 0, 1), "Ez": (1, 1, 0),
+              "Bx": (1, 0, 0), "By": (0, 1, 0), "Bz": (0, 0, 1),
+              "jx": (0, 1, 1), "jy": (1, 0, 1), "jz": (1, 1, 0)}
     karr = 7.5
     arrs = {}
     for nm, flags in shapes.items():
         coords = []
         for d in range(3):
+            npt = 17 if flags[d] == 1 else 16
             off = 0.0 if flags[d] == 1 else 0.5
-            coords.append(geom.prob_lo[d] + (np.arange(16) + off) * geom.dx[d])
+            coords.append(geom.prob_lo[d] + (np.arange(npt) + off) * geom.dx[d])
         mesh = np.meshgrid(*coords, indexing="ij")
-        d_own = {"Ex": 0, "Ey": 1, "Ez": 2}[nm]
-        arrs[nm] = jnp.asarray(karr * mesh[d_own])
-    z16 = jnp.zeros((16, 16, 16))
-    fields = FieldState(Ex=arrs["Ex"], Ey=arrs["Ey"], Ez=arrs["Ez"],
-                        Bx=z16, By=z16, Bz=z16, jx=z16, jy=z16, jz=z16)
+        if nm.startswith("E"):
+            d_own = {"Ex": 0, "Ey": 1, "Ez": 2}[nm]
+            arrs[nm] = jnp.asarray(karr * mesh[d_own])
+        else:
+            arrs[nm] = jnp.zeros_like(jnp.asarray(mesh[0]))
+    fields = FieldState(**arrs)
     state = SimState(fields=fields, species={}, step=jnp.zeros((), jnp.int32),
                      time=jnp.zeros(()), rng=jnp.zeros(2, jnp.uint32))
     out = compute_reduced(
