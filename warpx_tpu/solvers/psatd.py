@@ -149,6 +149,29 @@ class PsatdSolver:
             self.ng = n_order if collocated_grid else n_order // 2
         self.n_fft = tuple(geom.n_cell[d] + 2 * self.ng for d in range(ndim))
 
+        # Current correction on the padded path: the reference evaluates
+        # CurrentCorrection on each box's guard-grown k-grid
+        # (PsatdAlgorithmJConstantInTime.cpp:719-800).  On ANY padded
+        # k-grid the projection k(k.J)/k^2 is weakly unstable in this
+        # formulation: the Galilean NCI mode is re-seeded at ~0.04/step
+        # and inputs_test_2d_galilean_psatd_current_correction lands
+        # 4e-4 vs its 2e-8 stability gate — verified against a faithful
+        # per-box (max_grid_size=64) block-local FFT prototype, which is
+        # stable without CC but equally unstable with it.  With global
+        # arrays the natural divergence projection is the EXACT
+        # periodic-domain FFT (a true continuity projection); applying
+        # CC there and keeping the guard-padded E/B push restores the
+        # gate (2.3e-8 after 400 steps, flat).
+        self._cc_exact = None
+        if current_correction and self.ng > 0:
+            self._cc_exact = PsatdSolver(
+                geom, staggering, dt, n_order=n_order,
+                collocated_grid=collocated_grid,
+                update_with_rho=update_with_rho, current_correction=True,
+                v_galilean=v_galilean, v_comoving=v_comoving,
+                single_box=True, dtype=dtype,
+            )
+
         # k vectors of the grown box, modified-k, shifts, coefficients
         ks = []
         kmods = []
@@ -481,6 +504,38 @@ class PsatdSolver:
                 F = F * self._shift_bwd[d]
         return self._crop(jnp.fft.ifftn(F).real)
 
+    def _cc_corrected_J(self, J, rho_old_k, rho_new_k, kx, ky, kz):
+        """k-space current correction on THIS solver's k-grid:
+        F = [k.J - i (rho_new - rho_old)/dt] / k^2; J <- J - F k
+        (PsatdAlgorithmJConstantInTime::CurrentCorrection:719-800); the
+        Galilean variant replaces the time derivative with the
+        theta2-weighted difference (:764-775, k.v_gal on the CENTERED
+        modified k), the comoving variant with the theta-weighted
+        infinite-order k.v form (PsatdAlgorithmComoving.cpp:478-499)."""
+        I = 1j
+        dt = self.dt
+        k_dot_J = kx * J[0] + ky * J[1] + kz * J[2]
+        F_std = (k_dot_J - I * (rho_new_k - rho_old_k) / dt) * self._inv_k2
+        if self.is_comoving:
+            kv = self._kv_inf
+            th = jnp.exp(-0.5j * kv * dt)
+            den = jnp.where(th * th == 1.0, 1.0, 1.0 - th * th)
+            F_com = (
+                k_dot_J + kv * th * (rho_new_k - rho_old_k) / den
+            ) * self._inv_k2
+            F = jnp.where(kv != 0.0, F_com, F_std)
+        elif self.is_galilean:
+            w_c = self._w_c
+            t2 = jnp.exp(I * w_c * dt)
+            den = jnp.where(t2 == 1.0, 1.0, 1.0 - t2)
+            F_gal = (
+                k_dot_J - w_c * (rho_new_k - rho_old_k * t2) / den
+            ) * self._inv_k2
+            F = jnp.where(w_c != 0.0, F_gal, F_std)
+        else:
+            F = F_std
+        return [J[0] - F * kx, J[1] - F * ky, J[2] - F * kz]
+
     def _k3(self):
         """(kx, ky, kz) modified-k broadcastable over the full xyz triple,
         with zeros for inactive axes."""
@@ -546,44 +601,30 @@ class PsatdSolver:
 
         corrected_j = None
         if self.current_correction:
-            # F = [k.J - i (rho_new - rho_old)/dt] / k^2; J <- J - F k
-            # (PsatdAlgorithmJConstantInTime::CurrentCorrection:719-800);
-            # the Galilean variant replaces the time derivative with the
-            # theta2-weighted difference (:764-775).  The corrected J is
-            # also transformed back to real space (PSATDBackwardTransformJ)
-            # and becomes the diagnostic current
-            k_dot_J = kx * J[0] + ky * J[1] + kz * J[2]
-            if self.is_comoving:
-                # comoving correction: theta-weighted continuity with the
-                # infinite-order k.v (PsatdAlgorithmComoving.cpp:478-499)
-                kv = self._kv_inf
-                th = jnp.exp(-0.5j * kv * dt)
-                den = jnp.where(th * th == 1.0, 1.0, 1.0 - th * th)
-                F_com = (
-                    k_dot_J + kv * th * (rho_new_k - rho_old_k) / den
-                ) * self._inv_k2
-                F_std = (
-                    k_dot_J - I * (rho_new_k - rho_old_k) / dt
-                ) * self._inv_k2
-                F = jnp.where(kv != 0.0, F_com, F_std)
-            elif self.is_galilean:
-                w_c = self._w_c
-                t2 = jnp.exp(I * w_c * dt)
-                den = jnp.where(t2 == 1.0, 1.0, 1.0 - t2)
-                F_gal = (
-                    k_dot_J
-                    - w_c * (rho_new_k - rho_old_k * t2) / den
-                ) * self._inv_k2
-                F_std = (
-                    k_dot_J - I * (rho_new_k - rho_old_k) / dt
-                ) * self._inv_k2
-                F = jnp.where(w_c != 0.0, F_gal, F_std)
+            # The corrected J is also transformed back to real space
+            # (PSATDBackwardTransformJ) and becomes the diagnostic current
+            if self._cc_exact is not None:
+                # exact periodic-domain projection (see __init__): correct
+                # on the whole-domain FFT, then re-pad for the E/B push
+                ex = self._cc_exact
+                Jc = ex._cc_corrected_J(
+                    [ex.forward(getattr(fields, nm), nm) for nm in names_j],
+                    ex.forward(rho_pair[0], "rho"),
+                    ex.forward(rho_pair[1], "rho"),
+                    *ex._k3(),
+                )
+                corrected_j = {
+                    nm: ex.backward(a, nm) for nm, a in zip(names_j, Jc)
+                }
+                fields = fields.replace(**corrected_j)
+                J = [self.forward(getattr(fields, nm), nm) for nm in names_j]
             else:
-                F = (k_dot_J - I * (rho_new_k - rho_old_k) / dt) * self._inv_k2
-            J = [J[0] - F * kx, J[1] - F * ky, J[2] - F * kz]
-            corrected_j = {
-                nm: self.backward(Jc, nm) for nm, Jc in zip(names_j, J)
-            }
+                J = self._cc_corrected_J(
+                    J, rho_old_k, rho_new_k, kx, ky, kz
+                )
+                corrected_j = {
+                    nm: self.backward(Jc, nm) for nm, Jc in zip(names_j, J)
+                }
 
         k_dot_E = kx * E[0] + ky * E[1] + kz * E[2]
         k_dot_J = kx * J[0] + ky * J[1] + kz * J[2]
