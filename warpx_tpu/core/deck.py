@@ -1095,7 +1095,7 @@ def _rz_config_from_deck(deck: Deck) -> SimConfig:
         if solver == "psatd":
             raise NotImplementedError("RZ PSATD with bounded z (PML_RZ)")
         for b in (field_lo[1], field_hi[1]):
-            if b not in ("pec", "none"):
+            if b not in ("pec", "none", "absorbing_silver_mueller"):
                 raise NotImplementedError(f"RZ z boundary '{b}'")
     geom = Geometry(
         ndim=2, n_cell=n_cell, prob_lo=prob_lo, prob_hi=prob_hi,

@@ -59,6 +59,12 @@ class FieldState:
     hjx: Optional[jnp.ndarray] = None
     hjy: Optional[jnp.ndarray] = None
     hjz: Optional[jnp.ndarray] = None
+    # Silver-Mueller guard-cell B state (RZ bounded path: the innermost
+    # guard layer outside an absorbing wall is DYNAMIC state — it evolves
+    # only via the first-order absorbing recurrence,
+    # ApplySilverMuellerBoundary.cpp:37-175; the Cartesian bounded path
+    # stores guards inside its extended arrays instead)
+    smg: Optional[Dict[str, jnp.ndarray]] = None
 
     def e(self):
         return (self.Ex, self.Ey, self.Ez)
@@ -77,7 +83,7 @@ _register(
     FieldState,
     ["Ex", "Ey", "Ez", "Bx", "By", "Bz", "jx", "jy", "jz", "F", "G", "phi",
      "Ex_avg", "Ey_avg", "Ez_avg", "Bx_avg", "By_avg", "Bz_avg",
-     "hrho", "hjx", "hjy", "hjz"],
+     "hrho", "hjx", "hjy", "hjz", "smg"],
 )
 
 

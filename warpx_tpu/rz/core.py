@@ -143,14 +143,37 @@ def _extend_z(arr, name, cfg, ng):
     return out
 
 
+def _sm_bcs(cfg):
+    """(sm_zlo, sm_zhi, sm_rhi) Silver-Mueller flags for the RZ walls."""
+    per, bc_lo, bc_hi = _z_bcs(cfg)
+    bc_rhi = (tuple(cfg.field_bc_hi or ()) + ("none", "periodic"))[0]
+    sm = "absorbing_silver_mueller"
+    return (not per and bc_lo == sm, not per and bc_hi == sm, bc_rhi == sm)
+
+
 def rz_zero_fields(cfg, dtype) -> FieldState:
     """FieldState with RZ layouts; Cartesian names map r->x, t->y."""
     z = lambda nm: jnp.zeros(field_shape(cfg, nm), dtype)  # noqa: E731
+    sm_zlo, sm_zhi, sm_rhi = _sm_bcs(cfg)
+    smg = None
+    if sm_zlo or sm_zhi or sm_rhi:
+        # guard-cell B rings outside the absorbing walls (see FieldState.smg)
+        nr, nz, ncomp = _shape(cfg)
+        nzn = field_shape(cfg, "Et")[2]
+        smg = {}
+        for side, on in (("zlo", sm_zlo), ("zhi", sm_zhi)):
+            if on:
+                smg["br_" + side] = jnp.zeros((ncomp, nr + 1), dtype)
+                smg["bt_" + side] = jnp.zeros((ncomp, nr), dtype)
+        if sm_rhi:
+            smg["bt_rhi"] = jnp.zeros((ncomp, nz), dtype)
+            smg["bz_rhi"] = jnp.zeros((ncomp, nzn), dtype)
     return FieldState(
         Ex=z("Er"), Ey=z("Et"), Ez=z("Ez"),
         Bx=z("Br"), By=z("Bt"), Bz=z("Bz"),
         jx=z("jr"), jy=z("jt"), jz=z("jz"),
         F=z("F") if cfg.do_dive_cleaning else None,
+        smg=smg,
     )
 
 
@@ -955,6 +978,89 @@ def evolve_e_rz(fields: FieldState, cfg, dt, F=None) -> FieldState:
     return fields.replace(Ex=er, Ey=et, Ez=ez)
 
 
+def apply_silver_mueller_rz(fields: FieldState, cfg, dt) -> FieldState:
+    """First-order absorbing (Silver-Mueller) recurrence on the guard-cell
+    B rings (ApplySilverMuellerBoundary.cpp RZ branch :57-175), applied
+    once per step after the first half B push with full-dt coefficients
+    (WarpXFieldBoundaries.cpp:133-146: "only applied on the first
+    half-push of B").
+
+      z walls:  Br_g <- c1z Br_g -/+ c2z Et_wall ; Bt_g <- c1z Bt_g +/- c2z Er_wall
+      r=rmax:   Bt_g <- c1r Bt_g - c2r Ez_wall   ; Bz_g <- c1r Bz_g + (c2r - c3r/r_g) Et_wall
+
+    The reference's coef3_r*UpwardDz(Er_guard) term in the Bt update and
+    the m*Er_guard mode couplings in the Bz update read the r-guard Er,
+    which EvolveE never writes (valid-box tileboxes) — it stays at its
+    initial zero, so those terms vanish identically and are dropped here.
+    """
+    sm_zlo, sm_zhi, sm_rhi = _sm_bcs(cfg)
+    smg = dict(fields.smg)
+    dr, dz = cfg.geometry.dx
+    cdt_dz = _c * dt / dz
+    c1z = (1.0 - cdt_dz) / (1.0 + cdt_dz)
+    c2z = 2.0 * cdt_dz / (1.0 + cdt_dz) / _c
+    Er, Et, Ez = fields.Ex, fields.Ey, fields.Ez
+    if sm_zhi:
+        smg["br_zhi"] = c1z * smg["br_zhi"] - c2z * Et[:, :, -1]
+        smg["bt_zhi"] = c1z * smg["bt_zhi"] + c2z * Er[:, :, -1]
+    if sm_zlo:
+        smg["br_zlo"] = c1z * smg["br_zlo"] + c2z * Et[:, :, 0]
+        smg["bt_zlo"] = c1z * smg["bt_zlo"] - c2z * Er[:, :, 0]
+    if sm_rhi:
+        cdt_dr = _c * dt / dr
+        c1r = (1.0 - cdt_dr) / (1.0 + cdt_dr)
+        c2r = 2.0 * cdt_dr / (1.0 + cdt_dr) / _c
+        c3r = _c * dt / (1.0 + cdt_dr) / _c
+        nr = cfg.geometry.n_cell[0]
+        r_g = cfg.geometry.prob_lo[0] + (nr + 0.5) * dr
+        smg["bt_rhi"] = c1r * smg["bt_rhi"] - c2r * Ez[:, -1, :]
+        smg["bz_rhi"] = (
+            c1r * smg["bz_rhi"] + (c2r - c3r / r_g) * Et[:, -1, :]
+        )
+    return fields.replace(smg=smg)
+
+
+def _sm_wall_e_fix(fields: FieldState, cfg, dt) -> FieldState:
+    """Add the guard-B contributions that evolve_e_rz's zero-guard wall
+    stencils dropped: the wall-node E updates read the innermost guard
+    B values, which under Silver-Mueller live in fields.smg (the RZ
+    analog of the E curl reaching the SM guard layer in EvolveE)."""
+    sm_zlo, sm_zhi, sm_rhi = _sm_bcs(cfg)
+    smg = fields.smg
+    dr, dz = cfg.geometry.dx
+    c2dt = _c * _c * dt
+    er, et, ez = fields.Ex, fields.Ey, fields.Ez
+    # z walls: Er += -c^2 dt dBt/dz, Et += +c^2 dt dBr/dz; the computed
+    # wall derivative used guard=0
+    if sm_zlo:
+        er = er.at[:, :, 0].add(c2dt / dz * smg["bt_zlo"])
+        et = et.at[:, :, 0].add(-c2dt / dz * smg["br_zlo"])
+    if sm_zhi:
+        er = er.at[:, :, -1].add(-c2dt / dz * smg["bt_zhi"])
+        et = et.at[:, :, -1].add(c2dt / dz * smg["br_zhi"])
+    if sm_rhi:
+        # Et += -c^2 dt dBz/dr, Ez += c^2 dt (1/r) d(r Bt)/dr at row nr
+        nr = cfg.geometry.n_cell[0]
+        r_g = cfg.geometry.prob_lo[0] + (nr + 0.5) * dr
+        r_w = _r_nodal(cfg)[-1]
+        et = et.at[:, -1, :].add(-c2dt / dr * smg["bz_rhi"])
+        ez = ez.at[:, -1, :].add(c2dt / dr * r_g * smg["bt_rhi"] / r_w)
+    if cfg.geometry.prob_lo[0] == 0.0:
+        # re-enforce the on-axis Et conditions (evolve_e_rz applied them
+        # before the corrections perturbed the wall columns)
+        cols = ([0] if sm_zlo else []) + ([-1] if sm_zhi else [])
+        for zi in cols:
+            et = et.at[0, 0, zi].set(0.0)
+            for m in range(1, cfg.n_rz_modes):
+                if m == 1:
+                    et = et.at[2 * m - 1, 0, zi].set(er[2 * m, 0, zi])
+                    et = et.at[2 * m, 0, zi].set(-er[2 * m - 1, 0, zi])
+                else:
+                    et = et.at[2 * m - 1, 0, zi].set(0.0)
+                    et = et.at[2 * m, 0, zi].set(0.0)
+    return fields.replace(Ex=er, Ey=et, Ez=ez)
+
+
 def evolve_f_rz(F, fields: FieldState, rho, cfg, dt):
     """EvolveFCylindrical: dF/dt = divE - rho/eps0 (with 1/r terms)."""
     geom = cfg.geometry
@@ -1036,6 +1142,7 @@ def make_rz_step_fns(cfg, dtype):
         int(math.ceil(abs(cfg.moving_window_v) * _c * dt / dz)) + 1
         if cfg.do_moving_window else 0
     )
+    any_sm = any(_sm_bcs(cfg))
 
     def z_origin_of(state):
         if cfg.do_moving_window:
@@ -1214,6 +1321,19 @@ def make_rz_step_fns(cfg, dtype):
         }
         if f.F is not None:
             upd["F"] = shift_z(f.F, num_shift)
+        if f.smg is not None:
+            # the z-resolved r-wall guard rings ride the window like any
+            # field row; the z-wall rings (beyond the shifted wall) reset
+            # to the zero incoming-vacuum state on shift steps
+            smg = dict(f.smg)
+            for k in ("bt_rhi", "bz_rhi"):
+                if k in smg:
+                    smg[k] = shift_z(smg[k], num_shift)
+            shifted = num_shift > 0
+            for k in ("br_zlo", "bt_zlo", "br_zhi", "bt_zhi"):
+                if k in smg:
+                    smg[k] = jnp.where(shifted, 0.0, smg[k])
+            upd["smg"] = smg
         state = state.replace(fields=f.replace(**upd), aux=aux)
 
         new_species = dict(state.species)
@@ -1330,7 +1450,12 @@ def make_rz_step_fns(cfg, dtype):
         if need_rho:
             F = evolve_f_rz(F, fields, rho_old, cfg, 0.5 * dt)
         fields = evolve_b_rz(fields, cfg, 0.5 * dt)
+        if any_sm:
+            # guard-B recurrence once per step, full-dt coefficients
+            fields = apply_silver_mueller_rz(fields, cfg, dt)
         fields = evolve_e_rz(fields, cfg, dt, F=F)
+        if any_sm:
+            fields = _sm_wall_e_fix(fields, cfg, dt)
         if need_rho:
             F = evolve_f_rz(F, fields, rho_new, cfg, 0.5 * dt)
         fields = evolve_b_rz(fields, cfg, 0.5 * dt)
