@@ -1212,6 +1212,9 @@ def _rz_config_from_deck(deck: Deck) -> SimConfig:
         species=species + laser_species,
         user_constants=tuple(sorted(deck.my_constants.items())),
         tiled_particles="off",
+        eb_implicit_function=(
+            deck.get_string("warpx.eb_implicit_function", "") or ""
+        ).strip('"'),
         **window_kw,
         **psatd_kw,
     )

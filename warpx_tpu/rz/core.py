@@ -1144,6 +1144,66 @@ def make_rz_step_fns(cfg, dtype):
     )
     any_sm = any(_sm_bcs(cfg))
 
+    # embedded boundary (staircase level set, the RZ analog of the
+    # Cartesian bounded path): covered-edge E and covered-face B stay
+    # FROZEN at zero — the implicit function is sampled at each
+    # component's staggered (r, z) point with (x=r, y=0)
+    # (WarpXInitEB.cpp parser convention; phi > 0 is covered)
+    eb_masks = None
+    if cfg.eb_implicit_function:
+        if cfg.do_moving_window:
+            raise NotImplementedError("RZ embedded boundary with a moving "
+                                      "window")
+        if any(not is_laser[sp.name] for sp in cfg.species):
+            raise NotImplementedError(
+                "RZ embedded boundary with particles (EB scraping is "
+                "implemented on the Cartesian bounded path only)"
+            )
+        from ..utils.expression import compile_expression
+
+        _eb_fn = compile_expression(
+            cfg.eb_implicit_function, ("x", "y", "z"),
+            dict(cfg.user_constants or ()),
+        )
+        r_nodv = np.asarray(_r_nodal(cfg))
+        r_ccv = np.asarray(_r_cc(cfg))
+        # a component is frozen only when its WHOLE edge (E) / face (B)
+        # is covered (the reference's Yee-EB skips the update when the
+        # edge length / face area is zero — partially-cut edges keep the
+        # full update on the staircase path); the edge/face extent per
+        # component: Er r-edge, Et azimuthal point, Ez z-edge, Br
+        # theta-z face, Bt r-z face, Bz r-theta face
+        _extent = {"Er": ("r",), "Et": (), "Ez": ("z",),
+                   "Br": ("z",), "Bt": ("r", "z"), "Bz": ("r",)}
+        eb_masks = {}
+        for nm, attr in (("Er", "Ex"), ("Et", "Ey"), ("Ez", "Ez"),
+                         ("Br", "Bx"), ("Bt", "By"), ("Bz", "Bz")):
+            fr, fz = rz_stagger(cfg, nm)
+            rc = r_nodv if fr else r_ccv
+            shp = field_shape(cfg, nm)
+            zoff = 0.0 if fz else 0.5
+            zc = geom.prob_lo[1] + (np.arange(shp[2]) + zoff) * dz
+            rr, zz = np.meshgrid(rc, zc, indexing="ij")
+            dr_off = ((-0.5 * dr, 0.0, 0.5 * dr)
+                      if "r" in _extent[nm] else (0.0,))
+            dz_off = ((-0.5 * dz, 0.0, 0.5 * dz)
+                      if "z" in _extent[nm] else (0.0,))
+            phi_min = None
+            for ro in dr_off:
+                for zo in dz_off:
+                    p = np.asarray(
+                        _eb_fn(rr + ro, np.zeros_like(rr), zz + zo)
+                    )
+                    phi_min = p if phi_min is None else np.minimum(
+                        phi_min, p
+                    )
+            eb_masks[attr] = jnp.asarray((phi_min <= 0.0)[None, :, :])
+
+    def apply_eb(fields):
+        return fields.replace(**{
+            attr: getattr(fields, attr) * m for attr, m in eb_masks.items()
+        })
+
     def z_origin_of(state):
         if cfg.do_moving_window:
             return state.aux["window_lo"]
@@ -1450,15 +1510,21 @@ def make_rz_step_fns(cfg, dtype):
         if need_rho:
             F = evolve_f_rz(F, fields, rho_old, cfg, 0.5 * dt)
         fields = evolve_b_rz(fields, cfg, 0.5 * dt)
+        if eb_masks is not None:
+            fields = apply_eb(fields)
         if any_sm:
             # guard-B recurrence once per step, full-dt coefficients
             fields = apply_silver_mueller_rz(fields, cfg, dt)
         fields = evolve_e_rz(fields, cfg, dt, F=F)
         if any_sm:
             fields = _sm_wall_e_fix(fields, cfg, dt)
+        if eb_masks is not None:
+            fields = apply_eb(fields)
         if need_rho:
             F = evolve_f_rz(F, fields, rho_new, cfg, 0.5 * dt)
         fields = evolve_b_rz(fields, cfg, 0.5 * dt)
+        if eb_masks is not None:
+            fields = apply_eb(fields)
         fields = fields.replace(F=F)
         if not per_z:
             fields = enforce_walls_rz(fields, cfg)
