@@ -58,13 +58,15 @@ MXU precision (``mxu``): the TPU MXU natively multiplies bf16 operands;
 "f32" matmuls are emulated by 3 bf16 passes (precision=HIGHEST), and the
 DEFAULT precision is a single bf16 pass — i.e. silently ~3e-3 operand
 rounding.  The modes are therefore:
-  * 'f32'   — all contractions at HIGHEST (true f32; 3 MXU passes each);
+  * 'f32'   — all contractions at HIGHEST (true f32; ~6 MXU passes each);
   * 'mixed' — gather operands rounded to bfloat16 (one pass: the ~0.4% field
     interpolation rounding is far below macro-particle sampling noise) while
-    the Esirkepov deposit stays at HIGHEST so discrete charge conservation
-    holds to f32 roundoff;
-  * 'bf16'  — deposit operands rounded too (max speed, relaxes charge
-    conservation to ~1e-3 per step).
+    the Esirkepov deposit runs a manual bf16_3x split (hi/lo decomposition,
+    three single-pass dots, dropping only the lo*lo term): deposit relative
+    error ~2^-16 — ~400x tighter than bf16 and ~2.3x faster than HIGHEST on
+    these shapes (tools/bench_deposit_prec.py);
+  * 'bf16'  — deposit operands rounded to one bf16 pass too (max speed,
+    relaxes charge conservation to ~1e-3 per step).
 """
 
 from __future__ import annotations
@@ -94,6 +96,21 @@ _GALERKIN_AXES = {
 _AXES = ("x", "y", "z")
 
 _HI = jax.lax.Precision.HIGHEST
+
+
+def _dot3x(lhs, rhs, dims, f):
+    """Manual bf16_3x dot: hi/lo bf16 split of both operands, dropping only
+    the lo*lo cross term (~2^-16 relative) — three single-pass MXU dots,
+    ~2.3x faster than precision=HIGHEST at the deposit shapes
+    (tools/bench_deposit_prec.py; Mosaic has no 3-pass HIGH mode)."""
+    lh = lhs.astype(jnp.bfloat16)
+    ll = (lhs - lh.astype(f)).astype(jnp.bfloat16)
+    rh = rhs.astype(jnp.bfloat16)
+    rl = (rhs - rh.astype(f)).astype(jnp.bfloat16)
+    kw = dict(preferred_element_type=f)
+    return (jax.lax.dot_general(lh, rh, dims, **kw)
+            + jax.lax.dot_general(lh, rl, dims, **kw)
+            + jax.lax.dot_general(ll, rh, dims, **kw))
 
 
 def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
@@ -352,10 +369,13 @@ def _build_kernel(spec, geom, staggering, order, galerkin, pusher_name, dt,
                     # MXU pass group
                     rhs = (0.25 * outer(sm[a], sm[b])
                            + (1.0 / 12.0) * outer(df[a], df[b]))
-                    jd = jax.lax.dot_general(
-                        lhs, rhs, dims,
-                        preferred_element_type=f, precision=dprec,
-                    )
+                    if mxu == "mixed":
+                        jd = _dot3x(lhs, rhs, dims, f)
+                    else:
+                        jd = jax.lax.dot_general(
+                            lhs, rhs, dims,
+                            preferred_element_type=f, precision=dprec,
+                        )
                 else:
                     # bf16: single MXU passes are cheaper than an f32 combine —
                     # keep two dots on pre-cast operands
@@ -596,10 +616,14 @@ def _build_kernel_2d(spec, geom, staggering, order, galerkin, pusher_name,
                 sm[1],
                 df[1],
             ], axis=0).astype(dmx)
-            jd4 = jax.lax.dot_general(
-                lhs4, rhs4, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=f, precision=dprec,
-            )
+            dims4 = (((2,), (2,)), ((0,), (0,)))
+            if mxu == "mixed":
+                jd4 = _dot3x(lhs4.astype(f), rhs4.astype(f), dims4, f)
+            else:
+                jd4 = jax.lax.dot_general(
+                    lhs4, rhs4, dims4,
+                    preferred_element_type=f, precision=dprec,
+                )
             for jd, out_ref in (
                 (jd4[0], jxw), (jd4[2] + jd4[3], jyw), (jd4[1], jzw)
             ):

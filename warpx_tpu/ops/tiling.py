@@ -20,12 +20,15 @@ Pieces:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["TileSpec", "rebin", "extract_windows", "fold_windows",
            "fold_windows_open"]
@@ -132,6 +135,91 @@ def tile_ids(positions, geom, spec: TileSpec, origin=None):
     return ids
 
 
+def _next_pow2(x: int) -> int:
+    return 1 << (x - 1).bit_length()
+
+
+def _ragged_expand_kernel(blk_ref, res_ref, src_ref, out_ref, scratch, sem,
+                          *, tb, ex, p_max, n_rows):
+    """Per-tile HBM->VMEM DMA slot expansion (see _ragged_expand)."""
+    t0 = pl.program_id(0) * tb
+
+    def start(i):
+        pltpu.make_async_copy(
+            src_ref.at[:, pl.ds(blk_ref[t0 + i] * 128, ex)],
+            scratch.at[i % 2], sem.at[i % 2],
+        ).start()
+
+    start(0)
+
+    def body(i, _):
+        @pl.when(i + 1 < tb)
+        def _():
+            start(i + 1)
+
+        pltpu.make_async_copy(
+            src_ref.at[:, pl.ds(blk_ref[t0 + i] * 128, ex)],
+            scratch.at[i % 2], sem.at[i % 2],
+        ).wait()
+        # residual sub-128 shift: Mosaic's dynamic lane roll is only correct
+        # for power-of-two lane counts, hence ex = next_pow2(p_max + 128)
+        rolled = pltpu.roll(scratch[i % 2], -res_ref[t0 + i], 1)
+        out_ref[:, pl.ds(i * p_max, p_max)] = rolled[:, :p_max]
+        return 0
+
+    jax.lax.fori_loop(0, tb, body, 0, unroll=True)
+
+
+def _ragged_expand(payload_sorted, offsets, n_tiles, p_max):
+    """Expand tile-sorted ragged segments into the padded slot layout:
+
+        out[:, t*p_max + s] = payload_sorted[:, offsets[t] + s]
+
+    (callers mask s >= counts[t] afterwards).  XLA lowers the equivalent
+    gather at ~6 ns/element on TPU (~60x off HBM bandwidth); this Pallas
+    kernel instead DMAs each tile's contiguous segment from a 128-aligned
+    lane base straight into its slot block and applies the sub-128 residual
+    shift with an in-VMEM lane roll — ~18x faster at LWFA shapes
+    (tools/profile_rebin_lwfa.py: 175 -> 9.6 ms at 8192 tiles x 512 slots).
+    """
+    n_attr, cap = payload_sorted.shape
+    ex = _next_pow2(p_max + 128)
+    rows = _round_up(n_attr, 8)
+    # tiles per program: amortizes grid/launch overhead; must divide n_tiles
+    tb = 16
+    while n_tiles % tb:
+        tb //= 2
+    psp = jnp.pad(
+        payload_sorted,
+        ((0, rows - n_attr), (0, (-cap) % 128 + ex + 128)),
+    )
+    blk = offsets // 128
+    res = offsets - blk * 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles // tb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (rows, tb * p_max), lambda g, blk, res: (0, g),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, ex), payload_sorted.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _ragged_expand_kernel, tb=tb, ex=ex, p_max=p_max, n_rows=rows,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (rows, n_tiles * p_max), payload_sorted.dtype
+        ),
+        grid_spec=grid_spec,
+    )(blk, res, psp)
+    return out[:n_attr]
+
+
 def rebin(sp, geom, spec: TileSpec, origin=None, wrap_dims=None):
     """Sort a species into the padded (n_tiles, p_max) tile layout.
 
@@ -194,22 +282,31 @@ def rebin(sp, geom, spec: TileSpec, origin=None, wrap_dims=None):
     )
     overflow = jnp.sum(jnp.maximum(counts - p_max, 0))
 
-    slot_s = jnp.tile(jnp.arange(p_max, dtype=jnp.int32), n_tiles)
-    slot_t = jnp.repeat(
-        jnp.arange(n_tiles, dtype=jnp.int32), p_max, total_repeat_length=n_tiles * p_max
-    )
-    src = jnp.clip(offsets[slot_t] + slot_s, 0, cap_in - 1)
-    valid = slot_s < counts[slot_t]
-    gathered = payload_sorted[:, src]  # (n_attr, n_tiles*p_max)
+    # per-slot quantities in broadcastable (n_tiles, p_max) form: a per-slot
+    # table gather (counts[slot_t] etc.) is a 6 ns/element random access on
+    # TPU — at LWFA capacity that one gather costs more than the whole sort
+    slot_s2 = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, p_max), 1)
+    valid = (slot_s2 < counts[:, None]).reshape(-1)
+    if jax.default_backend() == "tpu" and p_max % 128 == 0:
+        gathered = _ragged_expand(payload_sorted, offsets, n_tiles, p_max)
+    else:
+        src = jnp.clip(
+            (offsets[:, None] + slot_s2).reshape(-1), 0, cap_in - 1
+        )
+        gathered = payload_sorted[:, src]  # (n_attr, n_tiles*p_max)
 
     # dead-slot fills: tile center position, zero momentum/weight
     centers = []
+    tile_i = jnp.arange(n_tiles, dtype=jnp.int32)
     for d in range(ndim):
         stride = int(np.prod(spec.tiles_per_dim[d + 1:], initial=1))
-        idx_d = (slot_t // stride) % spec.tiles_per_dim[d]
-        centers.append(
+        idx_d = (tile_i // stride) % spec.tiles_per_dim[d]
+        ctr = (
             lo_all[d]
             + (idx_d.astype(sp.w.dtype) + 0.5) * (spec.tile[d] * geom.dx[d])
+        )
+        centers.append(
+            jnp.broadcast_to(ctr[:, None], (n_tiles, p_max)).reshape(-1)
         )
 
     def sel(row, fill):
